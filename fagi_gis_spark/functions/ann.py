@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+* ``cosine_topk`` — brute-force exact top-k, all-JVM (zip_with/aggregate);
+  the correctness baseline. With ``quantize`` set, embeddings are scaled
+  to integers first so dot products are order-independent and exact —
+  that variant is DuckDB-oracle-checkable bit-for-bit.
+* ``lsh_topk``    — random-hyperplane LSH: signatures via one Arrow batch
+  pass, candidates bucket-joined, exact re-rank inside buckets. The scale
+  path: shuffle bounded by bucket width, no cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _quantized(df: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
+    q = F.transform(F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long"))
+    return df.select(F.col(id_col).alias("vid"), q.alias("v"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1000,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every vector (excluding self).
+    Integer-quantized: cos = dot_q / sqrt(n_a * n_b) over exact BIGINTs.
+    Output: (vec_id, neighbor_id, cos_sim, rank)."""
+    base = _quantized(emb, id_col, vec_col, quantize)
+    norms = base.withColumn("n", _dot(F.col("v"), F.col("v")))
+    q = norms if queries is None else _quantized(queries, id_col, vec_col, quantize).withColumn(
+        "n", _dot(F.col("v"), F.col("v"))
+    )
+    l = q.select(F.col("vid").alias("vec_id"), F.col("v").alias("va"), F.col("n").alias("na"))
+    r = norms.select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    pairs = l.crossJoin(r).filter(F.col("vec_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_signatures(
+    emb: DataFrame,
+    n_tables: int = 16,
+    bits_per_table: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH: ``n_tables`` independent
+    signatures of ``bits_per_table`` bits each (standard LSH amplification
+    — one table of many bits has vanishing recall on high-dim data).
+    Output: one row per (vector, table) with the bucket key."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, bits_per_table, dim))
+    weights = (2 ** np.arange(bits_per_table)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def u_sigs(vec: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vec])  # (n, dim)
+        out = np.empty((m.shape[0], planes.shape[0]), dtype=np.int64)
+        for t in range(planes.shape[0]):
+            bits = (m @ planes[t].T) > 0  # (n, bits)
+            out[:, t] = bits.astype(np.int64) @ weights
+        return pd.Series(out.tolist())
+
+    sigs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.posexplode(u_sigs(F.col(vec_col))).alias("table", "sig"),
+    )
+    # pack (table, sig) into one join key
+    return sigs.withColumn(
+        "bucket", F.col("table").cast("long") * F.lit(1 << bits_per_table).cast("long") + F.col("sig")
+    ).drop("table", "sig")
+
+
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_tables: int = 16,
+    bits_per_table: int = 6,
+    dim: int = 64,
+    quantize: int = 1000,
+) -> DataFrame:
+    """Approximate top-k: candidates from any shared LSH bucket across
+    tables, exact integer re-rank in-bucket. Shuffle is bounded by bucket
+    width x table count — no cross join."""
+    sig = hyperplane_signatures(emb, n_tables=n_tables, bits_per_table=bits_per_table, dim=dim)
+    base = sig.withColumn(
+        "v", F.transform("embedding", lambda x: F.round(x.cast("double") * quantize).cast("long"))
+    ).withColumn("n", _dot(F.col("v"), F.col("v")))
+
+    l = base.select("bucket", F.col("vec_id"), F.col("v").alias("va"), F.col("n").alias("na"))
+    r = base.select(
+        "bucket", F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    pairs = (
+        l.join(r, "bucket")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )

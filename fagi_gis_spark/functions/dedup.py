@@ -1,0 +1,213 @@
+"""Deduplication operators for the training-data pipeline over ``documents``:
+exact (hash-groupBy), n-gram Jaccard pairs, MinHash+LSH, SimHash.
+
+Scale notes: exact dedup is one shuffle on the digest; MinHash/LSH is the
+100 TB near-dup path — signatures are computed in one Arrow batch pass,
+band buckets become the join key (bucket count bounds the shuffle), and
+candidate verification happens only within buckets. No cross join ever
+materializes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fagi_gis_spark.functions.text import fingerprint_md5
+
+# deterministic MinHash permutation parameters (public Carter-Wegman form)
+_MERSENNE = (1 << 61) - 1
+_N_PERM_DEFAULT = 64
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact near-normalized dedup: digest = md5(normalized text); keeps
+    the minimum id as representative. Output: (digest, rep_id, n_dups)."""
+    return (
+        docs.withColumn("digest", fingerprint_md5(F.col(text_col)))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def exact_dedup_keep(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The kept rows after exact dedup (first id per digest)."""
+    w = Window.partitionBy(fingerprint_md5(F.col(text_col))).orderBy(F.col(id_col))
+    return docs.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+
+def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
+    """Character n-gram 64-bit hashes (FNV-1a), vectorized-ish."""
+    s = " ".join((text or "").lower().split())
+    if len(s) < n:
+        s = s + " " * (n - len(s))
+    b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+    if len(b) < n:
+        return np.array([1469598103934665603], dtype=np.uint64)
+    h = np.full(len(b) - n + 1, np.uint64(1469598103934665603))
+    prime = np.uint64(1099511628211)
+    for i in range(n):
+        h = (h ^ b[i : len(b) - n + 1 + i]) * prime
+    return np.unique(h)
+
+
+def _perm_params(n_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = _N_PERM_DEFAULT,
+    shingle: int = 5,
+) -> DataFrame:
+    """MinHash signatures as array<long>, one Arrow-batched pass."""
+    a, b = _perm_params(n_perm)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def u_minhash(text: pd.Series) -> pd.Series:
+        out = []
+        m = np.uint64(_MERSENNE)
+        for s in text:
+            sh = _shingle_hashes(s, shingle)
+            # (a*x + b) mod mersenne61, min over shingles, per permutation
+            vals = (sh[None, :] * a[:, None] + b[:, None]) % m
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col).alias("doc_id"), u_minhash(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4, jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """LSH banding: equal band-slices become bucket join keys; candidate
+    pairs are verified by estimated Jaccard (signature agreement rate).
+    Output: (doc_a, doc_b, jaccard_est) with doc_a < doc_b."""
+    n_perm = bands * rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        "doc_id", "sig", F.explode(band_structs).alias("b")
+    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+
+    left = buckets.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    right = buckets.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    cand = (
+        left.join(right, ["band", "bucket"], "inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ).cast("double")
+    est = agree / F.lit(float(n_perm))
+    return (
+        cand.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard_est")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact word-token Jaccard between document pairs — pure JVM column
+    algebra. Without ``block_col`` this is a self-join blocked on the
+    cheap length band (so no raw cross join); at scale pass a real
+    blocking key (e.g. an LSH bucket)."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    block = F.col(block_col) if block_col else F.floor(F.size("toks") / 8).cast("int")
+    base = base.withColumn("blk", block)
+    l = base.select(F.col("blk"), F.col("id").alias("doc_a"), F.col("toks").alias("t_a"))
+    r = base.select(F.col("blk"), F.col("id").alias("doc_b"), F.col("toks").alias("t_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b")).cast("double")
+    union = F.size(F.array_union("t_a", "t_b")).cast("double")
+    return (
+        l.join(r, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(0.0))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over word-token FNV hashes (vectorized)."""
+
+    @F.pandas_udf(T.LongType())
+    def u_simhash(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        prime = np.uint64(1099511628211)
+        for i, s in enumerate(text):
+            toks = (s or "").lower().split()
+            if not toks:
+                continue
+            acc = np.zeros(bits, dtype=np.int64)
+            for t in toks:
+                h = np.uint64(1469598103934665603)
+                for ch in t.encode("utf-8", "ignore"):
+                    h = (h ^ np.uint64(ch)) * prime
+                hb = np.unpackbits(np.frombuffer(h.tobytes(), dtype=np.uint8))
+                acc += np.where(hb.astype(bool), 1, -1)
+            v = np.uint64(0)
+            for bit in acc > 0:
+                v = (v << np.uint64(1)) | np.uint64(bool(bit))
+            out[i] = np.int64(v)
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col).alias("doc_id"), u_simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates via 4-block SimHash banding (pigeonhole: any
+    pair within hamming<=3 shares at least one of 4 16-bit blocks),
+    verified by exact popcount."""
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+    b = sigs.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key")
+    )
+    l = b.select("blk", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"))
+    r = b.select("blk", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        l.join(r, ["blk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,115 @@
+"""Arrow-batched geometry UDFs (the engine's replacement for PostGIS calls).
+
+Each UDF parses canonical WKT with the numpy kernel
+(``fagi_gis_spark.geometry``), computes, and re-formats. These are the
+*refine / transform* steps only — cell bucketing, bbox tests and tile
+assignment are pure JVM column expressions (see ``index.tiles``), so the
+100 TB hot path never enters Python.
+
+PostGIS surface covered (SURVEY.md §2.8): ST_NPoints, ST_Centroid,
+ST_X/Y, ST_Translate, ST_Scale, GeomRotate/GeomResize (rotate/scale about
+centroid, /root/reference/fagi-gis/src/main/resources/schema.sql:97-104),
+GeometryType, ST_AsText canonicalization.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fagi_gis_spark.geometry.affine import rotate_about, scale_about, translate
+from fagi_gis_spark.geometry.measures import centroid, npoints
+from fagi_gis_spark.geometry.wkt import format_wkt, parse_wkt
+
+_CENTROID_SCHEMA = T.StructType(
+    [T.StructField("cx", T.DoubleType()), T.StructField("cy", T.DoubleType())]
+)
+
+
+@F.pandas_udf(T.LongType())
+def u_npoints(wkt: pd.Series) -> pd.Series:
+    return wkt.map(lambda s: npoints(parse_wkt(s)) if s is not None else 0).astype("int64")
+
+
+@F.pandas_udf(_CENTROID_SCHEMA)
+def u_centroid(wkt: pd.Series) -> pd.DataFrame:
+    cx = np.full(len(wkt), np.nan)
+    cy = np.full(len(wkt), np.nan)
+    for i, s in enumerate(wkt):
+        if s is None:
+            continue
+        c = centroid(parse_wkt(s))
+        if c is not None:
+            cx[i], cy[i] = c
+    return pd.DataFrame({"cx": cx, "cy": cy})
+
+
+@F.pandas_udf(T.StringType())
+def u_canon(wkt: pd.Series) -> pd.Series:
+    return wkt.map(lambda s: format_wkt(parse_wkt(s)) if s is not None else None)
+
+
+@F.pandas_udf(T.StringType())
+def u_gtype(wkt: pd.Series) -> pd.Series:
+    return wkt.map(lambda s: parse_wkt(s).gtype if s else None)
+
+
+@F.pandas_udf(T.StringType())
+def u_translate(wkt: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
+    out = []
+    for s, a, b in zip(wkt, dx, dy):
+        if s is None:
+            out.append(None)
+            continue
+        out.append(format_wkt(translate(parse_wkt(s), float(a), float(b)), prec=9))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def u_affine_about_centroid(
+    wkt: pd.Series, rot_deg: pd.Series, fscale: pd.Series, dx: pd.Series, dy: pd.Series
+) -> pd.Series:
+    """GeomRotate(rot) -> GeomResize(f) -> ST_Translate(dx,dy): the exact
+    pipeline of ShiftAToB/ShiftBToA (ShiftAToB.java:200-213; rotation is
+    degrees->radians as in schema.sql:103)."""
+    out = []
+    for s, r, f, a, b in zip(wkt, rot_deg, fscale, dx, dy):
+        if s is None:
+            out.append(None)
+            continue
+        g = parse_wkt(s)
+        r = float(r)
+        f = float(f)
+        if r != 0.0:
+            g = rotate_about(g, math.radians(r))
+        if f != 1.0:
+            g = scale_about(g, f, f)
+        g = translate(g, float(a), float(b))
+        out.append(format_wkt(g, prec=9))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def u_scale_origin(wkt: pd.Series, f: pd.Series) -> pd.Series:
+    """PostGIS ST_Scale semantics: scale about the ORIGIN (0,0), unlike
+    GeomResize which scales about the centroid (ScaleTransformation.java:114-140)."""
+    out = []
+    for s, ff in zip(wkt, f):
+        if s is None:
+            out.append(None)
+            continue
+        out.append(format_wkt(scale_about(parse_wkt(s), float(ff), float(ff), origin=(0.0, 0.0)), prec=9))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def u_midpoint_wkt(ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series) -> pd.Series:
+    """POINT at the midpoint of two points (AvgTwoPointsTransformation.java:18-41).
+    Formatted Python-side (half-even) so the DuckDB oracle printf agrees."""
+    mx = (ax.to_numpy(np.float64) + bx.to_numpy(np.float64)) / 2.0
+    my = (ay.to_numpy(np.float64) + by.to_numpy(np.float64)) / 2.0
+    return pd.Series([f"POINT ({x:.9f} {y:.9f})" for x, y in zip(mx, my)])

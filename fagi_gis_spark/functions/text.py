@@ -1,0 +1,104 @@
+"""Text analysis for large-scale training-data pipelines over ``documents``:
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All hot-path pieces are JVM column expressions; only the rolling-hash
+fingerprint drops to an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_STOPWORDS = (
+    "the of and a to in is it you that he was for on are as with his they i "
+    "at be this have from or one had by word but not what all were we when"
+).split()
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish subword count ~ tokens * 1.3 is a
+    separate column for budget estimation)."""
+    t = F.trim(text)
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def char_classes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / digit / uppercase counts — quality features."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_chars_m", F.length(t).cast("long"))
+        .withColumn("n_tokens", token_count(t))
+        .withColumn(
+            "n_punct", (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("long")
+        )
+        .withColumn(
+            "n_digits", (F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("long")
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristic: length band + punct ratio +
+    stopword hit rate, scaled to [0, 100] integers (stable across engines)."""
+    d = char_classes(df, text_col)
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _STOPWORDS])))
+    return (
+        d.withColumn("stop_hits", stop_hits.cast("long"))
+        .withColumn(
+            "quality",
+            (
+                F.when((F.col("n_chars_m") >= 100) & (F.col("n_chars_m") <= 20000), 40).otherwise(10)
+                + F.when(F.col("n_tokens") > 0, F.least(F.lit(30), F.col("stop_hits") * 3)).otherwise(0)
+                + F.when(
+                    F.col("n_chars_m") > 0,
+                    F.when(F.col("n_punct") * 5 <= F.col("n_chars_m"), 30).otherwise(5),
+                ).otherwise(0)
+            ).cast("long"),
+        )
+    )
+
+
+def lang_id_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cheap language ID: English stopword hit-rate vs ascii ratio —
+    emits 'en' / 'other' / 'unknown'. (A production engine would plug a
+    real n-gram model here; the Spark plumbing — column in, label out —
+    is identical.)"""
+    d = quality_score(df, text_col)
+    ascii_ratio = F.length(F.regexp_replace(F.col(text_col), r"[^\x00-\x7F]", "")) / F.greatest(
+        F.length(F.col(text_col)), F.lit(1)
+    )
+    return d.withColumn(
+        "lang_pred",
+        F.when(F.col("n_tokens") < 3, "unknown")
+        .when((F.col("stop_hits") >= 3) & (ascii_ratio > 0.9), "en")
+        .otherwise("other"),
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Document fingerprint: md5 of lowercased, whitespace-collapsed text —
+    identical in Spark and DuckDB (both emit hex md5)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+@F.pandas_udf(T.LongType())
+def u_rolling_fingerprint(text: pd.Series) -> pd.Series:
+    """64-bit polynomial rolling hash (Rabin-Karp style, base 1000003) of
+    the normalized text — an order-sensitive fingerprint complementary to
+    md5, computed vectorized per Arrow batch."""
+    out = np.zeros(len(text), dtype=np.uint64)
+    base = np.uint64(1000003)
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for i, s in enumerate(text):
+        h = np.uint64(1469598103934665603)
+        if s:
+            for ch in " ".join(s.lower().split()).encode("utf-8"):
+                h = ((h * base) & mask) ^ np.uint64(ch)
+        out[i] = h
+    return pd.Series(out.astype(np.int64))

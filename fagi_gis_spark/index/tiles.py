@@ -1,0 +1,127 @@
+"""WebMercator z/x/y tile (quadtree cell) math.
+
+Three synchronized implementations of the SAME formula (so the Spark plan,
+the pandas-UDF path, and the DuckDB oracle agree bit-for-bit):
+
+* Spark Column expressions (JVM, codegen — the hot path),
+* numpy (for pandas-UDF composition and local oracles),
+* a SQL text generator (used verbatim by both Spark SQL and DuckDB).
+
+Formula (standard slippy-map):
+    n = 2^z
+    x = floor((lon + 180) / 360 * n)
+    y = floor((1 - (ln(tan(radians(lat)) + 1/cos(radians(lat))) / pi)) / 2 * n)
+
+Cell ids pack (z, x, y) into one BIGINT: z*2^55 + x*2^27 + y (z <= 22) —
+arithmetic
+(not bit ops) so the identical expression runs on Spark, DuckDB and numpy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MIN_RES = 7
+MAX_RES = 11
+_Z_MULT = 2**55
+_X_MULT = 2**27
+
+
+# ---------------------------------------------------------------- Spark side
+def tile_x_col(lon: Column, z: int) -> Column:
+    n = float(2**z)
+    return F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+
+
+def tile_y_col(lat: Column, z: int) -> Column:
+    n = float(2**z)
+    rad = F.radians(lat)
+    return F.floor(
+        (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi))
+        / F.lit(2.0)
+        * F.lit(n)
+    ).cast("long")
+
+
+def cell_id_col(lon: Column, lat: Column, z: int) -> Column:
+    return (
+        F.lit(z * _Z_MULT).cast("long")
+        + tile_x_col(lon, z) * F.lit(_X_MULT).cast("long")
+        + tile_y_col(lat, z)
+    )
+
+
+# ---------------------------------------------------------------- numpy side
+def tile_xy_np(lon: np.ndarray, lat: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
+    n = float(2**z)
+    x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    rad = np.radians(lat)
+    y = np.floor((1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / math.pi) / 2.0 * n).astype(
+        np.int64
+    )
+    return x, y
+
+
+def cell_id_np(lon: np.ndarray, lat: np.ndarray, z: int) -> np.ndarray:
+    x, y = tile_xy_np(lon, lat, z)
+    return z * _Z_MULT + x * _X_MULT + y
+
+
+def unpack_cell(cell: int) -> tuple[int, int, int]:
+    z = cell // _Z_MULT
+    rem = cell - z * _Z_MULT
+    return int(z), int(rem // _X_MULT), int(rem % _X_MULT)
+
+
+# ------------------------------------------------------------------ SQL text
+def tile_x_sql(lon_expr: str, z: int) -> str:
+    return f"CAST(floor(({lon_expr} + 180.0) / 360.0 * {float(2**z)!r}) AS BIGINT)"
+
+
+def tile_y_sql(lat_expr: str, z: int) -> str:
+    n = float(2**z)
+    return (
+        f"CAST(floor((1.0 - ln(tan(radians({lat_expr})) + 1.0/cos(radians({lat_expr})))"
+        f" / pi()) / 2.0 * {n!r}) AS BIGINT)"
+    )
+
+
+def cell_id_sql(lon_expr: str, lat_expr: str, z: int) -> str:
+    return (
+        f"(CAST({z * _Z_MULT} AS BIGINT) + {tile_x_sql(lon_expr, z)} * CAST({_X_MULT} AS BIGINT)"
+        f" + {tile_y_sql(lat_expr, z)})"
+    )
+
+
+# -------------------------------------------------------------- tile extents
+def tile_bounds(z: int, x: int, y: int) -> tuple[float, float, float, float]:
+    """(min_lon, min_lat, max_lon, max_lat) of a tile."""
+    n = float(2**z)
+
+    def lon(xx):
+        return xx / n * 360.0 - 180.0
+
+    def lat(yy):
+        t = math.pi * (1.0 - 2.0 * yy / n)
+        return math.degrees(math.atan(math.sinh(t)))
+
+    return (lon(x), lat(y + 1), lon(x + 1), lat(y))
+
+
+def meters_per_tile(z: int, lat_deg: float = 51.0) -> float:
+    """Approximate tile edge length in meters at a latitude."""
+    return 40075016.686 * math.cos(math.radians(lat_deg)) / (2**z)
+
+
+def res_for_radius(radius_m: float, lat_deg: float = 51.0) -> int:
+    """Finest resolution whose tile edge still covers ``radius_m`` — so a
+    3x3 neighborhood (ring 1) is a complete candidate set for a radius
+    probe. Clamped to [MIN_RES, MAX_RES]."""
+    z = MAX_RES
+    while z > MIN_RES and meters_per_tile(z, lat_deg) < radius_m:
+        z -= 1
+    return z

@@ -1,0 +1,309 @@
+"""Geometry fusion transformations — the FAGI operator family (SURVEY.md §2.3).
+
+The reference implements each transformation as one set-based PostGIS SQL
+statement over ``links x dataset_a_geometries x dataset_b_geometries``
+(e.g. KeepLeftTransformation.fuseAll,
+/root/reference/fagi-gis/src/main/java/gr/athenainnovation/imis/fusion/gis/geotransformations/KeepLeftTransformation.java:48-59).
+Here the whole family is ONE parameterized join + column pipeline:
+
+    links ⋈ A ⋈ B   (two equi-joins; Catalyst/AQE pick broadcast vs
+                     sort-merge — the reference relies on the Postgres
+                     planner for the same pushdown, SURVEY.md §4)
+    -> per-transformation column expressions / Arrow-batched geometry UDFs
+    -> fused(subject_a, subject_b, geom_wkt)
+
+``fuse_cluster`` is the same pipeline with the links input swapped for the
+cluster subset (fuseCluster, KeepLeftTransformation.java:62-73).
+
+Transformation ids (string + integer) follow the reference registry
+(gui/FuserPanel.java:139-173, AbstractFusionTransformation.getIntegerID).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fagi_gis_spark.functions.geo_udfs import (
+    u_affine_about_centroid,
+    u_centroid,
+    u_gtype,
+    u_midpoint_wkt,
+    u_npoints,
+    u_translate,
+)
+from fagi_gis_spark.geometry.measures import DEG_TO_M
+
+# string id -> reference integer id
+TRANSFORMATIONS = {
+    "concatenation": 1,
+    "keep_both": 2,
+    "keep_a": 3,
+    "most_points": 4,
+    "keep_b": 5,
+    "shift_a_to_b": 6,
+    "shift_b_to_a": 7,
+    "avg_points": 10,
+    "shift_poly_to_point": 11,
+    "shift_poly_avg_dist": 12,
+    "most_points_translate": 13,
+    "scale_a": 14,
+    "scale_b": 15,
+}
+ACTIVE = (
+    "keep_a",
+    "keep_b",
+    "keep_both",
+    "most_points",
+    "concatenation",
+    "shift_a_to_b",
+    "shift_b_to_a",
+)
+
+
+@dataclass
+class FusionParams:
+    """UI-set factors (BatchFusionServlet.java:433-445): shift is a
+    percentage of the centroid displacement; rotate in degrees; scale is
+    the GeomResize/ST_Scale factor."""
+
+    shift_pct: float = 25.0
+    rotate_deg: float = 0.0
+    scale_f: float = 1.0
+
+
+def linked_pairs(
+    links: DataFrame, poi_a: DataFrame, poi_b: DataFrame, broadcast_pois: bool = False
+) -> DataFrame:
+    """J3 (SURVEY.md §2.2): links ⋈ A ⋈ B, never materializing A x B.
+
+    At 100 TB the links table and both POI layers are bucketed by
+    subject/node key so these two joins co-locate without a shuffle; in
+    unbucketed form AQE picks sort-merge with skew splitting. Set
+    ``broadcast_pois`` when a POI layer is a small dimension.
+    """
+    a = poi_a.select(
+        F.col("subject").alias("subject_a"),
+        F.col("geom_wkt").alias("wkt_a"),
+        F.col("lon").alias("lon_a"),
+        F.col("lat").alias("lat_a"),
+    )
+    b = poi_b.select(
+        F.col("subject").alias("subject_b"),
+        F.col("geom_wkt").alias("wkt_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("lat").alias("lat_b"),
+    )
+    if broadcast_pois:
+        a, b = F.broadcast(a), F.broadcast(b)
+    return links.join(a, links.node_a == a.subject_a, "inner").join(
+        b, links.node_b == b.subject_b, "inner"
+    )
+
+
+def _with_centroids(pairs: DataFrame) -> DataFrame:
+    """Attach exact centroids of both geometries (Arrow-batched UDF).
+    At ingest scale these are computed once and stored as columns."""
+    return (
+        pairs.withColumn("__ca", u_centroid(F.col("wkt_a")))
+        .withColumn("__cb", u_centroid(F.col("wkt_b")))
+        .withColumn("cax", F.col("__ca.cx"))
+        .withColumn("cay", F.col("__ca.cy"))
+        .withColumn("cbx", F.col("__cb.cx"))
+        .withColumn("cby", F.col("__cb.cy"))
+        .drop("__ca", "__cb")
+    )
+
+
+_OUT = ["subject_a", "subject_b", "geom_wkt"]
+
+
+def fuse(pairs: DataFrame, transformation: str, params: FusionParams | None = None) -> DataFrame:
+    """Apply one fusion transformation to linked pairs -> fused rows.
+
+    Output: (subject_a, subject_b, geom_wkt) — the reference's
+    ``fused_geometries`` relation (schema.sql:70-77).
+    """
+    p = params or FusionParams()
+    t = transformation
+    if t not in TRANSFORMATIONS:
+        raise ValueError(f"unknown transformation {t!r}; known: {sorted(TRANSFORMATIONS)}")
+
+    if t == "most_points":  # KeepMostPointsTransformation.java:62-84
+        return pairs.select(
+            "subject_a",
+            "subject_b",
+            F.when(u_npoints(F.col("wkt_a")) >= u_npoints(F.col("wkt_b")), F.col("wkt_a"))
+            .otherwise(F.col("wkt_b"))
+            .alias("geom_wkt"),
+        )
+    if t == "concatenation":  # Concatenation.java:66-81 — WKT string concat
+        return pairs.select(
+            "subject_a",
+            "subject_b",
+            F.concat(
+                F.lit("GEOMETRYCOLLECTION ("), F.col("wkt_a"), F.lit(", "), F.col("wkt_b"), F.lit(")")
+            ).alias("geom_wkt"),
+        )
+    if t in ("shift_a_to_b", "shift_b_to_a"):
+        # rotate -> resize -> translate shift%% of centroid displacement
+        # (ShiftAToB.java:190-232 / ShiftBToA.java:190-232)
+        c = _with_centroids(pairs)
+        s = F.lit(p.shift_pct / 100.0)
+        if t == "shift_a_to_b":
+            src, dx, dy = "wkt_a", s * (F.col("cbx") - F.col("cax")), s * (F.col("cby") - F.col("cay"))
+        else:
+            src, dx, dy = "wkt_b", s * (F.col("cax") - F.col("cbx")), s * (F.col("cay") - F.col("cby"))
+        return c.select(
+            "subject_a",
+            "subject_b",
+            u_affine_about_centroid(
+                F.col(src), F.lit(float(p.rotate_deg)), F.lit(float(p.scale_f)), dx, dy
+            ).alias("geom_wkt"),
+        )
+    if t == "avg_points":  # AvgTwoPointsTransformation.java:18-65 (POINTs only)
+        c = _with_centroids(pairs)
+        both_pts = (u_gtype(F.col("wkt_a")) == "POINT") & (u_gtype(F.col("wkt_b")) == "POINT")
+        return c.filter(both_pts).select(
+            "subject_a",
+            "subject_b",
+            u_midpoint_wkt(F.col("cax"), F.col("cay"), F.col("cbx"), F.col("cby")).alias("geom_wkt"),
+        )
+    if t == "shift_poly_to_point":  # ShiftPolygonToPoint.java:98-117
+        c = _with_centroids(pairs)
+        return c.select(
+            "subject_a",
+            "subject_b",
+            u_translate(
+                F.col("wkt_b"), F.col("cax") - F.col("cbx"), F.col("cay") - F.col("cby")
+            ).alias("geom_wkt"),
+        )
+    if t == "shift_poly_avg_dist":  # ShiftPolygonToAverageDistance.java:98-116
+        c = _with_centroids(pairs)
+        return c.select(
+            "subject_a",
+            "subject_b",
+            u_translate(
+                F.col("wkt_b"),
+                (F.col("cax") - F.col("cbx")) / 2.0,
+                (F.col("cay") - F.col("cby")) / 2.0,
+            ).alias("geom_wkt"),
+        )
+    if t == "most_points_translate":  # KeepMostPointsAndTranslateTransformation.java:130-155
+        c = _with_centroids(pairs).withColumn(
+            "__a_wins", u_npoints(F.col("wkt_a")) >= u_npoints(F.col("wkt_b"))
+        )
+        kept = F.when(F.col("__a_wins"), F.col("wkt_a")).otherwise(F.col("wkt_b"))
+        dx = F.when(F.col("__a_wins"), F.col("cbx") - F.col("cax")).otherwise(
+            F.col("cax") - F.col("cbx")
+        )
+        dy = F.when(F.col("__a_wins"), F.col("cby") - F.col("cay")).otherwise(
+            F.col("cay") - F.col("cby")
+        )
+        return c.select(
+            "subject_a", "subject_b", u_translate(kept, dx, dy).alias("geom_wkt")
+        )
+    if t in ("scale_a", "scale_b"):  # ScaleTransformation.java:114-140 (ST_Scale about origin)
+        from fagi_gis_spark.functions.geo_udfs import u_scale_origin
+
+        src = "wkt_a" if t == "scale_a" else "wkt_b"
+        return pairs.select(
+            "subject_a",
+            "subject_b",
+            u_scale_origin(F.col(src), F.lit(float(p.scale_f))).alias("geom_wkt"),
+        )
+    raise AssertionError(t)
+
+
+def _one_side(links: DataFrame, poi: DataFrame, side: str) -> DataFrame:
+    """J1/J2 (SURVEY.md §2.2): the Keep-A/Keep-B family joins ONLY its own
+    layer — a link whose other endpoint is missing still fuses
+    (KeepLeftTransformation.java:48-59 joins links to dataset A alone)."""
+    key = f"node_{side}"
+    p = poi.select(F.col("subject").alias("__s"), F.col("geom_wkt").alias("geom_wkt"))
+    return (
+        links.join(p, links[key] == p.__s, "inner")
+        .select(
+            F.col("node_a").alias("subject_a"),
+            F.col("node_b").alias("subject_b"),
+            "geom_wkt",
+        )
+    )
+
+
+def fuse_all(
+    links: DataFrame,
+    poi_a: DataFrame,
+    poi_b: DataFrame,
+    transformation: str,
+    params: FusionParams | None = None,
+) -> DataFrame:
+    """Dispatch one transformation over the full links set.
+
+    keep_a / keep_b need only one join (J1/J2); keep_both is their union
+    (two rows per link, KeepBothTransformation.java:54-73); everything
+    else consumes the 3-way linked_pairs join (J3).
+    """
+    if transformation == "keep_a":
+        return _one_side(links, poi_a, "a")
+    if transformation == "keep_b":
+        return _one_side(links, poi_b, "b")
+    if transformation == "keep_both":
+        return _one_side(links, poi_a, "a").unionByName(_one_side(links, poi_b, "b"))
+    return fuse(linked_pairs(links, poi_a, poi_b), transformation, params)
+
+
+def fuse_cluster(
+    cluster_links: DataFrame,
+    poi_a: DataFrame,
+    poi_b: DataFrame,
+    transformation: str,
+    params: FusionParams | None = None,
+) -> DataFrame:
+    """fuseCluster: identical SQL with the cluster subset substituted for
+    links (KeepLeftTransformation.java:62-73)."""
+    return fuse_all(cluster_links, poi_a, poi_b, transformation, params)
+
+
+def with_scores(pairs: DataFrame, transformation: str, threshold_m: float = 500.0) -> DataFrame:
+    """Transformation-suitability score per link (SURVEY.md §2.3 scoring).
+
+    keep-variants: constant 1.0 (KeepLeftTransformation.java:33-35).
+    shifts: gated on GeometryType(a)=POINT ∧ GeometryType(b)=POLYGON ∧
+    dist <= threshold; score = sqrt((threshold - dist)/threshold); a
+    threshold of -1 means always 1.0 (ShiftAToB.score:138-177). The
+    reference measures dist via ST_Transform to a metric SRID; this engine
+    uses planar degree distance x 111195 (the reference's own quick factor,
+    Constants.java:79-80) — documented divergence, same gating behavior.
+    """
+    c = _with_centroids(pairs)
+    dist_m = (
+        F.sqrt(
+            (F.col("cax") - F.col("cbx")) * (F.col("cax") - F.col("cbx"))
+            + (F.col("cay") - F.col("cby")) * (F.col("cay") - F.col("cby"))
+        )
+        * F.lit(DEG_TO_M)
+    )
+    if transformation in ("keep_a", "keep_b", "keep_both", "most_points", "concatenation"):
+        score = F.lit(1.0)
+    elif transformation in ("shift_a_to_b", "shift_b_to_a", "most_points_translate"):
+        if threshold_m < 0:
+            score = F.lit(1.0)
+        else:
+            gate = (
+                (u_gtype(F.col("wkt_a")) == "POINT")
+                & (u_gtype(F.col("wkt_b")) == "POLYGON")
+                & (dist_m <= F.lit(threshold_m))
+            )
+            score = F.when(
+                gate, F.sqrt((F.lit(threshold_m) - dist_m) / F.lit(threshold_m))
+            ).otherwise(F.lit(0.0))
+    elif transformation == "avg_points":
+        score = F.when(
+            (u_gtype(F.col("wkt_a")) == "POINT") & (u_gtype(F.col("wkt_b")) == "POINT"), 1.0
+        ).otherwise(0.0)
+    else:
+        score = F.lit(0.0)
+    return c.withColumn("dist_m", dist_m).withColumn("score", score)

@@ -1,0 +1,54 @@
+"""Geotag: pHash-seeded synthetic lon/lat for image records (north rule:
+"geotag each image record by pHash-seeded synthetic lon/lat").
+
+Pure JVM column math over the int64 phash — at 10^12-image scale this is
+the first derived column after the scan and must never enter Python. The
+window defaults to the engine's 2°x2° test world; production would map
+into real extents the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fagi_gis_spark.index import tiles
+
+
+def geotag_cols(phash: Column) -> tuple[Column, Column]:
+    """(lon, lat) on the micro-degree lattice derived from phash bits.
+    pmod keeps negatives well-defined for signed int64 hashes."""
+    lon = (F.pmod(phash, F.lit(2000000)) - F.lit(1000000)) / F.lit(1e6)
+    lat = F.lit(50.0) + F.pmod(F.pmod(phash * F.lit(2654435761), F.lit(2**61)), F.lit(2000000)) / F.lit(1e6)
+    return lon, lat
+
+
+def geotag_images(images: DataFrame, cell_res: int = 9) -> DataFrame:
+    """images(input_hint schema) -> + (lon, lat, cell) columns."""
+    lon, lat = geotag_cols(F.col("phash"))
+    out = images.withColumn("lon", lon).withColumn("lat", lat)
+    return out.withColumn("cell", tiles.cell_id_col(F.col("lon"), F.col("lat"), cell_res))
+
+
+def image_poi_layers(images: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Derive the two POI-image layers of the conflation flow: layer A at
+    the geotag, layer B displaced <= ~150 m (deterministic from phash) —
+    the image-table equivalent of sources/layers poi_a/poi_b."""
+    g = geotag_images(images)
+    a = g.select(
+        F.concat(F.lit("a:"), F.col("image_id")).alias("subject"),
+        "lon",
+        "lat",
+        "caption",
+        "phash",
+    )
+    dx = (F.pmod(F.col("phash") * F.lit(97) + F.lit(13), F.lit(2001)) - F.lit(1000)) / F.lit(1e6)
+    dy = (F.pmod(F.col("phash") * F.lit(57) + F.lit(7), F.lit(2001)) - F.lit(1000)) / F.lit(1e6)
+    b = g.select(
+        F.concat(F.lit("b:"), F.col("image_id")).alias("subject"),
+        (F.col("lon") + dx).alias("lon"),
+        (F.col("lat") + dy).alias("lat"),
+        "caption",
+        "phash",
+    )
+    return a, b

@@ -1,0 +1,226 @@
+"""Spatial joins: bbox filter, cell-bucketed radius join (kNN conflation),
+point-in-polygon join, unlinked anti-join.
+
+The reference executes J5 (radius search) as an N+1 loop of per-entity
+SPARQL probes ``bif:st_contains(?geo, centroid, radius_m/111195)``
+(/root/reference/fagi-gis-service/src/main/java/gr/athenainnovation/imis/fusion/gis/servlets/BatchFindLinkServlet.java:546-556;
+factor utils/Constants.java:79-80) and J6 (bbox) as coordinate FILTERs.
+Spark-first replacements:
+
+* bbox       -> range predicates on lon/lat columns (partition pruning —
+               with cell-partitioned storage the scan skips files).
+* radius     -> cell-bucket equi-join: probe side explodes to its cell's
+               ring-1 neighborhood at a resolution chosen so one ring
+               covers the radius; build side keys by its single cell;
+               refine with the exact planar-degree distance (the
+               reference's own metric). One shuffle, no loop, AQE-tunable.
+* skew       -> explicit salted hot-cell splitting (north rule): cells
+               whose build-side count exceeds a threshold are split into
+               ``salt`` sub-keys; probe rows fan out only for hot cells.
+* PIP        -> polygon layer is the small side: built into a broadcast
+               grid index, probed per Arrow batch with vectorized ray
+               casting; the point table never shuffles.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fagi_gis_spark.geometry.measures import DEG_TO_M
+from fagi_gis_spark.geometry.pip import PolygonIndex
+from fagi_gis_spark.geometry.wkt import parse_wkt
+from fagi_gis_spark.index.tiles import _X_MULT, cell_id_col
+
+
+def bbox_filter(
+    df: DataFrame, min_lon: float, min_lat: float, max_lon: float, max_lat: float
+) -> DataFrame:
+    """J6: viewport filter. Pure range predicates — pushed to the scan."""
+    return df.filter(
+        (F.col("lon") >= min_lon)
+        & (F.col("lon") <= max_lon)
+        & (F.col("lat") >= min_lat)
+        & (F.col("lat") <= max_lat)
+    )
+
+
+def join_res_for_radius(radius_m: float, max_abs_lat_deg: float = 60.0, max_z: int = 22) -> int:
+    """Finest WebMercator z whose tile extent (in planar degrees, in BOTH
+    axes — the y-extent shrinks by cos(lat)) still covers the radius, so
+    a ring-1 (3x3) neighborhood is a complete candidate set under the
+    planar-degree metric the reference uses."""
+    radius_deg = radius_m / DEG_TO_M
+    z = max_z
+    while z > 1:
+        lon_extent = 360.0 / (2**z)
+        lat_extent = lon_extent * math.cos(math.radians(max_abs_lat_deg))
+        if lon_extent >= radius_deg and lat_extent >= radius_deg:
+            return z
+        z -= 1
+    return 1
+
+
+def _ring1_offsets():
+    return [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    left_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
+    right_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
+    z: int | None = None,
+    salt_threshold: int | None = None,
+    n_salt: int = 8,
+) -> DataFrame:
+    """J5 as one distributed join. Output: left keys + right keys + dist_m
+    (planar degree distance x 111195 — identical numbers to the reference).
+
+    ``salt_threshold``: if set, build-side cells holding more than this
+    many rows are split into ``n_salt`` sub-keys (explicit skew handling);
+    probe rows replicate only for those hot cells.
+    """
+    lk, llon, llat = left_cols
+    rk, rlon, rlat = right_cols
+    if z is None:
+        z = join_res_for_radius(radius_m)
+
+    l = left.select(
+        F.col(lk).alias("l_key"), F.col(llon).alias("l_lon"), F.col(llat).alias("l_lat")
+    )
+    r = right.select(
+        F.col(rk).alias("r_key"), F.col(rlon).alias("r_lon"), F.col(rlat).alias("r_lat")
+    ).withColumn("cell", cell_id_col(F.col("r_lon"), F.col("r_lat"), z))
+
+    # probe side: ring-1 neighborhood (x +/- 1 wraps via the packed id's
+    # x-multiplier; y never wraps). 9 rows per probe point.
+    neigh = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _ring1_offsets()
+        ]
+    )
+    base_cell = cell_id_col(F.col("l_lon"), F.col("l_lat"), z)
+    l = (
+        l.withColumn("__o", F.explode(neigh))
+        .withColumn("cell", base_cell + F.col("__o.dx") * F.lit(_X_MULT).cast("long") + F.col("__o.dy"))
+        .drop("__o")
+    )
+
+    if salt_threshold is not None:
+        hot = (
+            r.groupBy("cell")
+            .count()
+            .filter(F.col("count") > salt_threshold)
+            .select("cell", F.lit(True).alias("__hot"))
+        )
+        r = (
+            r.join(F.broadcast(hot), "cell", "left")
+            .withColumn(
+                "salt",
+                F.when(F.col("__hot"), F.pmod(F.crc32(F.col("r_key").cast("string")), n_salt))
+                .otherwise(F.lit(0))
+                .cast("int"),
+            )
+            .drop("__hot")
+        )
+        l = (
+            l.join(F.broadcast(hot), "cell", "left")
+            .withColumn(
+                "salt",
+                F.explode(
+                    F.when(
+                        F.col("__hot"), F.sequence(F.lit(0), F.lit(n_salt - 1))
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("__hot")
+        )
+        joined = l.join(r, ["cell", "salt"], "inner")
+    else:
+        joined = l.join(r, ["cell"], "inner")
+
+    dist_deg = F.sqrt(
+        (F.col("l_lon") - F.col("r_lon")) * (F.col("l_lon") - F.col("r_lon"))
+        + (F.col("l_lat") - F.col("r_lat")) * (F.col("l_lat") - F.col("r_lat"))
+    )
+    return (
+        joined.withColumn("dist_m", dist_deg * F.lit(DEG_TO_M))
+        .filter(F.col("dist_m") <= F.lit(radius_m))
+        .select("l_key", "r_key", "dist_m", "l_lon", "l_lat", "r_lon", "r_lat")
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    radius_m: float,
+    **kwargs,
+) -> DataFrame:
+    """kNN conflation (bounded by a search radius, like the reference's
+    discovery loop): radius join -> per-probe top-k by distance. Ties are
+    broken by the neighbor key for determinism."""
+    from pyspark.sql import Window
+
+    cand = radius_join(left, right, radius_m, **kwargs)
+    w = Window.partitionBy("l_key").orderBy(F.col("dist_m").asc(), F.col("r_key").asc())
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("l_key", "r_key", "dist_m", "knn_rank")
+    )
+
+
+def pip_join(
+    points: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    point_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
+) -> DataFrame:
+    """Point-in-polygon join. ``polygons_pdf`` (polygon_id, geom_wkt) is
+    the small dimension: parsed once, wrapped in a grid index, broadcast;
+    points are probed per Arrow batch (vectorized ray casting). Emits one
+    row per (point, containing polygon) — overlaps produce several rows.
+    """
+    pk, plon, plat = point_cols
+    spark = points.sparkSession
+    idx = PolygonIndex(
+        polygons_pdf["polygon_id"].tolist(),
+        [parse_wkt(w) for w in polygons_pdf["geom_wkt"]],
+    )
+    bidx = spark.sparkContext.broadcast(idx)
+
+    def probe(batches):
+        index = bidx.value
+        for pdf in batches:
+            px = pdf["__lon"].to_numpy("float64")
+            py = pdf["__lat"].to_numpy("float64")
+            hits = index.query_batch(px, py)
+            keys, polys = [], []
+            for key, hh in zip(pdf["__key"], hits):
+                for pid in hh:
+                    keys.append(key)
+                    polys.append(pid)
+            yield pd.DataFrame({"subject": keys, "polygon_id": polys})
+
+    prepared = points.select(
+        F.col(pk).alias("__key"), F.col(plon).alias("__lon"), F.col(plat).alias("__lat")
+    )
+    return prepared.mapInPandas(probe, schema="subject string, polygon_id string")
+
+
+def unlinked_anti_join(poi: DataFrame, links: DataFrame, side: str) -> DataFrame:
+    """J10: entities with no link (FetchUnlinkedServlet.java:219-338)."""
+    key = f"node_{side}"
+    return poi.join(links.select(F.col(key).alias("subject")), "subject", "left_anti")
+
+
+def linked_semi_join(poi: DataFrame, links: DataFrame, side: str) -> DataFrame:
+    """J9: linked-only import (Importer.java:222-287)."""
+    key = f"node_{side}"
+    return poi.join(links.select(F.col(key).alias("subject")), "subject", "left_semi")

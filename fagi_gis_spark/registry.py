@@ -1,0 +1,653 @@
+"""Query registry: named engine queries + their DuckDB oracle SQL.
+
+This backs ``__spark_entry__.py`` (the driver contract). Each entry runs a
+real engine operator over layers derived from the driver's parquet tables
+(``sources.layers``); the oracle replays the expected result closed-form
+in DuckDB. Column names/aliases match exactly (driver compares sorted
+columns by value hash).
+
+Float-parity conventions (see sources/layers.py docstring):
+* verbatim-geometry outputs compare as canonical WKT strings (all layer
+  coordinates are exact micro-degree lattice values);
+* computed-geometry outputs compare as nano-degree BIGINTs
+  (``round(x * 1e9)``);
+* similarity scores are computed from integer-quantized inputs so sums
+  are order-independent and exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fagi_gis_spark.index import tiles
+from fagi_gis_spark.operators.dedup_precedence import gtype_col, precedence_dedup
+from fagi_gis_spark.operators.fusion import FusionParams, fuse_all, linked_pairs, with_scores
+from fagi_gis_spark.sources.layers import (
+    admin_assign_oracle_sql,
+    admin_polygons_pdf,
+    oracle_ctes,
+    spark_layers,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def layers(spark: SparkSession, sf_dir: str):
+    """Derived layers with the ingest-time precedence dedup applied to the
+    raw A layer (the engine pipeline's first operator)."""
+    L = spark_layers(spark, sf_dir)
+    L["poi_a"] = precedence_dedup(L["poi_a_raw"])
+    return L
+
+
+def _o(select: str) -> str:
+    return f"WITH {oracle_ctes()}\n{select}"
+
+
+_E9 = 1000000000.0
+
+
+def _centroid_e9(df: DataFrame) -> DataFrame:
+    from fagi_gis_spark.functions.geo_udfs import u_centroid
+
+    c = df.withColumn("__c", u_centroid(F.col("geom_wkt")))
+    return c.select(
+        "subject_a",
+        "subject_b",
+        F.round(F.col("__c.cx") * _E9).cast("long").alias("cx_e9"),
+        F.round(F.col("__c.cy") * _E9).cast("long").alias("cy_e9"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fusion transformation family (SURVEY.md §2.3)
+# --------------------------------------------------------------------------
+
+_PAIR_JOIN = """
+FROM links l
+JOIN poi_a a ON l.node_a = a.subject
+JOIN poi_b b ON l.node_b = b.subject
+JOIN poi_a_attrs aa ON a.subject = aa.subject
+JOIN poi_b_attrs bb ON b.subject = bb.subject
+"""
+
+
+@register(
+    "fuse_keep_a",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b, a.geom_wkt AS geom_wkt\n"
+        "FROM links l JOIN poi_a a ON l.node_a = a.subject"
+    ),
+)
+def fuse_keep_a(spark, sf_dir):
+    L = layers(spark, sf_dir)
+    return fuse_all(L["links"], L["poi_a"], L["poi_b"], "keep_a")
+
+
+@register(
+    "fuse_keep_b",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b, b.geom_wkt AS geom_wkt\n"
+        "FROM links l JOIN poi_b b ON l.node_b = b.subject"
+    ),
+)
+def fuse_keep_b(spark, sf_dir):
+    L = layers(spark, sf_dir)
+    return fuse_all(L["links"], L["poi_a"], L["poi_b"], "keep_b")
+
+
+@register(
+    "fuse_keep_both",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b, a.geom_wkt AS geom_wkt\n"
+        "FROM links l JOIN poi_a a ON l.node_a = a.subject\n"
+        "UNION ALL\n"
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b, b.geom_wkt AS geom_wkt\n"
+        "FROM links l JOIN poi_b b ON l.node_b = b.subject"
+    ),
+)
+def fuse_keep_both(spark, sf_dir):
+    L = layers(spark, sf_dir)
+    return fuse_all(L["links"], L["poi_a"], L["poi_b"], "keep_both")
+
+
+@register(
+    "fuse_most_points",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b,\n"
+        "       CASE WHEN aa.npts >= bb.npts THEN a.geom_wkt ELSE b.geom_wkt END AS geom_wkt\n"
+        + _PAIR_JOIN
+    ),
+)
+def fuse_most_points(spark, sf_dir):
+    L = layers(spark, sf_dir)
+    return fuse_all(L["links"], L["poi_a"], L["poi_b"], "most_points")
+
+
+@register(
+    "fuse_concatenation",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b,\n"
+        "       'GEOMETRYCOLLECTION (' || a.geom_wkt || ', ' || b.geom_wkt || ')' AS geom_wkt\n"
+        "FROM links l JOIN poi_a a ON l.node_a = a.subject\n"
+        "JOIN poi_b b ON l.node_b = b.subject"
+    ),
+)
+def fuse_concatenation(spark, sf_dir):
+    L = layers(spark, sf_dir)
+    return fuse_all(L["links"], L["poi_a"], L["poi_b"], "concatenation")
+
+
+@register(
+    "fuse_shift_a_to_b",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b,\n"
+        "  CAST(round((aa.cx + 0.25 * (bb.cx - aa.cx)) * 1000000000.0) AS BIGINT) AS cx_e9,\n"
+        "  CAST(round((aa.cy + 0.25 * (bb.cy - aa.cy)) * 1000000000.0) AS BIGINT) AS cy_e9\n"
+        + _PAIR_JOIN
+    ),
+)
+def fuse_shift_a_to_b(spark, sf_dir):
+    L = layers(spark, sf_dir)
+    fused = fuse_all(
+        L["links"], L["poi_a"], L["poi_b"], "shift_a_to_b", FusionParams(shift_pct=25.0)
+    )
+    return _centroid_e9(fused)
+
+
+@register(
+    "fuse_shift_b_to_a",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b,\n"
+        "  CAST(round((bb.cx + 0.25 * (aa.cx - bb.cx)) * 1000000000.0) AS BIGINT) AS cx_e9,\n"
+        "  CAST(round((bb.cy + 0.25 * (aa.cy - bb.cy)) * 1000000000.0) AS BIGINT) AS cy_e9\n"
+        + _PAIR_JOIN
+    ),
+)
+def fuse_shift_b_to_a(spark, sf_dir):
+    L = layers(spark, sf_dir)
+    fused = fuse_all(
+        L["links"], L["poi_a"], L["poi_b"], "shift_b_to_a", FusionParams(shift_pct=25.0)
+    )
+    return _centroid_e9(fused)
+
+
+@register(
+    "fuse_avg_points",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b,\n"
+        "  'POINT (' || printf('%.9f', (aa.cx + bb.cx) / 2.0) || ' ' ||\n"
+        "  printf('%.9f', (aa.cy + bb.cy) / 2.0) || ')' AS geom_wkt\n"
+        + _PAIR_JOIN
+        + "WHERE aa.gtype = 'POINT' AND bb.gtype = 'POINT'"
+    ),
+)
+def fuse_avg_points(spark, sf_dir):
+    L = layers(spark, sf_dir)
+    return fuse_all(L["links"], L["poi_a"], L["poi_b"], "avg_points")
+
+
+@register(
+    "fuse_shift_poly_avg_dist",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b,\n"
+        "  CAST(round((bb.cx + (aa.cx - bb.cx) / 2.0) * 1000000000.0) AS BIGINT) AS cx_e9,\n"
+        "  CAST(round((bb.cy + (aa.cy - bb.cy) / 2.0) * 1000000000.0) AS BIGINT) AS cy_e9\n"
+        + _PAIR_JOIN
+    ),
+)
+def fuse_shift_poly_avg_dist(spark, sf_dir):
+    L = layers(spark, sf_dir)
+    fused = fuse_all(L["links"], L["poi_a"], L["poi_b"], "shift_poly_avg_dist")
+    return _centroid_e9(fused)
+
+
+@register(
+    "fusion_scores",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b,\n"
+        "  round(sqrt((aa.cx - bb.cx) * (aa.cx - bb.cx) + (aa.cy - bb.cy) * (aa.cy - bb.cy))\n"
+        "        * 111195.0, 4) AS dist_m_r,\n"
+        "  CASE WHEN aa.gtype = 'POINT' AND bb.gtype = 'POLYGON'\n"
+        "        AND sqrt((aa.cx - bb.cx) * (aa.cx - bb.cx) + (aa.cy - bb.cy) * (aa.cy - bb.cy))\n"
+        "            * 111195.0 <= 500.0\n"
+        "       THEN round(sqrt((500.0 - sqrt((aa.cx - bb.cx) * (aa.cx - bb.cx)\n"
+        "            + (aa.cy - bb.cy) * (aa.cy - bb.cy)) * 111195.0) / 500.0), 6)\n"
+        "       ELSE 0.0 END AS score_r\n" + _PAIR_JOIN
+    ),
+)
+def fusion_scores(spark, sf_dir):
+    L = layers(spark, sf_dir)
+    pairs = linked_pairs(L["links"], L["poi_a"], L["poi_b"])
+    scored = with_scores(pairs, "shift_a_to_b", threshold_m=500.0)
+    return scored.select(
+        "subject_a",
+        "subject_b",
+        F.round(F.col("dist_m"), 4).alias("dist_m_r"),
+        F.round(F.col("score"), 6).alias("score_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ingest dedup + tiling (SURVEY.md §2.6 A6, §7 M6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_precedence",
+    _o("SELECT subject, gtype FROM poi_a_attrs"),
+)
+def dedup_precedence_q(spark, sf_dir):
+    L = layers(spark, sf_dir)
+    return L["poi_a"].select("subject", gtype_col(F.col("geom_wkt")).alias("gtype"))
+
+
+def _tiles_oracle() -> str:
+    selects = []
+    for z in range(tiles.MIN_RES, tiles.MAX_RES + 1):
+        selects.append(
+            f"SELECT subject, {z} AS z, {tiles.tile_x_sql('lon', z)} AS x,\n"
+            f"       {tiles.tile_y_sql('lat', z)} AS y FROM poi_a"
+        )
+    return _o("\nUNION ALL\n".join(selects))
+
+
+@register("tile_assign", _tiles_oracle())
+def tile_assign(spark, sf_dir):
+    """WebMercator z/x/y assignment, res 7..11 — pure JVM column math."""
+    L = layers(spark, sf_dir)
+    parts = [
+        F.struct(
+            F.lit(z).alias("z"),
+            tiles.tile_x_col(F.col("lon"), z).alias("x"),
+            tiles.tile_y_col(F.col("lat"), z).alias("y"),
+        )
+        for z in range(tiles.MIN_RES, tiles.MAX_RES + 1)
+    ]
+    return (
+        L["poi_a"]
+        .select("subject", F.explode(F.array(*parts)).alias("t"))
+        .select("subject", F.col("t.z").cast("int").alias("z"), "t.x", "t.y")
+    )
+
+
+# --------------------------------------------------------------------------
+# Spatial joins: radius (J5), kNN conflation, PIP, anti-join (SURVEY.md §2.2)
+# --------------------------------------------------------------------------
+
+_DIST = (
+    "sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)) * 111195.0"
+)
+
+
+@register(
+    "radius_join_150m",
+    _o(
+        "SELECT a.subject AS node_a, b.subject AS node_b,\n"
+        f"       round({_DIST}, 4) AS dist_m_r\n"
+        "FROM poi_a a, poi_b b\n"
+        f"WHERE {_DIST} <= 150.0"
+    ),
+)
+def radius_join_150m(spark, sf_dir):
+    from fagi_gis_spark.operators.spatial_join import radius_join
+
+    L = layers(spark, sf_dir)
+    out = radius_join(L["poi_a"], L["poi_b"], 150.0)
+    return out.select(
+        F.col("l_key").alias("node_a"),
+        F.col("r_key").alias("node_b"),
+        F.round(F.col("dist_m"), 4).alias("dist_m_r"),
+    )
+
+
+@register(
+    "knn_conflation",
+    _o(
+        "SELECT node_a, node_b, knn_rank FROM (\n"
+        "  SELECT a.subject AS node_a, b.subject AS node_b,\n"
+        f"         row_number() OVER (PARTITION BY a.subject ORDER BY {_DIST} ASC, b.subject ASC)"
+        " AS knn_rank\n"
+        "  FROM poi_a a, poi_b b\n"
+        f"  WHERE {_DIST} <= 300.0\n"
+        ") t WHERE knn_rank <= 3"
+    ),
+)
+def knn_conflation(spark, sf_dir):
+    from fagi_gis_spark.operators.spatial_join import knn_join
+
+    L = layers(spark, sf_dir)
+    out = knn_join(L["poi_a"], L["poi_b"], k=3, radius_m=300.0)
+    return out.select(
+        F.col("l_key").alias("node_a"),
+        F.col("r_key").alias("node_b"),
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+    )
+
+
+@register("pip_assign", _o(admin_assign_oracle_sql()))
+def pip_assign(spark, sf_dir):
+    from fagi_gis_spark.operators.spatial_join import pip_join
+
+    L = layers(spark, sf_dir)
+    return pip_join(L["poi_a"], admin_polygons_pdf())
+
+
+@register(
+    "unlinked_anti_join",
+    _o(
+        "SELECT subject FROM poi_b\n"
+        "WHERE subject NOT IN (SELECT node_b FROM links)"
+    ),
+)
+def unlinked_anti_join_q(spark, sf_dir):
+    from fagi_gis_spark.operators.spatial_join import unlinked_anti_join
+
+    L = layers(spark, sf_dir)
+    return unlinked_anti_join(L["poi_b"], L["links"], "b").select("subject")
+
+
+@register(
+    "bbox_filter",
+    _o(
+        "SELECT subject, geom_wkt FROM poi_a\n"
+        "WHERE lon >= -0.5 AND lon <= 0.5 AND lat >= 50.5 AND lat <= 51.5"
+    ),
+)
+def bbox_filter_q(spark, sf_dir):
+    from fagi_gis_spark.operators.spatial_join import bbox_filter
+
+    L = layers(spark, sf_dir)
+    return bbox_filter(L["poi_a"], -0.5, 50.5, 0.5, 51.5).select("subject", "geom_wkt")
+
+
+# --------------------------------------------------------------------------
+# Link discovery (SURVEY.md §2.4)
+# --------------------------------------------------------------------------
+
+
+def _discover_oracle() -> str:
+    dist = _DIST
+    return _o(
+        f"""
+SELECT node_a, node_b, round(dist_m, 4) AS dist_m_r, jaccard FROM (
+  SELECT cand.node_a, cand.node_b, cand.dist_m,
+         CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) AS jaccard
+  FROM (
+    SELECT a.subject AS node_a, b.subject AS node_b, {dist} AS dist_m, tb0.object AS lit_b
+    FROM poi_a a, poi_b b
+    JOIN triples_b tb0 ON tb0.subject = b.subject AND tb0.predicate = 'http://b.example/label'
+    WHERE {dist} <= 200.0
+  ) cand
+  JOIN (
+    SELECT node_a, lit_b FROM (
+      SELECT a.subject AS node_a, tb0.object AS lit_b, count(*) AS freq
+      FROM poi_a a, poi_b b
+      JOIN triples_b tb0 ON tb0.subject = b.subject AND tb0.predicate = 'http://b.example/label'
+      WHERE {dist} <= 200.0
+      GROUP BY 1, 2
+    ) f WHERE freq = 1
+  ) fr ON fr.node_a = cand.node_a AND fr.lit_b = cand.lit_b
+  JOIN (
+    SELECT subject, list_distinct(string_split(trim(object), ' ')) AS toks
+    FROM triples_a WHERE predicate = 'http://a.example/name'
+  ) ta ON ta.subject = cand.node_a
+  JOIN (
+    SELECT subject, list_distinct(string_split(trim(object), ' ')) AS toks
+    FROM triples_b WHERE predicate = 'http://b.example/label'
+  ) tb ON tb.subject = cand.node_b
+) s WHERE jaccard > 0.2
+"""
+    )
+
+
+@register("discover_links_exact", _discover_oracle())
+def discover_links_exact(spark, sf_dir):
+    from fagi_gis_spark.operators.discovery import discover_links
+
+    L = layers(spark, sf_dir)
+    out = discover_links(
+        L["poi_a"], L["poi_b"], L["triples_a"], L["triples_b"], radius_m=200.0, mode="exact"
+    )
+    return out.select(
+        "node_a", "node_b", F.round(F.col("dist_m"), 4).alias("dist_m_r"), "jaccard"
+    )
+
+
+@register("discover_links_fuzzy")  # Jaro-Winkler token matching: pytest oracle only
+def discover_links_fuzzy(spark, sf_dir):
+    from fagi_gis_spark.operators.discovery import discover_links
+
+    L = layers(spark, sf_dir)
+    return discover_links(
+        L["poi_a"], L["poi_b"], L["triples_a"], L["triples_b"], radius_m=200.0, mode="fuzzy"
+    ).select("node_a", "node_b", F.round(F.col("dist_m"), 4).alias("dist_m_r"), "jaccard")
+
+
+# --------------------------------------------------------------------------
+# Metadata fusion (SURVEY.md §2.5)
+# --------------------------------------------------------------------------
+
+_DOM = "http://fused.example/"
+
+
+@register(
+    "metadata_keep_a",
+    _o(
+        f"SELECT l.node_a AS subject, '{_DOM}name' AS predicate, t.object AS object\n"
+        "FROM links l JOIN triples_a t ON t.subject = l.node_a\n"
+        "  AND t.predicate = 'http://a.example/name'"
+    ),
+)
+def metadata_keep_a(spark, sf_dir):
+    from fagi_gis_spark.operators.metadata import metadata_keep
+
+    L = layers(spark, sf_dir)
+    return metadata_keep(L["links"], L["triples_a"], "a", "http://a.example/name", _DOM, "name")
+
+
+@register(
+    "metadata_concatenation",
+    _o(
+        f"SELECT subject, '{_DOM}name' AS predicate, string_agg(val, ' ' ORDER BY val) AS object\n"
+        "FROM (\n"
+        "  SELECT l.node_a AS subject, t.object AS val FROM links l\n"
+        "  JOIN triples_a t ON t.subject = l.node_a AND t.predicate = 'http://a.example/name'\n"
+        "  UNION ALL\n"
+        "  SELECT l.node_a AS subject, t.object AS val FROM links l\n"
+        "  JOIN triples_b t ON t.subject = l.node_b AND t.predicate = 'http://b.example/label'\n"
+        ") v GROUP BY subject"
+    ),
+)
+def metadata_concatenation_q(spark, sf_dir):
+    from fagi_gis_spark.operators.metadata import metadata_concatenation
+
+    L = layers(spark, sf_dir)
+    return metadata_concatenation(
+        L["links"], L["triples_a"], L["triples_b"],
+        "http://a.example/name", "http://b.example/label", _DOM, "name",
+    )
+
+
+@register(
+    "metadata_flattened",
+    _o(
+        f"SELECT l.node_a AS subject, '{_DOM}addr_street' AS predicate, t2.object AS object\n"
+        "FROM links l\n"
+        "JOIN triples_a t1 ON t1.subject = l.node_a AND t1.predicate = 'http://a.example/addr'\n"
+        "JOIN triples_a t2 ON t2.subject = t1.object AND t2.predicate = 'http://a.example/street'"
+    ),
+)
+def metadata_flattened(spark, sf_dir):
+    from fagi_gis_spark.operators.metadata import metadata_keep_flattened
+
+    L = layers(spark, sf_dir)
+    return metadata_keep_flattened(
+        L["links"], L["triples_a"], "a", "http://a.example/addr", _DOM, "addr"
+    )
+
+
+@register(
+    "metadata_rest_properties",
+    _o(
+        "SELECT l.node_a AS subject, t.predicate, t.object\n"
+        "FROM links l JOIN triples_a t ON t.subject = l.node_a\n"
+        "WHERE t.predicate NOT IN ('http://a.example/name')"
+    ),
+)
+def metadata_rest_properties(spark, sf_dir):
+    from fagi_gis_spark.operators.metadata import rest_properties
+
+    L = layers(spark, sf_dir)
+    return rest_properties(L["links"], L["triples_a"], "a", ["http://a.example/name"])
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline ops: text / dedup / ANN (documents, embeddings)
+# --------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@register(
+    "doc_stats",
+    "SELECT doc_id,\n"
+    "  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,\n"
+    "  CAST(length(text) AS BIGINT) AS n_chars_m,\n"
+    "  CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,\n"
+    "  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits\n"
+    "FROM documents",
+)
+def doc_stats(spark, sf_dir):
+    from fagi_gis_spark.functions.text import char_classes
+
+    return char_classes(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_chars_m", "n_punct", "n_digits"
+    )
+
+
+@register(
+    "doc_quality",
+    "SELECT doc_id, stop_hits,\n"
+    "  CAST(CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 40 ELSE 10 END\n"
+    "   + CASE WHEN n_tokens > 0 THEN least(30, stop_hits * 3) ELSE 0 END\n"
+    "   + CASE WHEN n_chars > 0 THEN (CASE WHEN n_punct * 5 <= n_chars THEN 30 ELSE 5 END) ELSE 0 END\n"
+    "   AS BIGINT) AS quality\n"
+    "FROM (\n"
+    "  SELECT doc_id, length(text) AS n_chars,\n"
+    "    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,\n"
+    "    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,\n"
+    "    CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),\n"
+    "      ['the','of','and','a','to','in','is','it','you','that','he','was','for','on','are',\n"
+    "       'as','with','his','they','i','at','be','this','have','from','or','one','had','by',\n"
+    "       'word','but','not','what','all','were','we','when'])) AS BIGINT) AS stop_hits\n"
+    "  FROM documents) t",
+)
+def doc_quality(spark, sf_dir):
+    from fagi_gis_spark.functions.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select("doc_id", "stop_hits", "quality")
+
+
+@register(
+    "dedup_exact",
+    "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,\n"
+    "       min(doc_id) AS rep_id, count(*) AS n_dups\n"
+    "FROM documents GROUP BY 1",
+)
+def dedup_exact(spark, sf_dir):
+    from fagi_gis_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "WITH t AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks\n"
+    "           FROM documents),\n"
+    "b AS (SELECT doc_id, toks, CAST(floor(len(toks) / 8) AS INTEGER) AS blk FROM t)\n"
+    "SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,\n"
+    "  CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)\n"
+    "    / CAST(len(list_distinct(list_concat(l.toks, r.toks))) AS DOUBLE) AS jaccard\n"
+    "FROM b l JOIN b r ON l.blk = r.blk AND l.doc_id < r.doc_id\n"
+    "WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)\n"
+    "    / CAST(len(list_distinct(list_concat(l.toks, r.toks))) AS DOUBLE) >= 0.5",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from fagi_gis_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register("dedup_minhash_lsh")  # signature hashing: pytest oracle only
+def dedup_minhash_lsh(spark, sf_dir):
+    from fagi_gis_spark.functions.dedup import minhash_lsh_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    return minhash_lsh_pairs(sigs, jaccard_threshold=0.35)
+
+
+@register("dedup_simhash")  # signature hashing: pytest oracle only
+def dedup_simhash(spark, sf_dir):
+    from fagi_gis_spark.functions.dedup import simhash_near_pairs, simhash_signatures
+
+    return simhash_near_pairs(simhash_signatures(_docs(spark, sf_dir)), max_hamming=8)
+
+
+@register(
+    "ann_cosine_topk",
+    "WITH q AS (\n"
+    "  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v\n"
+    "  FROM embeddings),\n"
+    "n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM q)\n"
+    "SELECT vec_id, neighbor_id, cos_sim, rank FROM (\n"
+    "  SELECT a.vec_id, b.vec_id AS neighbor_id,\n"
+    "    CAST(CAST(list_dot_product(a.v, b.v) AS BIGINT) AS DOUBLE)\n"
+    "      / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cos_sim,\n"
+    "    row_number() OVER (PARTITION BY a.vec_id ORDER BY\n"
+    "      CAST(CAST(list_dot_product(a.v, b.v) AS BIGINT) AS DOUBLE)\n"
+    "        / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) DESC, b.vec_id ASC) AS rank\n"
+    "  FROM n a, n b WHERE a.vec_id <> b.vec_id\n"
+    ") t WHERE rank <= 5",
+)
+def ann_cosine_topk(spark, sf_dir):
+    from fagi_gis_spark.functions.ann import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk(emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ann_lsh_topk")  # approximate path: pytest recall check only
+def ann_lsh_topk(spark, sf_dir):
+    from fagi_gis_spark.functions.ann import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, k=5).withColumn("rank", F.col("rank").cast("long"))

@@ -1,0 +1,151 @@
+"""Deterministic synthetic `images` table — the BASELINE.json input_hint
+shape: (image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash int64).
+
+Seed-pinned (FIXTURES.md §1): pixel content is a solid tone + seeded
+noise tile; "png" rows are lossless; "jpeg" rows simulate a lossy codec by
+deterministic 4-level quantization before PNG-encoding (decoded pixels
+differ from the pristine ones but stay PSNR >= 40dB, exercising the lossy
+allclose gate). pHash is a real 8x8-DCT perceptual hash over the decoded
+pixels, computed in a vectorized pandas UDF — it seeds the synthetic
+lon/lat geotag (operators/geotag).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fagi_gis_spark.sources.png import decode_png_gray, encode_png_gray
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+_WORDS = (
+    "cafe plaza museum station park bridge tower market harbor library "
+    "garden fountain castle gallery theater school chapel arena mill gate"
+).split()
+
+_W_CYCLE = (16, 32, 64)
+_H_CYCLE = (16, 24, 64)
+
+
+def _pixels_for(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic tile: gradient + multiplicative-hash noise."""
+    rng = np.random.default_rng(42 + i)
+    base = (np.outer(np.arange(h), np.ones(w)) * (131 + i % 97)) % 256
+    noise = rng.integers(0, 32, size=(h, w))
+    return ((base + noise) % 256).astype(np.uint8)
+
+
+def caption_for(i: int) -> str:
+    a = _WORDS[i % len(_WORDS)]
+    b = _WORDS[(i * 7 + 3) % len(_WORDS)]
+    return f"{a} near {b} {i % 1000}"
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    k = np.arange(n)
+    m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / n)
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """8x8-DCT perceptual hash (public pHash algorithm): resize to 32x32
+    (block mean), 2-D DCT, take the top-left 8x8 (skipping DC), threshold
+    on the median -> 64-bit signature."""
+    h, w = pixels.shape
+    ys = np.linspace(0, h, 33).astype(int)
+    xs = np.linspace(0, w, 33).astype(int)
+    small = np.empty((32, 32), dtype=np.float64)
+    for r in range(32):
+        rows = pixels[ys[r] : max(ys[r + 1], ys[r] + 1)]
+        for c in range(32):
+            small[r, c] = rows[:, xs[c] : max(xs[c + 1], xs[c] + 1)].mean()
+    d = _DCT32 @ small @ _DCT32.T
+    block = d[:8, :8].flatten()
+    med = np.median(block[1:])
+    bits = block > med
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    # fold into signed int64
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def generate_images_pdf(n: int) -> pd.DataFrame:
+    """Driver-side generator (used for tests/bench at tiny/small sizes;
+    at real scale this table is the pre-existing Iceberg input)."""
+    rows = []
+    for i in range(n):
+        w = _W_CYCLE[i % 3]
+        h = _H_CYCLE[i % 3]
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        px = _pixels_for(i, w, h)
+        if fmt == "jpeg":  # simulated lossy codec: quantize to 4-level steps
+            px = ((px.astype(np.int32) // 4) * 4 + 2).clip(0, 255).astype(np.uint8)
+        data = encode_png_gray(px)
+        rows.append(
+            {
+                "image_id": f"img_{i:08d}",
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": caption_for(i),
+                "phash": phash64(px),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def generate_images(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Distributed generator: ids fan out to executors, pixels/bytes/phash
+    are produced inside a mapInPandas batch — no driver materialization,
+    so ``n`` can scale with the cluster."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["i"]:
+                i = int(i)
+                w, h = _W_CYCLE[i % 3], _H_CYCLE[i % 3]
+                fmt = "png" if i % 2 == 0 else "jpeg"
+                px = _pixels_for(i, w, h)
+                if fmt == "jpeg":
+                    px = ((px.astype(np.int32) // 4) * 4 + 2).clip(0, 255).astype(np.uint8)
+                out.append(
+                    (f"img_{i:08d}", encode_png_gray(px), w, h, fmt, caption_for(i), phash64(px))
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    ids = spark.range(0, n, 1, partitions).withColumnRenamed("id", "i")
+    return ids.mapInPandas(gen, schema=IMAGES_SCHEMA)
+
+
+def decode_pixels(data: bytes) -> np.ndarray:
+    """Decode an image payload. Only the PNG container is implemented in
+    this sandbox (no image libs); real JPEG/WebP decode is a deliberate
+    stub — the Spark-side plumbing (binary column, Arrow batching,
+    schema) is identical for any codec."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_gray(bytes(data))
+    raise NotImplementedError("non-PNG codecs are stubbed in this sandbox")

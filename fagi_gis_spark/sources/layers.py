@@ -1,0 +1,292 @@
+"""Derived POI layers (FAGI data model) over the driver's tables.
+
+Stand-ins for the reference's relations
+(/root/reference/fagi-gis/src/main/resources/schema.sql):
+
+* ``poi_a`` / ``poi_b``  <- ``dataset_a/b_geometries`` (schema.sql:32-67)
+* ``links``              <- ``links`` (schema.sql:80-89)
+* ``triples_a/b``        <- ``dataset_a/b_metadata`` (schema.sql:20-27)
+
+Derivation is seeded by ``o_orderkey`` with multiplicative hashing on a
+micro-degree integer lattice: every coordinate is an exact multiple of
+1e-6 degrees, so WKT round-trips (parse -> compute -> %.6f format) are
+bit-stable and the DuckDB oracle can reproduce results closed-form.
+
+Layout of the synthetic world (FIXTURES.md §2-§4):
+  lon in [-1, 1), lat in [50, 52)  (a 2°x2° window)
+  B geometries = A displaced by <= ~150 m; geometry-type mix by k%10:
+  0-5 POINT, 6-7 POLYGON (square), 8 LINESTRING, 9 MULTIPOINT.
+  poi_a_raw additionally carries a duplicate POINT row for k%50==6
+  subjects to exercise the one-geometry-per-subject precedence dedup
+  (Constants.java:85-95, Importer.java:306-379).
+  links: 95%% of keys; k%20==7 crossed (+1), k%20==11 dangling,
+  k%50==21 adds a second A-node for the same B-node (duplicate-target
+  links as in samples/links_sample.nt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: printf-style fixed 6-decimal formatting — Spark: format_string (JVM),
+#: DuckDB: printf. Inputs are lattice values (never halfway), so the two
+#: engines' rounding agrees.
+_FMT = {"spark": "format_string", "duckdb": "printf"}
+
+
+def _pt(fmt: str, x: str, y: str) -> str:
+    return f"{fmt}('%.6f', {x}) || ' ' || {fmt}('%.6f', {y})"
+
+
+def poi_base_sql() -> str:
+    return """
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         (CAST(o_orderkey AS BIGINT) * 2654435761) % 2000000 AS hx,
+         (CAST(o_orderkey AS BIGINT) * 2246822519) % 2000000 AS hy,
+         ((CAST(o_orderkey AS BIGINT) * 97 + 13) % 2001) - 1000 AS dxe6,
+         ((CAST(o_orderkey AS BIGINT) * 57 + 7) % 2001) - 1000 AS dye6
+  FROM orders
+"""
+
+
+def _poi_sql(dialect: str, side: str) -> str:
+    """One POI layer. Side 'a' uses (hx, hy); side 'b' displaces by
+    (dxe6, dye6) microdegrees and shifts the type mix by 3."""
+    f = _FMT[dialect]
+    if side == "a":
+        lon = "(hx - 1000000) / 1e6"
+        lat = "CAST(50 AS DOUBLE) + hy / 1e6"
+        g = "k % 10"
+        de6 = "(5 + k % 16) * 10"
+    else:
+        lon = "(hx - 1000000 + dxe6) / 1e6"
+        lat = "CAST(50 AS DOUBLE) + (hy + dye6) / 1e6"
+        g = "(k + 3) % 10"
+        de6 = "(5 + (k + 5) % 16) * 10"
+    pre = f"""
+  SELECT k, '{side}:' || CAST(k AS STRING) AS subject,
+         {lon} AS lon, {lat} AS lat, {g} AS g, {de6} / 1e6 AS d
+  FROM poi_base
+"""
+    pt = _pt(f, "lon", "lat")
+    sq = (
+        "'POLYGON ((' || "
+        + _pt(f, "lon - d", "lat - d")
+        + " || ', ' || "
+        + _pt(f, "lon + d", "lat - d")
+        + " || ', ' || "
+        + _pt(f, "lon + d", "lat + d")
+        + " || ', ' || "
+        + _pt(f, "lon - d", "lat + d")
+        + " || ', ' || "
+        + _pt(f, "lon - d", "lat - d")
+        + " || '))'"
+    )
+    ls = (
+        "'LINESTRING (' || "
+        + _pt(f, "lon", "lat")
+        + " || ', ' || "
+        + _pt(f, "lon + 0.000300", "lat + 0.000200")
+        + " || ', ' || "
+        + _pt(f, "lon + 0.000600", "lat")
+        + " || ')'"
+    )
+    mp = (
+        "'MULTIPOINT ((' || "
+        + _pt(f, "lon", "lat")
+        + " || '), (' || "
+        + _pt(f, "lon + 0.000200", "lat + 0.000200")
+        + " || '))'"
+    )
+    return f"""
+  SELECT subject, lon, lat,
+         CASE WHEN g <= 5 THEN 'POINT (' || {pt} || ')'
+              WHEN g <= 7 THEN {sq}
+              WHEN g = 8 THEN {ls}
+              ELSE {mp} END AS geom_wkt,
+         k
+  FROM ({pre}) t
+"""
+
+
+def poi_a_extra_sql(dialect: str) -> str:
+    """Duplicate-geometry rows for the precedence-dedup test: k%50==6
+    subjects (which are POLYGON, g=6) get an extra POINT row."""
+    f = _FMT[dialect]
+    pt = _pt(f, "(hx - 1000000) / 1e6", "CAST(50 AS DOUBLE) + hy / 1e6")
+    return f"""
+  SELECT 'a:' || CAST(k AS STRING) AS subject,
+         (hx - 1000000) / 1e6 AS lon, CAST(50 AS DOUBLE) + hy / 1e6 AS lat,
+         'POINT (' || {pt} || ')' AS geom_wkt,
+         k
+  FROM poi_base WHERE k % 50 = 6
+"""
+
+
+def links_sql() -> str:
+    return """
+  SELECT 'a:' || CAST(k AS STRING) AS node_a,
+         CASE WHEN k % 20 = 7  THEN 'b:' || CAST(k + 1 AS STRING)
+              WHEN k % 20 = 11 THEN 'b:' || CAST(k + 1000000000 AS STRING)
+              ELSE 'b:' || CAST(k AS STRING) END AS node_b
+  FROM poi_base WHERE k % 20 <> 19
+  UNION ALL
+  SELECT 'a:' || CAST(k AS STRING) AS node_a,
+         'b:' || CAST(k - 1 AS STRING) AS node_b
+  FROM poi_base WHERE k % 50 = 21
+"""
+
+
+def triples_sql(side: str) -> str:
+    """Metadata layer: name + address property chain (depth 2) + type tag,
+    with deliberately different vocabularies per side (FIXTURES.md §4)."""
+    s = side
+    onto = f"http://{s}.example/"
+    namep = "name" if s == "a" else "label"
+    addrp = "addr" if s == "a" else "address"
+    return f"""
+  SELECT '{s}:' || CAST(k AS STRING) AS subject,
+         '{onto}{namep}' AS predicate,
+         'poi ' || CAST(k % 1000 AS STRING) || ' ' ||
+            CASE k % 5 WHEN 0 THEN 'cafe' WHEN 1 THEN 'plaza' WHEN 2 THEN 'museum'
+                       WHEN 3 THEN 'station' ELSE 'park' END AS object,
+         'en' AS lang, '' AS dtype
+  FROM poi_base
+  UNION ALL
+  SELECT '{s}:' || CAST(k AS STRING) AS subject,
+         '{onto}{addrp}' AS predicate,
+         '_:bn{s}' || CAST(k AS STRING) AS object,
+         '' AS lang, '' AS dtype
+  FROM poi_base WHERE k % 3 = 0
+  UNION ALL
+  SELECT '_:bn{s}' || CAST(k AS STRING) AS subject,
+         '{onto}street' AS predicate,
+         'street ' || CAST(k % 100 AS STRING) AS object,
+         '' AS lang, '' AS dtype
+  FROM poi_base WHERE k % 3 = 0
+  UNION ALL
+  SELECT '{s}:' || CAST(k AS STRING) AS subject,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+         '{onto}Poi' AS object, '' AS lang, '' AS dtype
+  FROM poi_base
+"""
+
+
+#: admin polygon layer (FIXTURES.md §5): a 17x17 grid of 0.125° squares
+#: covering the test window plus 4 overlapping squares (ambiguity cases).
+#: Grid origin offset by half a micro-degree so no lattice point ever sits
+#: on a boundary (ray-cast vs floor-rule agreement is then exact).
+GRID_X0 = -1.0000005
+GRID_Y0 = 49.9999995
+GRID_STEP = 0.125
+GRID_N = 17
+OVERLAP_SQUARES = [  # (polygon_id, center_x, center_y, half_size)
+    ("ovl_0", -0.5, 50.5, 0.1000005),
+    ("ovl_1", 0.0, 51.0, 0.1000005),
+    ("ovl_2", 0.5, 51.5, 0.1000005),
+    ("ovl_3", 0.25, 50.25, 0.1000005),
+]
+
+
+def admin_polygons_pdf():
+    """The small polygon dimension as pandas (driver-side, broadcastable)."""
+    import pandas as pd
+
+    rows = []
+
+    def sq_wkt(x0, y0, x1, y1):
+        return (
+            f"POLYGON (({x0:.7f} {y0:.7f}, {x1:.7f} {y0:.7f}, "
+            f"{x1:.7f} {y1:.7f}, {x0:.7f} {y1:.7f}, {x0:.7f} {y0:.7f}))"
+        )
+
+    for i in range(GRID_N):
+        for j in range(GRID_N):
+            x0 = GRID_X0 + i * GRID_STEP
+            y0 = GRID_Y0 + j * GRID_STEP
+            rows.append((f"adm_{i}_{j}", sq_wkt(x0, y0, x0 + GRID_STEP, y0 + GRID_STEP)))
+    for pid, cx, cy, h in OVERLAP_SQUARES:
+        rows.append((pid, sq_wkt(cx - h, cy - h, cx + h, cy + h)))
+    return pd.DataFrame(rows, columns=["polygon_id", "geom_wkt"])
+
+
+def admin_assign_oracle_sql() -> str:
+    """Closed-form PIP assignment (grid = floor rule; overlaps = range
+    tests) for the DuckDB oracle."""
+    parts = [
+        f"SELECT subject, 'adm_' || CAST(CAST(floor((lon - ({GRID_X0!r})) / {GRID_STEP!r}) AS BIGINT) AS STRING)"
+        f" || '_' || CAST(CAST(floor((lat - ({GRID_Y0!r})) / {GRID_STEP!r}) AS BIGINT) AS STRING) AS polygon_id"
+        " FROM poi_a"
+    ]
+    for pid, cx, cy, h in OVERLAP_SQUARES:
+        parts.append(
+            f"SELECT subject, '{pid}' AS polygon_id FROM poi_a"
+            f" WHERE lon > {cx - h!r} AND lon < {cx + h!r}"
+            f" AND lat > {cy - h!r} AND lat < {cy + h!r}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def spark_layers(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Build the derived layers as DataFrames from ``{sf_dir}/orders.parquet``.
+
+    ``poi_a_raw`` includes the duplicate-geometry rows; ``poi_a`` is the
+    raw layer — the engine's precedence dedup (operators.dedup) reduces
+    raw -> one geometry per subject.
+    """
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    base = spark.sql(f"SELECT * FROM ({poi_base_sql()}) t")
+    base.createOrReplaceTempView("poi_base")
+    out = {
+        "poi_a": spark.sql(f"SELECT * FROM ({_poi_sql('spark', 'a')}) t"),
+        "poi_b": spark.sql(f"SELECT * FROM ({_poi_sql('spark', 'b')}) t"),
+        "links": spark.sql(f"SELECT * FROM ({links_sql()}) t"),
+        "triples_a": spark.sql(f"SELECT * FROM ({triples_sql('a')}) t"),
+        "triples_b": spark.sql(f"SELECT * FROM ({triples_sql('b')}) t"),
+    }
+    out["poi_a_raw"] = out["poi_a"].unionByName(
+        spark.sql(f"SELECT * FROM ({poi_a_extra_sql('spark')}) t")
+    )
+    return out
+
+
+def oracle_ctes() -> str:
+    """DuckDB WITH-clause body defining the same layers closed-form
+    (plus per-row helper columns g/d/npoints/centroid used by operator
+    oracles). Append operator-specific SELECTs after this."""
+    a = _poi_sql("duckdb", "a")
+    b = _poi_sql("duckdb", "b")
+    return f"""
+poi_base AS ({poi_base_sql()}),
+poi_a AS ({a}),
+poi_b AS ({b}),
+poi_a_raw AS (SELECT * FROM poi_a UNION ALL SELECT * FROM ({poi_a_extra_sql('duckdb')}) t),
+links AS ({links_sql()}),
+triples_a AS ({triples_sql('a')}),
+triples_b AS ({triples_sql('b')}),
+poi_a_attrs AS (
+  SELECT subject, lon, lat, k, k % 10 AS g,
+         (5 + k % 16) * 10 / 1e6 AS d,
+         CASE WHEN k % 10 <= 5 THEN 1 WHEN k % 10 <= 7 THEN 5
+              WHEN k % 10 = 8 THEN 3 ELSE 2 END AS npts,
+         CASE WHEN k % 10 <= 5 THEN 'POINT' WHEN k % 10 <= 7 THEN 'POLYGON'
+              WHEN k % 10 = 8 THEN 'LINESTRING' ELSE 'MULTIPOINT' END AS gtype,
+         CASE WHEN k % 10 = 8 THEN lon + 0.000300
+              WHEN k % 10 = 9 THEN lon + 0.000100 ELSE lon END AS cx,
+         CASE WHEN k % 10 = 8 THEN lat + 0.000100
+              WHEN k % 10 = 9 THEN lat + 0.000100 ELSE lat END AS cy
+  FROM poi_a
+),
+poi_b_attrs AS (
+  SELECT subject, lon, lat, k, (k + 3) % 10 AS g,
+         (5 + (k + 5) % 16) * 10 / 1e6 AS d,
+         CASE WHEN (k + 3) % 10 <= 5 THEN 1 WHEN (k + 3) % 10 <= 7 THEN 5
+              WHEN (k + 3) % 10 = 8 THEN 3 ELSE 2 END AS npts,
+         CASE WHEN (k + 3) % 10 <= 5 THEN 'POINT' WHEN (k + 3) % 10 <= 7 THEN 'POLYGON'
+              WHEN (k + 3) % 10 = 8 THEN 'LINESTRING' ELSE 'MULTIPOINT' END AS gtype,
+         CASE WHEN (k + 3) % 10 = 8 THEN lon + 0.000300
+              WHEN (k + 3) % 10 = 9 THEN lon + 0.000100 ELSE lon END AS cx,
+         CASE WHEN (k + 3) % 10 = 8 THEN lat + 0.000100
+              WHEN (k + 3) % 10 = 9 THEN lat + 0.000100 ELSE lat END AS cy
+  FROM poi_b
+)"""

@@ -1,0 +1,163 @@
+"""Pytest differential oracles for the non-SQL-expressible operators:
+Jaro-Winkler / fuzzy Jaccard, MinHash-LSH recall, SimHash, ANN-LSH recall,
+clustering, SVM learning."""
+
+import numpy as np
+import pytest
+
+from fagi_gis_spark.functions.similarity import (
+    fuzzy_token_jaccard,
+    jaro,
+    jaro_winkler,
+    tokenize,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_jaro_winkler_known_values():
+    # published reference values for the classic test pairs
+    assert jaro("martha", "marhta") == pytest.approx(0.944444, abs=1e-6)
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.961111, abs=1e-6)
+    assert jaro_winkler("dixon", "dicksonx") == pytest.approx(0.813333, abs=1e-6)
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert jaro_winkler("", "abc") == 0.0
+
+
+def test_tokenizer_camel_and_punct():
+    assert tokenize("Main Street, CamelCase-42") == ["main", "street", "camel", "case", "42"]
+
+
+def test_fuzzy_jaccard_reference_semantics():
+    # identical strings -> 1.0; typo token still intersects via JW > 0.8
+    assert fuzzy_token_jaccard("cafe plaza", "cafe plaza") == 1.0
+    assert fuzzy_token_jaccard("cafe plaza", "caffe plaza") == 1.0
+    assert fuzzy_token_jaccard("cafe plaza", "museum station") == 0.0
+
+
+def test_minhash_estimates_jaccard(spark):
+    import pandas as pd
+
+    from fagi_gis_spark.functions.dedup import (
+        _shingle_hashes,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog in the park today",
+        1: "the quick brown fox jumps over the lazy dog in the park tonight",  # near-dup of 0
+        2: "completely different content about spark dataframes and shuffles",
+        3: "the quick brown fox jumps over the lazy dog in the park today",  # exact dup of 0
+    }
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": texts.keys(), "text": texts.values()}))
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard_est
+        for r in minhash_lsh_pairs(minhash_signatures(docs), jaccard_threshold=0.3).collect()
+    }
+    assert pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5  # near dup found
+    assert not any(2 in p for p in pairs)  # unrelated not paired
+
+    # estimator sanity vs true shingle jaccard
+    s0, s1 = (set(_shingle_hashes(texts[i]).tolist()) for i in (0, 1))
+    true_j = len(s0 & s1) / len(s0 | s1)
+    assert abs(pairs[(0, 1)] - true_j) < 0.25
+
+
+def test_simhash_hamming(spark):
+    import pandas as pd
+
+    from fagi_gis_spark.functions.dedup import simhash_near_pairs, simhash_signatures
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "alpha beta gamma delta epsilon zeta eta iota",  # one token swap
+        2: "totally unrelated words here nothing shared at all",
+    }
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": texts.keys(), "text": texts.values()}))
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             simhash_near_pairs(simhash_signatures(docs), max_hamming=16).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 16
+    assert (0, 2) not in pairs
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    from fagi_gis_spark.functions.ann import cosine_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = cosine_topk(emb, k=5).toPandas()
+    approx = lsh_topk(emb, k=5).toPandas()
+    e = set(map(tuple, exact[["vec_id", "neighbor_id"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
+    recall = len(e & a) / len(e)
+    assert recall > 0.3, f"LSH recall too low: {recall}"  # approximate, bounded shuffle
+
+
+def test_cluster_links_assigns_all(spark):
+    from fagi_gis_spark.operators.clustering import cluster_links
+    from fagi_gis_spark.registry import layers
+
+    L = layers(spark, SF)
+    out = cluster_links(L["links"].limit(300), L["poi_a"], L["poi_b"], k=3).toPandas()
+    assert len(out) > 0
+    assert set(out.cluster_id.unique()) <= {0, 1, 2}
+    assert out.cluster_id.nunique() >= 2  # displacement structure separates
+
+
+def test_svm_learns_separable_actions(spark):
+    from pyspark.sql import functions as F
+
+    from fagi_gis_spark.operators.fusion import linked_pairs
+    from fagi_gis_spark.operators.learning import (
+        pair_features,
+        predict_actions,
+        train_action_classifier,
+    )
+    from fagi_gis_spark.registry import layers
+
+    L = layers(spark, SF)
+    pairs = linked_pairs(L["links"], L["poi_a"], L["poi_b"]).limit(400)
+    feats = pair_features(pairs)
+    # synthetic ground truth: action 1 iff A-side geometry is a POINT
+    labeled = feats.withColumn("label", F.col("fv")[0].cast("double"))
+    model = train_action_classifier(labeled)
+    pred = predict_actions(model, feats).join(
+        labeled.select("subject_a", "subject_b", "label"), ["subject_a", "subject_b"]
+    )
+    acc = pred.filter(F.col("action_pred") == F.col("label").cast("int")).count() / pred.count()
+    assert acc > 0.95, f"SVM failed to learn separable labels: {acc}"
+
+
+def test_fuzzy_discovery_matches_python_oracle(spark):
+    """Differential oracle for the JW-based discovery path at sf0.001."""
+    from fagi_gis_spark.operators.discovery import discover_links
+    from fagi_gis_spark.registry import layers
+
+    L = layers(spark, SF)
+    got = discover_links(
+        L["poi_a"], L["poi_b"], L["triples_a"], L["triples_b"], radius_m=200.0, mode="fuzzy"
+    ).toPandas()
+
+    # local oracle: numpy/pure-python replay
+    pa = L["poi_a"].select("subject", "lon", "lat").toPandas()
+    pb = L["poi_b"].select("subject", "lon", "lat").toPandas()
+    ta = {r.subject: r.object for r in L["triples_a"]
+          .filter("predicate = 'http://a.example/name'").collect()}
+    tb = {r.subject: r.object for r in L["triples_b"]
+          .filter("predicate = 'http://b.example/label'").collect()}
+    ax, ay = pa.lon.to_numpy(), pa.lat.to_numpy()
+    bx, by = pb.lon.to_numpy(), pb.lat.to_numpy()
+    expected = set()
+    for i in range(len(pa)):
+        d = np.sqrt((ax[i] - bx) ** 2 + (ay[i] - by) ** 2) * 111195.0
+        idx = np.where(d <= 200.0)[0]
+        lits = [tb[pb.subject[j]] for j in idx]
+        for j in idx:
+            lit = tb[pb.subject[j]]
+            if lits.count(lit) != 1:
+                continue
+            if fuzzy_token_jaccard(ta[pa.subject[i]], lit) > 0.2:
+                expected.add((pa.subject[i], pb.subject[j]))
+    assert set(map(tuple, got[["node_a", "node_b"]].itertuples(index=False))) == expected
+    assert len(expected) > 0
