@@ -92,6 +92,10 @@ def minhash_lsh_pairs(
     pairs are verified by estimated Jaccard (signature agreement rate).
     Output: (doc_a, doc_b, jaccard_est) with doc_a < doc_b."""
     n_perm = bands * rows_per_band
+    # signatures feed three plan branches (buckets + both verify sides);
+    # persist so the Arrow-batched UDF runs once (at real scale this is a
+    # materialized signature table)
+    sigs = sigs.persist()
     band_structs = F.array(
         *[
             F.struct(
@@ -102,26 +106,30 @@ def minhash_lsh_pairs(
         ]
     )
     buckets = sigs.select(
-        "doc_id", "sig", F.explode(band_structs).alias("b")
-    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
 
-    left = buckets.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
-    )
-    right = buckets.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
-    )
+    # candidate generation carries ONLY ids (two ints) through the bucket
+    # join + distinct; the 64-long signatures join back once per UNIQUE
+    # pair for verification — at scale this is the difference between
+    # shuffling kilobytes and shuffling the signature matrix
+    left = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    right = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     cand = (
         left.join(right, ["band", "bucket"], "inner")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
     )
+    sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    ver = cand.join(sig_a, "doc_a").join(sig_b, "doc_b")
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     ).cast("double")
     est = agree / F.lit(float(n_perm))
     return (
-        cand.withColumn("jaccard_est", est)
+        ver.withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard_est")
     )

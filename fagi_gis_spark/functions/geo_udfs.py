@@ -107,6 +107,59 @@ def u_scale_origin(wkt: pd.Series, f: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.StringType())
+def u_most_points(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """CASE WHEN ST_NPoints(a) >= ST_NPoints(b) THEN a ELSE b — one parse
+    pass over both geometries (KeepMostPointsTransformation.java:62-84)."""
+    out = []
+    for a, b in zip(wkt_a, wkt_b):
+        if a is None or b is None:
+            out.append(a if b is None else b)
+            continue
+        out.append(a if npoints(parse_wkt(a)) >= npoints(parse_wkt(b)) else b)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def u_shift_pair(
+    wkt_src: pd.Series, wkt_dst: pd.Series,
+    shift_frac: pd.Series, rot_deg: pd.Series, fscale: pd.Series,
+) -> pd.Series:
+    """The full ShiftAToB/ShiftBToA pipeline in ONE Arrow pass: centroids
+    of both geometries, rotate/resize the source about its centroid, then
+    translate by shift_frac x centroid displacement
+    (ShiftAToB.java:190-232). Arithmetic is written to match the oracle's
+    expression tree exactly (s * (c_dst - c_src) per coordinate)."""
+    out = []
+    for s_w, d_w, s, r, f in zip(wkt_src, wkt_dst, shift_frac, rot_deg, fscale):
+        if s_w is None or d_w is None:
+            out.append(None)
+            continue
+        g = parse_wkt(s_w)
+        cs = centroid(g)
+        cd = centroid(parse_wkt(d_w))
+        r = float(r)
+        f = float(f)
+        if r != 0.0:
+            g = rotate_about(g, math.radians(r))
+        if f != 1.0:
+            g = scale_about(g, f, f)
+        s = float(s)
+        g = translate(g, s * (cd[0] - cs[0]), s * (cd[1] - cs[1]))
+        out.append(format_wkt(g, prec=9))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.LongType())
+def u_morton16(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Morton (S2-role) cell at level 16 — defined here because modules
+    with ``from __future__ import annotations`` stringify the hints that
+    pandas_udf needs."""
+    from fagi_gis_spark.index.cells import morton_cell_np
+
+    return pd.Series(morton_cell_np(lon.to_numpy("float64"), lat.to_numpy("float64"), 16))
+
+
+@F.pandas_udf(T.StringType())
 def u_midpoint_wkt(ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series) -> pd.Series:
     """POINT at the midpoint of two points (AvgTwoPointsTransformation.java:18-41).
     Formatted Python-side (half-even) so the DuckDB oracle printf agrees."""

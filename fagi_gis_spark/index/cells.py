@@ -43,3 +43,17 @@ def morton_cell_np(
 def parent_cell_np(cell: np.ndarray, levels_up: int = 1) -> np.ndarray:
     """Hierarchical rollup: drop the low 2*levels_up bits."""
     return (np.asarray(cell).astype(np.int64) >> (2 * levels_up)) << (2 * levels_up)
+
+
+def morton_cell_sql(lon_expr: str, lat_expr: str, level: int = DEFAULT_LEVEL) -> str:
+    """DuckDB SQL computing the identical Morton cell (bit interleave as
+    integer arithmetic) — the oracle twin of morton_cell_np. Assumes
+    in-window coordinates (no clipping)."""
+    n = 1 << level
+    qx = f"CAST(floor(({lon_expr} + 180.0) / 360.0 * {float(n)!r}) AS BIGINT)"
+    qy = f"CAST(floor(({lat_expr} + 90.0) / 180.0 * {float(n)!r}) AS BIGINT)"
+    terms = []
+    for i in range(level):
+        terms.append(f"(({qx} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({qy} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"

@@ -132,12 +132,12 @@ def fuse(pairs: DataFrame, transformation: str, params: FusionParams | None = No
         raise ValueError(f"unknown transformation {t!r}; known: {sorted(TRANSFORMATIONS)}")
 
     if t == "most_points":  # KeepMostPointsTransformation.java:62-84
+        from fagi_gis_spark.functions.geo_udfs import u_most_points
+
         return pairs.select(
             "subject_a",
             "subject_b",
-            F.when(u_npoints(F.col("wkt_a")) >= u_npoints(F.col("wkt_b")), F.col("wkt_a"))
-            .otherwise(F.col("wkt_b"))
-            .alias("geom_wkt"),
+            u_most_points(F.col("wkt_a"), F.col("wkt_b")).alias("geom_wkt"),
         )
     if t == "concatenation":  # Concatenation.java:66-81 — WKT string concat
         return pairs.select(
@@ -149,18 +149,20 @@ def fuse(pairs: DataFrame, transformation: str, params: FusionParams | None = No
         )
     if t in ("shift_a_to_b", "shift_b_to_a"):
         # rotate -> resize -> translate shift%% of centroid displacement
-        # (ShiftAToB.java:190-232 / ShiftBToA.java:190-232)
-        c = _with_centroids(pairs)
-        s = F.lit(p.shift_pct / 100.0)
-        if t == "shift_a_to_b":
-            src, dx, dy = "wkt_a", s * (F.col("cbx") - F.col("cax")), s * (F.col("cby") - F.col("cay"))
-        else:
-            src, dx, dy = "wkt_b", s * (F.col("cax") - F.col("cbx")), s * (F.col("cay") - F.col("cby"))
-        return c.select(
+        # (ShiftAToB.java:190-232 / ShiftBToA.java:190-232) — ONE Arrow
+        # pass over both WKTs
+        from fagi_gis_spark.functions.geo_udfs import u_shift_pair
+
+        src, dst = ("wkt_a", "wkt_b") if t == "shift_a_to_b" else ("wkt_b", "wkt_a")
+        return pairs.select(
             "subject_a",
             "subject_b",
-            u_affine_about_centroid(
-                F.col(src), F.lit(float(p.rotate_deg)), F.lit(float(p.scale_f)), dx, dy
+            u_shift_pair(
+                F.col(src),
+                F.col(dst),
+                F.lit(p.shift_pct / 100.0),
+                F.lit(float(p.rotate_deg)),
+                F.lit(float(p.scale_f)),
             ).alias("geom_wkt"),
         )
     if t == "avg_points":  # AvgTwoPointsTransformation.java:18-65 (POINTs only)
@@ -265,6 +267,39 @@ def fuse_cluster(
     """fuseCluster: identical SQL with the cluster subset substituted for
     links (KeepLeftTransformation.java:62-73)."""
     return fuse_all(cluster_links, poi_a, poi_b, transformation, params)
+
+
+def scores_quantized(pairs: DataFrame, threshold_m: float = 500.0) -> DataFrame:
+    """Shift-suitability scores derived from an integer-quantized squared
+    centroid distance (pico-deg^2). Closed-form centroids land on the
+    micro-degree lattice, so dist^2 * 1e12 is integer-valued; quantizing
+    first makes the threshold gate and the score bit-stable against the
+    ~1e-12 numerical error of the shoelace centroid (a raw round(dist, 4)
+    flips on half-boundaries). Output:
+    (subject_a, subject_b, dist2_e12, score) with score computed from the
+    quantized value by the same expression the oracle uses."""
+    c = _with_centroids(pairs)
+    dx = F.col("cax") - F.col("cbx")
+    dy = F.col("cay") - F.col("cby")
+    dist2_e12 = F.round((dx * dx + dy * dy) * F.lit(1e12)).cast("long")
+    t_deg = threshold_m / DEG_TO_M
+    t_e12 = int(t_deg * t_deg * 1e12)  # same integer literal in the oracle
+    dist_m = F.sqrt(F.col("dist2_e12").cast("double") / F.lit(1e12)) * F.lit(DEG_TO_M)
+    gate = (
+        (u_gtype(F.col("wkt_a")) == "POINT")
+        & (u_gtype(F.col("wkt_b")) == "POLYGON")
+        & (F.col("dist2_e12") <= F.lit(t_e12))
+    )
+    return (
+        c.withColumn("dist2_e12", dist2_e12)
+        .withColumn(
+            "score",
+            F.when(
+                gate, F.sqrt((F.lit(threshold_m) - dist_m) / F.lit(threshold_m))
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("subject_a", "subject_b", "dist2_e12", "score")
+    )
 
 
 def with_scores(pairs: DataFrame, transformation: str, threshold_m: float = 500.0) -> DataFrame:

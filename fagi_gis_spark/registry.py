@@ -230,26 +230,23 @@ def fuse_shift_poly_avg_dist(spark, sf_dir):
     "fusion_scores",
     _o(
         "SELECT l.node_a AS subject_a, l.node_b AS subject_b,\n"
-        "  round(sqrt((aa.cx - bb.cx) * (aa.cx - bb.cx) + (aa.cy - bb.cy) * (aa.cy - bb.cy))\n"
-        "        * 111195.0, 4) AS dist_m_r,\n"
+        "  CAST(round(((aa.cx - bb.cx) * (aa.cx - bb.cx) + (aa.cy - bb.cy) * (aa.cy - bb.cy))\n"
+        "       * 1e12) AS BIGINT) AS dist2_e12,\n"
         "  CASE WHEN aa.gtype = 'POINT' AND bb.gtype = 'POLYGON'\n"
-        "        AND sqrt((aa.cx - bb.cx) * (aa.cx - bb.cx) + (aa.cy - bb.cy) * (aa.cy - bb.cy))\n"
-        "            * 111195.0 <= 500.0\n"
-        "       THEN round(sqrt((500.0 - sqrt((aa.cx - bb.cx) * (aa.cx - bb.cx)\n"
-        "            + (aa.cy - bb.cy) * (aa.cy - bb.cy)) * 111195.0) / 500.0), 6)\n"
-        "       ELSE 0.0 END AS score_r\n" + _PAIR_JOIN
+        "        AND CAST(round(((aa.cx - bb.cx) * (aa.cx - bb.cx) + (aa.cy - bb.cy) * (aa.cy - bb.cy))\n"
+        "            * 1e12) AS BIGINT) <= 20219457\n"
+        "       THEN sqrt((500.0 - sqrt(CAST(CAST(round(((aa.cx - bb.cx) * (aa.cx - bb.cx)\n"
+        "            + (aa.cy - bb.cy) * (aa.cy - bb.cy)) * 1e12) AS BIGINT) AS DOUBLE) / 1e12)\n"
+        "            * 111195.0) / 500.0)\n"
+        "       ELSE 0.0 END AS score\n" + _PAIR_JOIN
     ),
 )
 def fusion_scores(spark, sf_dir):
+    from fagi_gis_spark.operators.fusion import scores_quantized
+
     L = layers(spark, sf_dir)
     pairs = linked_pairs(L["links"], L["poi_a"], L["poi_b"])
-    scored = with_scores(pairs, "shift_a_to_b", threshold_m=500.0)
-    return scored.select(
-        "subject_a",
-        "subject_b",
-        F.round(F.col("dist_m"), 4).alias("dist_m_r"),
-        F.round(F.col("score"), 6).alias("score_r"),
-    )
+    return scores_quantized(pairs, threshold_m=500.0)
 
 
 # --------------------------------------------------------------------------
@@ -651,3 +648,99 @@ def ann_lsh_topk(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_topk(emb, k=5).withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Write-back (S5), fuseCluster, Morton cells, analytics (A7/A8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "writeback_geometries",
+    _o(
+        # our triples layer carries no geo predicates, so the delete leg
+        # of delete-then-insert keeps every row; the insert leg adds the
+        # DISTINCT fused WKT triples on the dominant subject
+        "SELECT subject, predicate, object FROM triples_a\n"
+        "UNION ALL\n"
+        "SELECT DISTINCT l.node_a AS subject,\n"
+        "       'http://www.opengis.net/ont/geosparql#asWKT' AS predicate,\n"
+        "       a.geom_wkt AS object\n"
+        "FROM links l JOIN poi_a a ON l.node_a = a.subject"
+    ),
+)
+def writeback_geometries(spark, sf_dir):
+    """S5: Keep-A fusion result written back into the triple layer —
+    old geo triples of fused subjects dropped, new asWKT triples added.
+    (Our triples layer has no geo predicates, so the anti-delete is a
+    no-op on data but exercised in the plan.)"""
+    from fagi_gis_spark.operators.writeback import write_back
+
+    L = layers(spark, sf_dir)
+    fused = fuse_all(L["links"], L["poi_a"], L["poi_b"], "keep_a")
+    return write_back(L["triples_a"], fused, dominant="a")
+
+
+@register(
+    "fuse_cluster_keep_b",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b, b.geom_wkt AS geom_wkt\n"
+        "FROM links l JOIN poi_b b ON l.node_b = b.subject\n"
+        "JOIN poi_a_attrs aa ON aa.subject = l.node_a\n"
+        "WHERE aa.k % 7 = 0"
+    ),
+)
+def fuse_cluster_keep_b(spark, sf_dir):
+    """fuseCluster: same transformation over the cluster-selected subset
+    of links (KeepLeftTransformation.fuseCluster:62-73; cluster load
+    BatchFusionServlet.loadClusterLinks:1294-1331). The cluster here is a
+    deterministic stand-in selection (k % 7 == 0)."""
+    from fagi_gis_spark.operators.fusion import fuse_cluster
+
+    L = layers(spark, sf_dir)
+    cluster = L["links"].join(
+        L["poi_a"].filter(F.col("k") % 7 == 0).select(F.col("subject").alias("node_a")),
+        "node_a",
+        "left_semi",
+    )
+    return fuse_cluster(cluster, L["poi_a"], L["poi_b"], "keep_b")
+
+
+def _morton_oracle() -> str:
+    from fagi_gis_spark.index.cells import morton_cell_sql
+
+    return _o(
+        f"SELECT subject, {morton_cell_sql('lon', 'lat', 16)} AS cell_s2 FROM poi_a"
+    )
+
+
+@register("morton_cells", _morton_oracle())
+def morton_cells(spark, sf_dir):
+    """S2-role Morton (Z-order) cell encode — Arrow-batched numpy bit
+    interleave; the DuckDB oracle replays the interleave as integer
+    arithmetic."""
+    from fagi_gis_spark.functions.geo_udfs import u_morton16
+
+    L = layers(spark, sf_dir)
+    return L["poi_a"].select("subject", u_morton16(F.col("lon"), F.col("lat")).alias("cell_s2"))
+
+
+@register("cluster_links_gmm")  # EM clustering: seeded-deterministic, rows-only
+def cluster_links_gmm(spark, sf_dir):
+    from fagi_gis_spark.operators.clustering import cluster_links
+
+    L = layers(spark, sf_dir)
+    return cluster_links(L["links"], L["poi_a"], L["poi_b"], k=4)
+
+
+@register("learning_pair_features")  # A9 feature extraction: rows-only
+def learning_pair_features(spark, sf_dir):
+    from fagi_gis_spark.operators.fusion import linked_pairs as _lp
+    from fagi_gis_spark.operators.learning import pair_features
+
+    L = layers(spark, sf_dir)
+    feats = pair_features(_lp(L["links"], L["poi_a"], L["poi_b"]))
+    return feats.select(
+        "subject_a", "subject_b", F.size("fv").alias("n_features"),
+        F.round(F.aggregate("fv", F.lit(0.0), lambda a, x: a + x), 6).alias("fv_sum"),
+    )
