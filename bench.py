@@ -29,6 +29,9 @@ HEADLINE = [
     "dedup_exact",
     "ann_cosine_topk",
     "doc_quality",
+    "events_windowed_agg",
+    "events_sessionize",
+    "multimodal_decode_stats",
 ]
 
 

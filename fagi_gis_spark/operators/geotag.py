@@ -17,9 +17,12 @@ from fagi_gis_spark.index import tiles
 
 def geotag_cols(phash: Column) -> tuple[Column, Column]:
     """(lon, lat) on the micro-degree lattice derived from phash bits.
-    pmod keeps negatives well-defined for signed int64 hashes."""
+    pmod keeps negatives well-defined for signed int64 hashes; inner pmods
+    shrink operands so products never overflow int64 (ANSI mode throws on
+    overflow in Spark 4)."""
     lon = (F.pmod(phash, F.lit(2000000)) - F.lit(1000000)) / F.lit(1e6)
-    lat = F.lit(50.0) + F.pmod(F.pmod(phash * F.lit(2654435761), F.lit(2**61)), F.lit(2000000)) / F.lit(1e6)
+    mixed = F.pmod(F.pmod(phash, F.lit(2147483647)) * F.lit(2654435761), F.lit(2000000))
+    lat = F.lit(50.0) + mixed / F.lit(1e6)
     return lon, lat
 
 
@@ -42,8 +45,9 @@ def image_poi_layers(images: DataFrame) -> tuple[DataFrame, DataFrame]:
         "caption",
         "phash",
     )
-    dx = (F.pmod(F.col("phash") * F.lit(97) + F.lit(13), F.lit(2001)) - F.lit(1000)) / F.lit(1e6)
-    dy = (F.pmod(F.col("phash") * F.lit(57) + F.lit(7), F.lit(2001)) - F.lit(1000)) / F.lit(1e6)
+    ph_small = F.pmod(F.col("phash"), F.lit(2**40))
+    dx = (F.pmod(ph_small * F.lit(97) + F.lit(13), F.lit(2001)) - F.lit(1000)) / F.lit(1e6)
+    dy = (F.pmod(ph_small * F.lit(57) + F.lit(7), F.lit(2001)) - F.lit(1000)) / F.lit(1e6)
     b = g.select(
         F.concat(F.lit("b:"), F.col("image_id")).alias("subject"),
         (F.col("lon") + dx).alias("lon"),

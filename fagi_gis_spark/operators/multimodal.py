@@ -1,0 +1,124 @@
+"""Multimodal column operators: decode / feature-extract / resize /
+frame-sample over opaque binary payloads.
+
+Image/audio/video bytes stay an opaque ``binary`` column with typed
+metadata (the input_hint shape); the operators below are Arrow-batched
+``mapInPandas`` stages, so the Spark-side plumbing — schema, batching,
+partition flow — is identical for any codec. In this sandbox only the PNG
+container decodes for real (sources/png.py); JPEG/WebP/audio/video decode
+is a deliberate stub (`NotImplementedError` / deterministic fake) per the
+driver instruction — swapping in a real codec library changes only the
+kernel body, not the plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from fagi_gis_spark.sources.images import decode_pixels, phash64
+from fagi_gis_spark.sources.png import encode_png_gray
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode every payload and emit pixel statistics + a pHash
+    verification bit (decoded pHash == stored pHash). Real decode for PNG;
+    non-PNG rows emit decode_ok = false (stubbed codec)."""
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for img_id, data, ph in zip(pdf["image_id"], pdf["bytes"], pdf["phash"]):
+                data = bytes(data)
+                if data[:8] == _PNG_SIG:
+                    px = decode_pixels(data)
+                    rows.append(
+                        (
+                            img_id,
+                            True,
+                            int(px.shape[1]),
+                            int(px.shape[0]),
+                            float(px.mean()),
+                            float(px.std()),
+                            bool(phash64(px) == ph),
+                        )
+                    )
+                else:  # stubbed codec path: plumbing exercised, decode not
+                    rows.append((img_id, False, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "decode_ok", "dec_w", "dec_h", "px_mean", "px_std", "phash_ok"],
+            )
+
+    return images.mapInPandas(
+        op,
+        schema=(
+            "image_id string, decode_ok boolean, dec_w int, dec_h int, "
+            "px_mean double, px_std double, phash_ok boolean"
+        ),
+    )
+
+
+def _block_mean_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    h, w = px.shape
+    ys = np.linspace(0, h, out_h + 1).astype(int)
+    xs = np.linspace(0, w, out_w + 1).astype(int)
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for r in range(out_h):
+        band = px[ys[r] : max(ys[r + 1], ys[r] + 1)]
+        for c in range(out_w):
+            out[r, c] = band[:, xs[c] : max(xs[c + 1], xs[c] + 1)].mean()
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def resize_images(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Resize (block-mean) + re-encode. Output keeps the input_hint shape
+    so resized tables compose with every other operator."""
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.bytes)
+                if data[:8] != _PNG_SIG:
+                    continue  # stubbed codec: skip (documented)
+                px = _block_mean_resize(decode_pixels(data), out_w, out_h)
+                rows.append(
+                    (r.image_id, encode_png_gray(px), out_w, out_h, "png", r.caption, phash64(px))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return images.mapInPandas(
+        op,
+        schema=(
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long"
+        ),
+    )
+
+
+def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling — fully stubbed codec (no video libs in this
+    sandbox): the plumbing emits a deterministic fake frame per sampled
+    index so schema/partitioning/batch shape are real and tested. A real
+    deployment replaces `_fake_frame` with the actual demuxer."""
+
+    def _fake_frame(video_id: str, idx: int) -> bytes:
+        rng = np.random.default_rng(abs(hash((video_id, idx))) % (2**32))
+        return encode_png_gray(rng.integers(0, 256, size=(8, 8)).astype(np.uint8))
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n_frames = int(r.n_frames)
+                for idx in range(0, n_frames, every_n):
+                    rows.append((r.video_id, idx, _fake_frame(r.video_id, idx)))
+            yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "frame_png"])
+
+    return videos.mapInPandas(op, schema="video_id string, frame_idx int, frame_png binary")

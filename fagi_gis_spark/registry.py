@@ -744,3 +744,254 @@ def learning_pair_features(spark, sf_dir):
         "subject_a", "subject_b", F.size("fv").alias("n_features"),
         F.round(F.aggregate("fv", F.lit(0.0), lambda a, x: a + x), 6).alias("fv_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Literal typing, link-type filter, events analytics (windowed/sessionized)
+# --------------------------------------------------------------------------
+
+
+_TYPING_LITS = """
+  SELECT 'poi ' || CAST(k % 1000 AS STRING) AS lit FROM poi_base
+  UNION ALL SELECT CAST(k AS STRING) AS lit FROM poi_base
+  UNION ALL SELECT CAST(k AS STRING) || '.5' AS lit FROM poi_base
+  UNION ALL SELECT 'cafe' AS lit FROM poi_base
+  UNION ALL SELECT '2024-03-' || CAST(k % 28 + 1 AS STRING) AS lit FROM poi_base
+"""
+
+
+def _typing_oracle() -> str:
+    from fagi_gis_spark.functions.typing import infer_type_sql
+
+    return _o(
+        f"SELECT lit, {infer_type_sql('lit')} AS vtype, count(*) AS n FROM (\n"
+        f"{_TYPING_LITS}\n"
+        ") t GROUP BY 1, 2"
+    )
+
+
+@register("literal_typing", _typing_oracle())
+def literal_typing(spark, sf_dir):
+    """Regex value typing (Patterns.java:115-127 / compareTypes:807-826)
+    over a literal mix covering all five type classes."""
+    from fagi_gis_spark.functions.typing import infer_type_col
+
+    layers(spark, sf_dir)  # registers poi_base
+    lits = spark.sql(f"SELECT lit FROM ({_TYPING_LITS}) t")
+    return (
+        lits.withColumn("vtype", infer_type_col(F.col("lit")))
+        .groupBy("lit", "vtype")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "links_type_filter",
+    _o(
+        "SELECT l.node_a, l.node_b FROM links l\n"
+        "JOIN triples_a t ON t.subject = l.node_a\n"
+        "WHERE t.predicate = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'\n"
+        "  AND t.object = 'http://a.example/Poi'"
+    ),
+)
+def links_type_filter(spark, sf_dir):
+    """Type filter of links by rdf:type (FilterServlet.java:149-201)."""
+    L = layers(spark, sf_dir)
+    typed = L["triples_a"].filter(
+        (F.col("predicate") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+        & (F.col("object") == "http://a.example/Poi")
+    )
+    return L["links"].join(
+        typed.select(F.col("subject").alias("node_a")), "node_a", "inner"
+    ).select("node_a", "node_b")
+
+
+@register("schema_match_suggest")  # Jaro-Winkler based: pytest oracle only
+def schema_match_suggest(spark, sf_dir):
+    """M1/M2 property alignment suggestions over a 5-link sample."""
+    import pandas as pd
+
+    from fagi_gis_spark.operators.schema_match import schema_match
+
+    L = layers(spark, sf_dir)
+    picks = schema_match(L["links"], L["triples_a"], L["triples_b"])
+    pdf = pd.DataFrame(picks, columns=["chain_a", "chain_b", "text_score", "type_score", "score"])
+    return spark.createDataFrame(pdf).select(
+        "chain_a", "chain_b", F.round("score", 6).alias("score_r")
+    )
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@register(
+    "events_windowed_agg",
+    "SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS win, event_type,\n"
+    "       count(*) AS n, round(sum(value), 4) AS sum_value\n"
+    "FROM events GROUP BY 1, 2",
+)
+def events_windowed_agg(spark, sf_dir):
+    """5-minute tumbling-window counts/sums — the batch twin of the
+    Structured Streaming windowed aggregation (tests/test_streaming)."""
+    e = _events(spark, sf_dir)
+    win = F.floor(F.unix_timestamp("ts") / F.lit(300)).cast("long")
+    return (
+        e.groupBy(win.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@register(
+    "events_sessionize",
+    "SELECT user_id, session_id, count(*) AS n_events FROM (\n"
+    "  SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
+    "         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id\n"
+    "  FROM (\n"
+    "    SELECT user_id, ts, event_id,\n"
+    "      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1\n"
+    "           WHEN CAST(floor(epoch(ts)) AS BIGINT)\n"
+    "                - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))\n"
+    "                  AS BIGINT) > 1800 THEN 1\n"
+    "           ELSE 0 END AS new_sess\n"
+    "    FROM events) g\n"
+    ") s GROUP BY user_id, session_id",
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization (30-min gap) via lag + running sum — the standard
+    Spark pattern (pyspark_guide 'Sessionization')."""
+    from pyspark.sql import Window as W
+
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(prev)
+    new_sess = F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "events_topk_users",
+    "SELECT user_id, event_type, n, rnk FROM (\n"
+    "  SELECT user_id, event_type, count(*) AS n,\n"
+    "         row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rnk\n"
+    "  FROM events GROUP BY user_id, event_type) t\n"
+    "WHERE rnk <= 5",
+)
+def events_topk_users(spark, sf_dir):
+    """Top-K per group — Window.partitionBy + row_number (guide pattern)."""
+    from pyspark.sql import Window as W
+
+    e = _events(spark, sf_dir)
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("user_id", "event_type", "n", "rnk")
+    )
+
+
+@register("multimodal_decode_stats")  # PNG decode: pytest oracle only
+def multimodal_decode_stats(spark, sf_dir):
+    """Decode + pixel stats + pHash verification over a deterministic
+    synthesized images table (the input_hint shape; sf-independent)."""
+    from fagi_gis_spark.operators.multimodal import decode_stats
+    from fagi_gis_spark.sources.images import generate_images
+
+    return decode_stats(generate_images(spark, 300, partitions=4)).select(
+        "image_id", "decode_ok", "dec_w", "dec_h",
+        F.round("px_mean", 6).alias("px_mean_r"), "phash_ok",
+    )
+
+
+@register("multimodal_resize")  # PNG re-encode: pytest oracle only
+def multimodal_resize(spark, sf_dir):
+    from fagi_gis_spark.operators.multimodal import resize_images
+    from fagi_gis_spark.sources.images import generate_images
+
+    out = resize_images(generate_images(spark, 200, partitions=4), 16, 16)
+    return out.select("image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes"), "phash")
+
+
+# --------------------------------------------------------------------------
+# Remaining (inactive-registry) transformations + geometry offset
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fuse_shift_poly_to_point",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b,\n"
+        "  CAST(round(aa.cx * 1000000000.0) AS BIGINT) AS cx_e9,\n"
+        "  CAST(round(aa.cy * 1000000000.0) AS BIGINT) AS cy_e9\n" + _PAIR_JOIN
+    ),
+)
+def fuse_shift_poly_to_point(spark, sf_dir):
+    """ShiftPolygonToPoint (id 11): translate B so its centroid lands on
+    A's (ShiftPolygonToPoint.java:98-117) — fused centroid == A centroid."""
+    L = layers(spark, sf_dir)
+    return _centroid_e9(fuse_all(L["links"], L["poi_a"], L["poi_b"], "shift_poly_to_point"))
+
+
+@register(
+    "fuse_most_points_translate",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b,\n"
+        "  CAST(round(CASE WHEN aa.npts >= bb.npts THEN bb.cx ELSE aa.cx END\n"
+        "       * 1000000000.0) AS BIGINT) AS cx_e9,\n"
+        "  CAST(round(CASE WHEN aa.npts >= bb.npts THEN bb.cy ELSE aa.cy END\n"
+        "       * 1000000000.0) AS BIGINT) AS cy_e9\n" + _PAIR_JOIN
+    ),
+)
+def fuse_most_points_translate(spark, sf_dir):
+    """KeepMostPointsAndTranslate (id 13): keep the denser geometry,
+    translate its centroid onto the other's
+    (KeepMostPointsAndTranslateTransformation.java:130-155)."""
+    L = layers(spark, sf_dir)
+    return _centroid_e9(fuse_all(L["links"], L["poi_a"], L["poi_b"], "most_points_translate"))
+
+
+@register(
+    "fuse_scale_b",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b,\n"
+        "  CAST(round(bb.cx * 2.0 * 1000000000.0) AS BIGINT) AS cx_e9,\n"
+        "  CAST(round(bb.cy * 2.0 * 1000000000.0) AS BIGINT) AS cy_e9\n" + _PAIR_JOIN
+    ),
+)
+def fuse_scale_b(spark, sf_dir):
+    """Scale (id 15): ST_Scale(geom, f, f) about the ORIGIN
+    (ScaleTransformation.java:114-140) — centroid scales by f."""
+    L = layers(spark, sf_dir)
+    fused = fuse_all(
+        L["links"], L["poi_a"], L["poi_b"], "scale_b", FusionParams(scale_f=2.0)
+    )
+    return _centroid_e9(fused)
+
+
+@register(
+    "fuse_keep_a_offset",
+    _o(
+        "SELECT l.node_a AS subject_a, l.node_b AS subject_b,\n"
+        "  CAST(round((aa.cx + 0.000157) * 1000000000.0) AS BIGINT) AS cx_e9,\n"
+        "  CAST(round((aa.cy - 0.000233) * 1000000000.0) AS BIGINT) AS cy_e9\n"
+        "FROM links l JOIN poi_a_attrs aa ON l.node_a = aa.subject"
+    ),
+)
+def fuse_keep_a_offset(spark, sf_dir):
+    """Geometry offset nudge (BatchFusionServlet.offsetGeometriesA:3110-3148):
+    in-place translate of the linked A geometries BEFORE a keep-A fusion."""
+    from fagi_gis_spark.functions.geo_udfs import u_translate
+
+    L = layers(spark, sf_dir)
+    poi_a_off = L["poi_a"].withColumn(
+        "geom_wkt", u_translate(F.col("geom_wkt"), F.lit(0.000157), F.lit(-0.000233))
+    )
+    fused = fuse_all(L["links"], poi_a_off, L["poi_b"], "keep_a")
+    return _centroid_e9(fused)

@@ -26,6 +26,13 @@ def get_spark(
     to the core count — on a real cluster this is instead sized to
     ~2-3x total executor cores and AQE coalesces down at runtime.
     """
+    # pin numeric libs to one thread per python worker: N workers each
+    # spawning an OpenBLAS pool oversubscribes the host N*cores-fold and
+    # inverts scaling (measured: local[32] slower than local[8] without
+    # this). Spark tasks are the parallelism unit, not BLAS threads.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"

@@ -33,7 +33,7 @@ def encode_png_gray(pixels: np.ndarray) -> bytes:
     h, w = pixels.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # bitdepth 8, gray
     raw = b"".join(b"\x00" + pixels[r].tobytes() for r in range(h))
-    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw, 6)) + _chunk(b"IEND", b"")
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw, 1)) + _chunk(b"IEND", b"")
 
 
 def decode_png_gray(data: bytes) -> np.ndarray:

@@ -1,0 +1,47 @@
+"""Streaming twins of the batch event aggregations.
+
+Patterns per the public Structured Streaming guide: watermark + tumbling
+window for late data; ``foreachBatch`` writing through the lineage layer
+for exactly-once, resumable sinks (pipeline/lineage.py manifests make the
+batch write idempotent, which is what foreachBatch needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """readStream source -> watermarked tumbling-window counts/sums.
+    The batch twin is registry.events_windowed_agg."""
+    # NTZ timestamps (parquet default) are not valid event-time columns
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), key_col)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+def geotag_stream(stream: DataFrame, cell_res: int = 9) -> DataFrame:
+    """Streaming ingest of input_hint image records: geotag + cell encode
+    are pure column expressions, so the same operators apply unchanged to
+    a readStream source — this is the streaming front door of the tiling
+    pipeline."""
+    from fagi_gis_spark.operators.geotag import geotag_images
+
+    return geotag_images(stream, cell_res=cell_res)
+
+
+def start_memory_sink(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Test/debug sink: drive with processAllAvailable()."""
+    return (
+        df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    )
