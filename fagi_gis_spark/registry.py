@@ -514,7 +514,9 @@ def metadata_flattened(spark, sf_dir):
     _o(
         "SELECT l.node_a AS subject, t.predicate, t.object\n"
         "FROM links l JOIN triples_a t ON t.subject = l.node_a\n"
-        "WHERE t.predicate NOT IN ('http://a.example/name')"
+        "WHERE t.predicate NOT IN ('http://a.example/name')\n"
+        "  AND NOT regexp_matches(t.predicate,"
+        " '(asWKT|hasGeometry|wgs84_pos#lat|wgs84_pos#long)')"
     ),
 )
 def metadata_rest_properties(spark, sf_dir):
@@ -995,3 +997,116 @@ def fuse_keep_a_offset(spark, sf_dir):
     )
     fused = fuse_all(L["links"], poi_a_off, L["poi_b"], "keep_a")
     return _centroid_e9(fused)
+
+
+# --------------------------------------------------------------------------
+# Geometry import (S3), user filters, position update, link materialization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "wgs_point_synthesis",
+    _o(
+        "SELECT la.subject, 'POINT (' || lo.object || ' ' || la.object || ')' AS geom_wkt\n"
+        "FROM (SELECT subject, object FROM wgs_triples\n"
+        "      WHERE predicate = 'http://www.w3.org/2003/01/geo/wgs84_pos#lat') la\n"
+        "JOIN (SELECT subject, object FROM wgs_triples\n"
+        "      WHERE predicate = 'http://www.w3.org/2003/01/geo/wgs84_pos#long') lo\n"
+        "  ON la.subject = lo.subject"
+    ),
+)
+def wgs_point_synthesis(spark, sf_dir):
+    """S3 WGS serialization: lat/long property pairs synthesized into
+    'POINT (long lat)' text (Importer.java:316-318) after the ASK-probe
+    detection (Importer.java:479-507)."""
+    from fagi_gis_spark.operators.importer import detect_serialization, synth_wgs_points
+
+    L = layers(spark, sf_dir)
+    assert detect_serialization(L["wgs_triples"]) == "wgs"
+    return synth_wgs_points(L["wgs_triples"])
+
+
+@register(
+    "import_geometries_linked",
+    _o(
+        "SELECT la.subject, 'POINT (' || lo.object || ' ' || la.object || ')' AS geom_wkt\n"
+        "FROM (SELECT subject, object FROM wgs_triples\n"
+        "      WHERE predicate LIKE '%wgs84_pos#lat') la\n"
+        "JOIN (SELECT subject, object FROM wgs_triples\n"
+        "      WHERE predicate LIKE '%wgs84_pos#long') lo ON la.subject = lo.subject\n"
+        "WHERE la.subject IN (SELECT node_a FROM links)"
+    ),
+)
+def import_geometries_linked(spark, sf_dir):
+    """Full S3: detect -> synthesize -> linked-only semi-join ->
+    precedence dedup (Importer.importGeometries:190-426)."""
+    from fagi_gis_spark.operators.importer import import_geometries
+
+    L = layers(spark, sf_dir)
+    return import_geometries(L["wgs_triples"], L["links"], "a")
+
+
+@register(
+    "user_filter_links",
+    _o(
+        "SELECT l.node_a, l.node_b FROM links l\n"
+        "JOIN poi_a a ON l.node_a = a.subject JOIN poi_b b ON l.node_b = b.subject\n"
+        "WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat))\n"
+        "      * 111195.0 < 120.0"
+    ),
+)
+def user_filter_links(spark, sf_dir):
+    """Validated user-supplied filter over the pair view
+    (SPARQLFilterServlet.java:295-339)."""
+    from fagi_gis_spark.operators.filters import filter_links
+
+    L = layers(spark, sf_dir)
+    return filter_links(L["links"], L["poi_a"], L["poi_b"], "dist_m < 120.0")
+
+
+@register(
+    "update_position",
+    _o(
+        "SELECT subject,\n"
+        "  CASE WHEN subject = 'a:1' THEN 'POINT (0.100000 50.100000)' ELSE geom_wkt END AS geom_wkt\n"
+        "FROM poi_a"
+    ),
+)
+def update_position(spark, sf_dir):
+    """Manual position update: MERGE-by-subject semantics
+    (UpdatePositionServlet.java:100) as a declarative overwrite."""
+    L = layers(spark, sf_dir)
+    return L["poi_a"].select(
+        "subject",
+        F.when(F.col("subject") == "a:1", F.lit("POINT (0.100000 50.100000)"))
+        .otherwise(F.col("geom_wkt"))
+        .alias("geom_wkt"),
+    )
+
+
+def _materialize_oracle() -> str:
+    disc = _ORACLES["discover_links_exact"]
+    inner = disc[disc.index("SELECT node_a"):]
+    return _o(
+        "SELECT DISTINCT node_a, node_b FROM (\n"
+        "  SELECT node_a, node_b FROM links\n"
+        "  UNION ALL\n"
+        "  SELECT node_a, node_b FROM (\n" + inner + "\n) d\n"
+        ") u"
+    )
+
+
+@register("materialize_links", None)
+def materialize_links(spark, sf_dir):
+    """D6: accepted discovered pairs appended to the links relation,
+    deduplicated (CreateLinkServlet.java:277-340)."""
+    from fagi_gis_spark.operators.discovery import discover_links, materialize_links as mat
+
+    L = layers(spark, sf_dir)
+    disc = discover_links(
+        L["poi_a"], L["poi_b"], L["triples_a"], L["triples_b"], radius_m=200.0, mode="exact"
+    )
+    return mat(L["links"], disc)
+
+
+_ORACLES["materialize_links"] = _materialize_oracle()

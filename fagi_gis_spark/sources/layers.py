@@ -172,6 +172,27 @@ def triples_sql(side: str) -> str:
 """
 
 
+def wgs_triples_sql(dialect: str) -> str:
+    """WGS84 point-property triples (geo:lat / geo:long) for k%%4==0
+    subjects of layer A — the second geometry serialization the reference
+    auto-detects and synthesizes POINTs from (Constants.java:40-41,
+    Importer.java:316-318, 479-507)."""
+    f = _FMT[dialect]
+    return f"""
+  SELECT 'a:' || CAST(k AS STRING) AS subject,
+         'http://www.w3.org/2003/01/geo/wgs84_pos#lat' AS predicate,
+         {f}('%.6f', CAST(50 AS DOUBLE) + hy / 1e6) AS object,
+         '' AS lang, 'http://www.w3.org/2001/XMLSchema#decimal' AS dtype
+  FROM poi_base WHERE k % 4 = 0
+  UNION ALL
+  SELECT 'a:' || CAST(k AS STRING) AS subject,
+         'http://www.w3.org/2003/01/geo/wgs84_pos#long' AS predicate,
+         {f}('%.6f', (hx - 1000000) / 1e6) AS object,
+         '' AS lang, 'http://www.w3.org/2001/XMLSchema#decimal' AS dtype
+  FROM poi_base WHERE k % 4 = 0
+"""
+
+
 #: admin polygon layer (FIXTURES.md §5): a 17x17 grid of 0.125° squares
 #: covering the test window plus 4 overlapping squares (ambiguity cases).
 #: Grid origin offset by half a micro-degree so no lattice point ever sits
@@ -243,6 +264,7 @@ def spark_layers(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "links": spark.sql(f"SELECT * FROM ({links_sql()}) t"),
         "triples_a": spark.sql(f"SELECT * FROM ({triples_sql('a')}) t"),
         "triples_b": spark.sql(f"SELECT * FROM ({triples_sql('b')}) t"),
+        "wgs_triples": spark.sql(f"SELECT * FROM ({wgs_triples_sql('spark')}) t"),
     }
     out["poi_a_raw"] = out["poi_a"].unionByName(
         spark.sql(f"SELECT * FROM ({poi_a_extra_sql('spark')}) t")
@@ -264,6 +286,7 @@ poi_a_raw AS (SELECT * FROM poi_a UNION ALL SELECT * FROM ({poi_a_extra_sql('duc
 links AS ({links_sql()}),
 triples_a AS ({triples_sql('a')}),
 triples_b AS ({triples_sql('b')}),
+wgs_triples AS ({wgs_triples_sql('duckdb')}),
 poi_a_attrs AS (
   SELECT subject, lon, lat, k, k % 10 AS g,
          (5 + k % 16) * 10 / 1e6 AS d,
