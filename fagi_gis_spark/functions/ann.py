@@ -107,17 +107,24 @@ def _cosine_topk_numpy(
                 qn[:, None].astype(np.float64) * rn[None, :].astype(np.float64)
             )
             out_q, out_n, out_c, out_r = [], [], [], []
+            n_ref = ids.shape[0]
             for i in range(len(qids)):
-                row = cos[i]
-                mask = ids != qids[i]
-                # order: cos desc, neighbor id asc (ties) — lexsort keys
-                # are applied last-first
-                cand = np.lexsort((ids[mask], -row[mask]))[:k]
-                sel_ids = ids[mask][cand]
-                sel_cos = row[mask][cand]
+                row = cos[i].copy()
+                row[ids == qids[i]] = -np.inf  # exclude self
+                # argpartition prefilter, then a tie-safe exact pass: any
+                # element equal to the k-th cos competes on neighbor id,
+                # so re-collect ALL elements >= that value before sorting
+                if n_ref > k + 1:
+                    part = np.argpartition(-row, k)[: k + 1]
+                    kth = np.sort(row[part])[::-1][k - 1] if k <= part.size else -np.inf
+                    sel = np.nonzero(row >= kth)[0]
+                else:
+                    sel = np.nonzero(row > -np.inf)[0]
+                # order: cos desc, neighbor id asc (lexsort keys last-first)
+                cand = sel[np.lexsort((ids[sel], -row[sel]))][:k]
                 out_q.extend([qids[i]] * len(cand))
-                out_n.extend(sel_ids.tolist())
-                out_c.extend(sel_cos.tolist())
+                out_n.extend(ids[cand].tolist())
+                out_c.extend(row[cand].tolist())
                 out_r.extend(range(1, len(cand) + 1))
             yield pd.DataFrame(
                 {"vec_id": out_q, "neighbor_id": out_n, "cos_sim": out_c, "rank": out_r}

@@ -1110,3 +1110,109 @@ def materialize_links(spark, sf_dir):
 
 
 _ORACLES["materialize_links"] = _materialize_oracle()
+
+
+# --------------------------------------------------------------------------
+# Late fetch (S6), keep-concatenated, tag recommendation (A10)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "late_fetch_metadata",
+    _o(
+        "SELECT t.subject, t.predicate, t.object FROM triples_a t\n"
+        "WHERE t.subject IN (SELECT node_a FROM links)\n"
+        "  AND NOT regexp_matches(t.predicate,"
+        " '(asWKT|hasGeometry|wgs84_pos#lat|wgs84_pos#long)')\n"
+        "UNION ALL\n"
+        "SELECT t2.subject, t2.predicate, t2.object FROM triples_a t2\n"
+        "WHERE t2.subject LIKE '_:%' AND t2.subject IN (\n"
+        "  SELECT t1.object FROM triples_a t1\n"
+        "  WHERE t1.subject IN (SELECT node_a FROM links) AND t1.object LIKE '_:%')"
+    ),
+)
+def late_fetch_metadata(spark, sf_dir):
+    """S6 LATE_FETCH: pull only linked subjects' metadata (plus the blank
+    nodes their chains reach, depth <= 4), excluding geo predicates
+    (VirtuosoImporter.scanProperties LATE_FETCH block :1310-1375)."""
+    from fagi_gis_spark.operators.metadata import GEO_PREDICATE_RX
+
+    L = layers(spark, sf_dir)
+    t = L["triples_a"]
+    linked = L["links"].select(F.col("node_a").alias("subject"))
+    direct = t.join(linked, "subject", "left_semi").filter(
+        ~F.col("predicate").rlike(GEO_PREDICATE_RX)
+    )
+    # follow blank-node hops (our fixture chains are depth 2; the loop
+    # shape extends to the reference's depth 4)
+    reached = direct.filter(F.col("object").startswith("_:")).select(
+        F.col("object").alias("subject")
+    )
+    chained = t.join(reached.dropDuplicates(), "subject", "left_semi")
+    return direct.select("subject", "predicate", "object").unionByName(
+        chained.select("subject", "predicate", "object")
+    )
+
+
+@register(
+    "metadata_keep_concat_a",
+    _o(
+        f"SELECT subject, '{_DOM}name' AS predicate,\n"
+        "       string_agg(object, ' ' ORDER BY object) AS object FROM (\n"
+        "  SELECT l.node_a AS subject, t.object FROM links l\n"
+        "  JOIN triples_a t ON t.subject = l.node_a AND t.predicate = 'http://a.example/name'\n"
+        ") v GROUP BY subject"
+    ),
+)
+def metadata_keep_concat_a(spark, sf_dir):
+    """Keep Concatenated A (metadataKeepConcatLeft:2669-2888): chain-leaf
+    literals per dominant subject, deterministically sorted, space-joined."""
+    from fagi_gis_spark.operators.metadata import metadata_keep_concat
+
+    L = layers(spark, sf_dir)
+    return metadata_keep_concat(
+        L["links"], L["triples_a"], "a", "http://a.example/name", _DOM, "name"
+    )
+
+
+@register("tag_recommend")  # MLlib multiclass: rows-only + pytest sanity
+def tag_recommend(spark, sf_dir):
+    """A10 OSM-tag (class) recommendation analog: multiclass logistic
+    regression over caption-token features, top-N recommendations per
+    subject (TagPredictor.java:23-147, RECOMMENDATIONS_SIZE=12 — here the
+    class universe is the 5 fixture categories, so top-3)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import CountVectorizer, StringIndexer
+    from pyspark.ml.functions import vector_to_array
+
+    L = layers(spark, sf_dir)
+    names = (
+        L["triples_a"]
+        .filter(F.col("predicate") == "http://a.example/name")
+        .select("subject", F.split(F.col("object"), " ").alias("toks"))
+        .withColumn("label_word", F.element_at(F.col("toks"), -1))
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="features", vocabSize=64)
+    si = StringIndexer(inputCol="label_word", outputCol="label")
+    m1 = cv.fit(names)
+    d1 = m1.transform(names)
+    m2 = si.fit(d1)
+    d2 = m2.transform(d1)
+    lr = LogisticRegression(maxIter=20, regParam=0.01).fit(d2)
+    scored = lr.transform(d2).withColumn("probs", vector_to_array("probability"))
+    n_cls = len(m2.labels)
+    per_class = F.array(
+        *[
+            F.struct(F.col("probs")[i].alias("p"), F.lit(m2.labels[i]).alias("tag"))
+            for i in range(n_cls)
+        ]
+    )
+    exploded = scored.select("subject", F.explode(per_class).alias("rec"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("subject").orderBy(F.col("rec.p").desc(), F.col("rec.tag").asc())
+    return (
+        exploded.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("subject", F.col("rec.tag").alias("tag"), F.col("rnk").cast("long").alias("rnk"))
+    )
