@@ -137,6 +137,107 @@ def _cosine_topk_numpy(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    quantize: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    assigns each vector to a cell; queries probe their ``n_probe`` nearest
+    centroids and re-rank exactly (integer dot products) inside those
+    cells. The second scale path next to LSH: shuffle bounded by cell
+    population, centroids broadcast."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).withColumn("features", array_to_vector(F.col("embedding")))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(vec)
+    centers = np.vstack([np.asarray(c) for c in km.clusterCenters()])
+    b = emb.sparkSession.sparkContext.broadcast(centers)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def u_probe_cells(v: pd.Series) -> pd.Series:
+        C = b.value
+        m = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        d = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe]
+        return pd.Series(order.astype(np.int32).tolist())
+
+    base = vec.withColumn(
+        "v", F.transform("embedding", lambda x: F.round(x.cast("double") * quantize).cast("long"))
+    ).withColumn("n", _dot(F.col("v"), F.col("v")))
+    build = km.transform(base).select(
+        F.col("prediction").alias("cell"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    probe = base.select(
+        "vec_id", F.col("v").alias("va"), F.col("n").alias("na"),
+        F.explode(u_probe_cells(F.col("embedding"))).alias("cell"),
+    )
+    pairs = probe.join(build, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    quantize: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-by-embedding
+    operator): exact quantized cosine over the broadcast matrix, emitting
+    (id_a < id_b, cos_sim) at/above the threshold only — the thresholded
+    sparsification happens inside the kernel, so nothing near n^2 ever
+    leaves it. Oracle-checkable (integer-exact dot products)."""
+    ref_pdf = emb.select(id_col, vec_col).toPandas()
+    ids = ref_pdf[id_col].to_numpy("int64")
+    R = _round_half_away(
+        np.vstack([np.asarray(v, dtype=np.float64) for v in ref_pdf[vec_col]]) * quantize
+    )
+    rn = (R * R).sum(axis=1)
+    b = emb.sparkSession.sparkContext.broadcast((ids, R, rn))
+
+    def pairs(batches):
+        rids, Rm, rnorm = b.value
+        for pdf in batches:
+            qids = pdf["__id"].to_numpy("int64")
+            Q = _round_half_away(
+                np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]]) * quantize
+            )
+            qn = (Q * Q).sum(axis=1)
+            cos = (Q @ Rm.T).astype(np.float64) / np.sqrt(
+                qn[:, None].astype(np.float64) * rnorm[None, :].astype(np.float64)
+            )
+            hit = (cos >= threshold) & (qids[:, None] < rids[None, :])
+            qi, ri = np.nonzero(hit)
+            yield pd.DataFrame(
+                {"id_a": qids[qi], "id_b": rids[ri], "cos_sim": cos[qi, ri]}
+            )
+
+    prepared = emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    return prepared.mapInPandas(pairs, schema="id_a long, id_b long, cos_sim double")
+
+
 def hyperplane_signatures(
     emb: DataFrame,
     n_tables: int = 16,

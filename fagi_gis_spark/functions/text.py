@@ -26,6 +26,17 @@ def token_count(text: Column) -> Column:
     return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
 
 
+#: BPE-ish subword chunking: word pieces up to 4 chars, digits, or a
+#: single non-space symbol — a deterministic stand-in for a trained BPE
+#: vocabulary, used for token-budget estimation
+BPE_ISH_PATTERN = r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Subword-unit count via regexp (JVM-side regexp_count)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
 def char_classes(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / digit / uppercase counts — quality features."""
     t = F.col(text_col)

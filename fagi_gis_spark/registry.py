@@ -1216,3 +1216,60 @@ def tag_recommend(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("subject", F.col("rec.tag").alias("tag"), F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup, IVF ANN, BPE-ish token counts
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    "WITH q AS (\n"
+    "  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v\n"
+    "  FROM embeddings),\n"
+    "n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM q)\n"
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b,\n"
+    "  CAST(CAST(list_dot_product(a.v, b.v) AS BIGINT) AS DOUBLE)\n"
+    "    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cos_sim\n"
+    "FROM n a, n b\n"
+    "WHERE a.vec_id < b.vec_id\n"
+    "  AND CAST(CAST(list_dot_product(a.v, b.v) AS BIGINT) AS DOUBLE)\n"
+    "    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) >= 0.35",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (training-data dedup family):
+    thresholded sparsification inside the broadcast-matrix kernel."""
+    from fagi_gis_spark.functions.ann import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dup_pairs(emb, threshold=0.35)
+
+
+@register("ann_ivf_topk")  # KMeans coarse quantizer: pytest recall check
+def ann_ivf_topk(spark, sf_dir):
+    from fagi_gis_spark.functions.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, k=5).withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "doc_token_budget",
+    "SELECT doc_id,\n"
+    "  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,\n"
+    "  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)"
+    " AS n_subwords\n"
+    "FROM documents",
+)
+def doc_token_budget(spark, sf_dir):
+    """Token counting for budget estimation: whitespace words + BPE-ish
+    subword units (regexp, JVM-side)."""
+    from fagi_gis_spark.functions.text import bpe_ish_count, token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_words"),
+        bpe_ish_count(F.col("text")).alias("n_subwords"),
+    )

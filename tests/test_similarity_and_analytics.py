@@ -161,3 +161,31 @@ def test_fuzzy_discovery_matches_python_oracle(spark):
                 expected.add((pa.subject[i], pb.subject[j]))
     assert set(map(tuple, got[["node_a", "node_b"]].itertuples(index=False))) == expected
     assert len(expected) > 0
+
+
+def test_ivf_recall_vs_exact(spark):
+    from fagi_gis_spark.functions.ann import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = cosine_topk(emb, k=5).toPandas()
+    approx = ivf_topk(emb, k=5, n_cells=8, n_probe=3).toPandas()
+    e = set(map(tuple, exact[["vec_id", "neighbor_id"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, f"IVF recall too low: {recall}"
+
+
+def test_catalog_merge_by_key(spark, tmp_path):
+    import pandas as pd
+
+    from fagi_gis_spark.pipeline.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    base = spark.createDataFrame(
+        pd.DataFrame({"subject": ["s1", "s2", "s3"], "val": [1, 2, 3]})
+    )
+    cat.write(base, "t")
+    updates = spark.createDataFrame(pd.DataFrame({"subject": ["s2", "s4"], "val": [20, 40]}))
+    cat.merge_by_key("t", updates, "subject")
+    got = {r.subject: r.val for r in cat.read("t").collect()}
+    assert got == {"s1": 1, "s2": 20, "s3": 3, "s4": 40}
