@@ -73,9 +73,17 @@ def discover_links(
     cand = cand.join(lits_b, "r_key", "inner")
 
     # D3: term-frequency filter — a literal value must be unique within
-    # the probe entity's neighborhood (freq == 1)
-    freq = cand.groupBy("l_key", "lit_b").agg(F.count("*").alias("freq"))
-    cand = cand.join(freq.filter(F.col("freq") == 1), ["l_key", "lit_b"], "left_semi")
+    # the probe entity's neighborhood (freq == 1). A window count does it
+    # in ONE pass over the candidates (a groupBy + semi-join would
+    # recompute the whole radius join for the second branch).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_key", "lit_b")
+    cand = (
+        cand.withColumn("__freq", F.count("*").over(w))
+        .filter(F.col("__freq") == 1)
+        .drop("__freq")
+    )
 
     # probe entity's own literal
     lits_a = triples_a.filter(

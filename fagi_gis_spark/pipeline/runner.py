@@ -89,3 +89,36 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
         partition_by=["z"],
     )
     return {"poi_a": poi_a, "poi_b": poi_b, "links": links, "fused": fused, "tiles": tiled}
+
+
+def main():  # CLI-equivalent entry (reference §3.1: java -jar fagi-gis -c fusion.conf)
+    import argparse
+
+    from fagi_gis_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="fagi_gis_spark end-to-end pipeline")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--transformation", default="keep_a")
+    ap.add_argument("--radius-m", type=float, default=150.0)
+    ap.add_argument("--shift-pct", type=float, default=25.0)
+    ap.add_argument("--salt-threshold", type=int, default=None)
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("fagi-pipeline", cores=args.cores)
+    cfg = PipelineConfig(
+        sf_dir=args.sf_dir,
+        out_dir=args.out_dir,
+        transformation=args.transformation,
+        radius_m=args.radius_m,
+        params=FusionParams(shift_pct=args.shift_pct),
+        salt_threshold=args.salt_threshold,
+    )
+    result = run_pipeline(spark, cfg)
+    for stage, df in result.items():
+        print(f"{stage}: {df.count()} rows")
+
+
+if __name__ == "__main__":
+    main()
