@@ -60,7 +60,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (31 so far)."""
+    """One entry per implemented operator from SURVEY.md §2 (see §8
+    coverage map; 59 queries in round 1)."""
     from fagi_gis_spark import registry
 
     return registry.queries()

@@ -49,6 +49,15 @@ def run(sf_dir: str | None = None, cores: str | None = None, names=None) -> dict
     rows: dict[str, int] = {}
     total_rows_in = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
+    # warmup: spawn python workers + JIT codegen so the first measured
+    # query doesn't absorb one-time session costs
+    from pyspark.sql import functions as F
+
+    spark.range(0, 500_000, 1, 8).select((F.col("id") * 7 % 13).alias("x")).groupBy(
+        "x"
+    ).count().collect()
+    qs["fuse_keep_a"](spark, sf_dir).limit(1000).write.format("noop").mode("overwrite").save()
+
     for name in names:
         df = qs[name](spark, sf_dir)
         t0 = time.time()

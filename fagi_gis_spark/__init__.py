@@ -11,4 +11,14 @@ Reference semantics are cited per-operator as ``file:line`` paths under
 Java/PostGIS/Virtuoso system, this engine is DataFrame-first).
 """
 
+import os as _os
+
+# Pin numeric libraries to one thread per process as early as possible:
+# N python workers each spawning a full OpenBLAS pool oversubscribes the
+# host N*cores-fold and inverts scaling (see session.py). Workers import
+# this package before touching numpy kernels, so the setting lands even
+# when the SparkSession was created outside fagi_gis_spark.session.
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_var, "1")
+
 __version__ = "0.1.0"
