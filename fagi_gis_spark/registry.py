@@ -1273,3 +1273,28 @@ def doc_token_budget(spark, sf_dir):
         token_count(F.col("text")).alias("n_words"),
         bpe_ish_count(F.col("text")).alias("n_subwords"),
     )
+
+
+@register(
+    "doc_langid",
+    "SELECT doc_id, lang,\n"
+    "  CASE WHEN n_tokens < 3 THEN 'unknown'\n"
+    "       WHEN stop_hits >= 3 AND ascii_ratio > 0.9 THEN 'en'\n"
+    "       ELSE 'other' END AS lang_pred\n"
+    "FROM (\n"
+    "  SELECT doc_id, lang,\n"
+    "    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,\n"
+    "    CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),\n"
+    "      ['the','of','and','a','to','in','is','it','you','that','he','was','for','on','are',\n"
+    "       'as','with','his','they','i','at','be','this','have','from','or','one','had','by',\n"
+    "       'word','but','not','what','all','were','we','when'])) AS BIGINT) AS stop_hits,\n"
+    "    length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))\n"
+    "      / greatest(length(text), 1) AS ascii_ratio\n"
+    "  FROM documents) t",
+)
+def doc_langid(spark, sf_dir):
+    """Language-ID heuristic (stopword hit rate + ascii ratio) next to the
+    dataset's ground-truth lang column."""
+    from fagi_gis_spark.functions.text import lang_id_heuristic
+
+    return lang_id_heuristic(_docs(spark, sf_dir)).select("doc_id", "lang", "lang_pred")
