@@ -119,3 +119,50 @@ def test_writeback_replaces_geo_triples(spark):
     assert "keepme" in set(mine.object)  # non-geo triple kept
     assert "POINT (0 0)" not in set(mine.object)  # old geometry deleted
     assert (mine.predicate == GEO_WKT_PRED).sum() == 1  # new geometry present
+
+
+def test_shift_with_rotation_and_scale_matches_local_replay(spark):
+    """Full ShiftAToB pipeline with non-default params (rotate 30deg,
+    scale 1.5, shift 40%) vs a local numpy replay of
+    GeomRotate -> GeomResize -> ST_Translate (ShiftAToB.java:200-213)."""
+    import math
+
+    import numpy as np
+
+    from fagi_gis_spark.geometry.affine import rotate_about, scale_about, translate
+    from fagi_gis_spark.geometry.measures import centroid
+    from fagi_gis_spark.geometry.wkt import parse_wkt
+    from fagi_gis_spark.operators.fusion import FusionParams, fuse_all, linked_pairs
+    from fagi_gis_spark.registry import layers
+
+    L = layers(spark, SF)
+    params = FusionParams(shift_pct=40.0, rotate_deg=30.0, scale_f=1.5)
+    sample = (
+        linked_pairs(L["links"], L["poi_a"], L["poi_b"])
+        .limit(50)
+        .select("subject_a", "subject_b", "wkt_a", "wkt_b")
+        .toPandas()
+    )
+    got = (
+        fuse_all(L["links"], L["poi_a"], L["poi_b"], "shift_a_to_b", params)
+        .join(
+            spark.createDataFrame(sample[["subject_a", "subject_b"]]),
+            ["subject_a", "subject_b"],
+            "left_semi",
+        )
+        .toPandas()
+        .set_index(["subject_a", "subject_b"])
+    )
+    for _, r in sample.iterrows():
+        g = parse_wkt(r.wkt_a)
+        cs = centroid(g)
+        cd = centroid(parse_wkt(r.wkt_b))
+        g = rotate_about(g, math.radians(30.0))
+        g = scale_about(g, 1.5, 1.5)
+        g = translate(g, 0.4 * (cd[0] - cs[0]), 0.4 * (cd[1] - cs[1]))
+        expect = centroid(g)
+        got_wkt = got.loc[(r.subject_a, r.subject_b), "geom_wkt"]
+        if isinstance(got_wkt, pd.Series):  # duplicate-target links
+            got_wkt = got_wkt.iloc[0]
+        actual = centroid(parse_wkt(got_wkt))
+        np.testing.assert_allclose(actual, expect, atol=2e-9)
