@@ -35,20 +35,26 @@ def cosine_topk(
     vec_col: str = "embedding",
     quantize: int = 1000,
     queries: DataFrame | None = None,
-    impl: str = "numpy",
+    impl: str = "blocked",
+    n_blocks: int = 32,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for every vector (excluding self).
     Integer-quantized: cos = dot_q / sqrt(n_a * n_b) over exact BIGINTs,
     so both impls (and the DuckDB oracle) agree bit-for-bit.
 
-    impl="numpy" (default): the reference set is broadcast as one integer
-    matrix and each Arrow batch of queries does a blocked matmul + top-k —
-    ~30x faster than expression-tree evaluation, no shuffle at all. Valid
-    while the reference set fits an executor (the brute-force regime);
-    beyond that use lsh_topk. impl="sql": pure Catalyst expressions
+    impl="blocked" (default): block-partitioned exact matmul — the
+    reference set is hash-split into ``n_blocks`` row blocks, queries
+    replicate to every block, a cogrouped Arrow kernel does one integer
+    matmul + tie-safe per-block top-k per (query batch, block), and a
+    final window merges the global top-k. NOTHING is collected to the
+    driver, so "exact" survives reference sets far beyond one machine's
+    memory: per-task working set is |block| x dim, and n_blocks scales
+    with the data. (Per-block top-k is globally sufficient: any global
+    top-k neighbor ranks within top-k of its own block under the same
+    (cos desc, id asc) order.) impl="sql": pure Catalyst expressions
     (self-join + window), kept as the plan-level baseline."""
-    if impl == "numpy":
-        return _cosine_topk_numpy(emb, k, id_col, vec_col, quantize, queries)
+    if impl in ("blocked", "numpy"):  # "numpy" kept as a back-compat alias
+        return _cosine_topk_blocked(emb, k, id_col, vec_col, quantize, queries, n_blocks)
     base = _quantized(emb, id_col, vec_col, quantize)
     norms = base.withColumn("n", _dot(F.col("v"), F.col("v")))
     q = norms if queries is None else _quantized(queries, id_col, vec_col, quantize).withColumn(
@@ -77,63 +83,94 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
 
 
-def _cosine_topk_numpy(
+def _qmatrix(col: "pd.Series", quantize: int) -> np.ndarray:
+    return _round_half_away(
+        np.vstack([np.asarray(v, dtype=np.float64) for v in col]) * quantize
+    )
+
+
+def _block_topk(
+    qids: np.ndarray, Q: np.ndarray, rids: np.ndarray, R: np.ndarray, k: int
+) -> pd.DataFrame:
+    """Exact tie-safe per-block top-k (cos desc, neighbor id asc), self
+    pairs excluded. Shared by the blocked top-k kernel."""
+    qn = (Q * Q).sum(axis=1)
+    rn = (R * R).sum(axis=1)
+    cos = (Q @ R.T).astype(np.float64) / np.sqrt(
+        qn[:, None].astype(np.float64) * rn[None, :].astype(np.float64)
+    )
+    n_ref = rids.shape[0]
+    out_q, out_n, out_c = [], [], []
+    for i in range(len(qids)):
+        row = cos[i].copy()
+        row[rids == qids[i]] = -np.inf  # exclude self
+        # argpartition prefilter, then a tie-safe exact pass: any element
+        # equal to the k-th cos competes on neighbor id, so re-collect ALL
+        # elements >= that value before sorting
+        if n_ref > k + 1:
+            part = np.argpartition(-row, k)[: k + 1]
+            kth = np.sort(row[part])[::-1][k - 1] if k <= part.size else -np.inf
+            sel = np.nonzero(row >= kth)[0]
+        else:
+            sel = np.nonzero(row > -np.inf)[0]
+        # order: cos desc, neighbor id asc (lexsort keys last-first)
+        cand = sel[np.lexsort((rids[sel], -row[sel]))][:k]
+        out_q.extend([qids[i]] * len(cand))
+        out_n.extend(rids[cand].tolist())
+        out_c.extend(row[cand].tolist())
+    return pd.DataFrame(
+        {
+            "vec_id": pd.Series(out_q, dtype="int64"),
+            "neighbor_id": pd.Series(out_n, dtype="int64"),
+            "cos_sim": pd.Series(out_c, dtype="float64"),
+        }
+    )
+
+
+def _cosine_topk_blocked(
     emb: DataFrame,
     k: int,
     id_col: str,
     vec_col: str,
     quantize: int,
     queries: DataFrame | None,
+    n_blocks: int,
 ) -> DataFrame:
-    ref_pdf = emb.select(id_col, vec_col).toPandas()
-    ref_ids = ref_pdf[id_col].to_numpy("int64")
-    R = _round_half_away(
-        np.vstack([np.asarray(v, dtype=np.float64) for v in ref_pdf[vec_col]]) * quantize
+    ref = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).withColumn(
+        "block", F.pmod(F.crc32(F.col("vid").cast("string")), F.lit(n_blocks)).cast("int")
     )
-    r_norm = (R * R).sum(axis=1)
-    spark = emb.sparkSession
-    b = spark.sparkContext.broadcast((ref_ids, R, r_norm))
-
-    def topk(batches):
-        ids, Rm, rn = b.value
-        for pdf in batches:
-            qids = pdf["__id"].to_numpy("int64")
-            Q = _round_half_away(
-                np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]]) * quantize
-            )
-            qn = (Q * Q).sum(axis=1)
-            dots = Q @ Rm.T  # exact int64
-            cos = dots.astype(np.float64) / np.sqrt(
-                qn[:, None].astype(np.float64) * rn[None, :].astype(np.float64)
-            )
-            out_q, out_n, out_c, out_r = [], [], [], []
-            n_ref = ids.shape[0]
-            for i in range(len(qids)):
-                row = cos[i].copy()
-                row[ids == qids[i]] = -np.inf  # exclude self
-                # argpartition prefilter, then a tie-safe exact pass: any
-                # element equal to the k-th cos competes on neighbor id,
-                # so re-collect ALL elements >= that value before sorting
-                if n_ref > k + 1:
-                    part = np.argpartition(-row, k)[: k + 1]
-                    kth = np.sort(row[part])[::-1][k - 1] if k <= part.size else -np.inf
-                    sel = np.nonzero(row >= kth)[0]
-                else:
-                    sel = np.nonzero(row > -np.inf)[0]
-                # order: cos desc, neighbor id asc (lexsort keys last-first)
-                cand = sel[np.lexsort((ids[sel], -row[sel]))][:k]
-                out_q.extend([qids[i]] * len(cand))
-                out_n.extend(ids[cand].tolist())
-                out_c.extend(row[cand].tolist())
-                out_r.extend(range(1, len(cand) + 1))
-            yield pd.DataFrame(
-                {"vec_id": out_q, "neighbor_id": out_n, "cos_sim": out_c, "rank": out_r}
-            )
-
     src = queries if queries is not None else emb
-    prepared = src.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    return prepared.mapInPandas(
-        topk, schema="vec_id long, neighbor_id long, cos_sim double, rank int"
+    q = src.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).withColumn(
+        "block", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    )
+
+    def blk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
+            )
+        return _block_topk(
+            left["qid"].to_numpy("int64"),
+            _qmatrix(left["qv"], quantize),
+            right["vid"].to_numpy("int64"),
+            _qmatrix(right["v"], quantize),
+            k,
+        )
+
+    per_block = (
+        q.groupBy("block")
+        .cogroup(ref.groupBy("block"))
+        .applyInPandas(blk, schema="vec_id long, neighbor_id long, cos_sim double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        per_block.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )
 
 
@@ -203,39 +240,58 @@ def cosine_near_dup_pairs(
     quantize: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 32,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-by-embedding
-    operator): exact quantized cosine over the broadcast matrix, emitting
-    (id_a < id_b, cos_sim) at/above the threshold only — the thresholded
-    sparsification happens inside the kernel, so nothing near n^2 ever
-    leaves it. Oracle-checkable (integer-exact dot products)."""
-    ref_pdf = emb.select(id_col, vec_col).toPandas()
-    ids = ref_pdf[id_col].to_numpy("int64")
-    R = _round_half_away(
-        np.vstack([np.asarray(v, dtype=np.float64) for v in ref_pdf[vec_col]]) * quantize
+    operator): exact quantized cosine via the same block-partitioned
+    cogroup matmul as ``cosine_topk`` — the table is hash-split into
+    ``n_blocks`` row blocks, rows replicate to every block as queries, and
+    each (query batch, block) task emits only (id_a < id_b, cos_sim) at or
+    above the threshold. Nothing is collected to the driver and nothing
+    near n^2 ever leaves a kernel; each pair lands in exactly one block
+    (the one owning id_b), so no dedup pass is needed. Oracle-checkable
+    (integer-exact dot products)."""
+    ref = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).withColumn(
+        "block", F.pmod(F.crc32(F.col("vid").cast("string")), F.lit(n_blocks)).cast("int")
     )
-    rn = (R * R).sum(axis=1)
-    b = emb.sparkSession.sparkContext.broadcast((ids, R, rn))
+    q = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).withColumn(
+        "block", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    )
 
-    def pairs(batches):
-        rids, Rm, rnorm = b.value
-        for pdf in batches:
-            qids = pdf["__id"].to_numpy("int64")
-            Q = _round_half_away(
-                np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]]) * quantize
-            )
-            qn = (Q * Q).sum(axis=1)
-            cos = (Q @ Rm.T).astype(np.float64) / np.sqrt(
-                qn[:, None].astype(np.float64) * rnorm[None, :].astype(np.float64)
-            )
-            hit = (cos >= threshold) & (qids[:, None] < rids[None, :])
-            qi, ri = np.nonzero(hit)
-            yield pd.DataFrame(
-                {"id_a": qids[qi], "id_b": rids[ri], "cos_sim": cos[qi, ri]}
-            )
+    def blk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        qids = left["qid"].to_numpy("int64")
+        rids = right["vid"].to_numpy("int64")
+        Q = _qmatrix(left["qv"], quantize)
+        R = _qmatrix(right["v"], quantize)
+        qn = (Q * Q).sum(axis=1)
+        rn = (R * R).sum(axis=1)
+        cos = (Q @ R.T).astype(np.float64) / np.sqrt(
+            qn[:, None].astype(np.float64) * rn[None, :].astype(np.float64)
+        )
+        hit = (cos >= threshold) & (qids[:, None] < rids[None, :])
+        qi, ri = np.nonzero(hit)
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(qids[qi], dtype="int64"),
+                "id_b": pd.Series(rids[ri], dtype="int64"),
+                "cos_sim": pd.Series(cos[qi, ri], dtype="float64"),
+            }
+        )
 
-    prepared = emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    return prepared.mapInPandas(pairs, schema="id_a long, id_b long, cos_sim double")
+    return (
+        q.groupBy("block")
+        .cogroup(ref.groupBy("block"))
+        .applyInPandas(blk, schema="id_a long, id_b long, cos_sim double")
+    )
 
 
 def hyperplane_signatures(

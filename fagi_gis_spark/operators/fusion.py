@@ -324,14 +324,16 @@ def with_scores(pairs: DataFrame, transformation: str, threshold_m: float = 500.
     if transformation in ("keep_a", "keep_b", "keep_both", "most_points", "concatenation"):
         score = F.lit(1.0)
     elif transformation in ("shift_a_to_b", "shift_b_to_a", "most_points_translate"):
+        # the reference checks the POINT/POLYGON gate BEFORE the
+        # threshold==-1 shortcut (ShiftAToB.score:138-177), so mismatched
+        # types score 0 even with no threshold.
+        type_gate = (u_gtype(F.col("wkt_a")) == "POINT") & (
+            u_gtype(F.col("wkt_b")) == "POLYGON"
+        )
         if threshold_m < 0:
-            score = F.lit(1.0)
+            score = F.when(type_gate, F.lit(1.0)).otherwise(F.lit(0.0))
         else:
-            gate = (
-                (u_gtype(F.col("wkt_a")) == "POINT")
-                & (u_gtype(F.col("wkt_b")) == "POLYGON")
-                & (dist_m <= F.lit(threshold_m))
-            )
+            gate = type_gate & (dist_m <= F.lit(threshold_m))
             score = F.when(
                 gate, F.sqrt((F.lit(threshold_m) - dist_m) / F.lit(threshold_m))
             ).otherwise(F.lit(0.0))

@@ -2,14 +2,46 @@
 
 Reference: liblinear L2R_L2LOSS_SVC (solver 2), C=0.1, EPS=0.01
 (/root/reference/fagi-gis/src/main/java/gr/athenainnovation/imis/fusion/gis/learning/core/TrainWorker.java:31-32,90);
-features = BooleanVector (learning/vectors/BooleanVector.java:56-105):
-one-hot geometry types, binned %-deltas of area/points/edges, topology
-bits, binned centroid distance. Spark-first: features as ONE Arrow-batched
-pandas UDF emitting a vector, MLlib LinearSVC (same squared-hinge L2 SVM
-family) for training, distributed transform for prediction.
+features = BooleanVector.createGeometryFeatures
+(learning/vectors/BooleanVector.java:56-105, bins to :812). Spark-first:
+features as ONE Arrow-batched pandas UDF emitting a dense vector, MLlib
+LinearSVC (same squared-hinge L2 SVM family) for training, distributed
+transform for prediction.
+
+Dense feature layout — same driver list and bin edges as the reference,
+in order (reference method : slots):
+
+====================================  =====  =========
+geometryTypeFeature (any-side bits)   8      [0,8)
+percentageOfAreaDifference            19     [8,27)
+percentageOfPointsDifference          20     [27,47)
+percentageOfMeanEdgeDifference        20     [47,67)
+percentageOfMeanEdgeAverage           32     [67,99)
+percentageOfVariance                  20     [99,119)
+cross/touch/intersect/within×2/
+contains×2 (JTS relate)               7      [119,126)
+sumOfNumberOfPointsFeature            11     [126,137)
+linkLength (centroid dist ×1e6)       5      [137,142)
+unitVectorAngle                       4      [142,146)
+sumOfArea                             25     [146,171)
+====================================  =====  =========
+
+Fidelity notes (deliberate, documented):
+* the reference emits sparse liblinear ids whose increments don't match
+  the branch counts (e.g. SUM_OF_AREA_FEATURES=10 for 25 branches,
+  linkLength writes id+1 in EVERY branch) — so several reference features
+  collide on the same index. The dense layout keeps every bin
+  distinguishable instead of replicating the id collisions.
+* percentageOfPointsDifference replicates the reference's INTEGER
+  division ((pointsA-pointsB)/maxPoints in Java ints truncates toward
+  zero), so its value is in {-1, 0, 1} exactly as trained models see it.
+* a %-bin loop that falls through (value >= last step, or NaN from 0/0)
+  sets NO bit — same as the reference's for-loop running off the end.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -17,56 +49,182 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fagi_gis_spark.geometry.measures import DEG_TO_M, area, bbox, centroid, npoints
-from fagi_gis_spark.geometry.wkt import parse_wkt
+from fagi_gis_spark.geometry.measures import area, centroid, npoints
+from fagi_gis_spark.geometry.topology import relate_flags
+from fagi_gis_spark.geometry.wkt import Geom, parse_wkt
 
-_GTYPES = ["POINT", "LINESTRING", "POLYGON", "MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON"]
-N_FEATURES = 6 + 6 + 5 + 5 + 3 + 1  # onehot_a + onehot_b + bins + bins + topo + dist
+# any-side type bits, reference order (BooleanVector.java:106-149)
+_TYPE_BITS = [
+    "LINESTRING",
+    "POLYGON",
+    "LINEARRING",  # LinearRing/CircularString — never produced by this engine
+    "POINT",
+    "MULTILINESTRING",
+    "MULTIPOLYGON",
+    "MULTIPOINT",
+    "GEOMETRYCOLLECTION",
+]
+
+_MEANS_AVG_EDGES = [
+    0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0, 5.5, 6.0, 6.5, 7.0, 7.5, 8.0,
+    8.5, 9.0, 9.5, 10.0, 11.0, 12.0, 15.0, 20.0, 25.0, 30.0, 35.0, 40.0, 50.0, 100.0,
+    200.0,
+]  # + else = 32 bins (BooleanVector.java:531-658)
+_SUM_POINTS_EDGES = [10, 20, 30, 40, 50, 75, 100, 150, 200, 300]  # + else = 11
+_SUM_AREA_EDGES = [
+    50, 100, 150, 200, 250, 300, 350, 400, 450, 500, 750, 1000, 1250, 1500, 1750,
+    2000, 2250, 2500, 2750, 3000, 3500, 4000, 5000, 10000,
+]  # + else = 25
+_DIST_EDGES = [4.0, 6.0, 8.0, 15.0]  # + else = 5 (linkLength, dist ×1e6)
+_ANGLE_EDGES = [-math.pi / 4, 0.0, math.pi / 4]  # + else = 4
+
+N_FEATURES = 8 + 19 + 20 + 20 + 32 + 20 + 7 + 11 + 5 + 4 + 25  # = 171
 
 
-def _bin5(x: float, edges=(0.1, 0.25, 0.5, 0.75)) -> int:
+def _pct_bin(pct: float, start: float, n: int) -> int | None:
+    """First i in [0,n) with pct < start + 0.1*i — the reference's
+    percentage-step loop; None = fell through (incl. NaN)."""
+    for i in range(n):
+        if pct < start + 0.1 * i:
+            return i
+    return None
+
+
+def _edge_bin(x: float, edges: list) -> int:
     for i, e in enumerate(edges):
-        if x <= e:
+        if x < e:
             return i
     return len(edges)
+
+
+def _flat_coords(g: Geom) -> np.ndarray:
+    """All coordinates in serialization order — the analogue of JTS
+    Geometry.getCoordinates(), which the reference feeds to the edge-mean
+    loop INCLUDING the spurious part-to-part and ring-closure joins."""
+    t = g.gtype
+    if t in ("POINT", "MULTIPOINT", "LINESTRING"):
+        return np.asarray(g.data, dtype=float)
+    if t in ("MULTILINESTRING", "POLYGON"):
+        return np.vstack([np.asarray(p, dtype=float) for p in g.data])
+    if t == "MULTIPOLYGON":
+        return np.vstack(
+            [np.asarray(r, dtype=float) for poly in g.data for r in poly]
+        )
+    # GEOMETRYCOLLECTION
+    return np.vstack([_flat_coords(part) for part in g.data])
+
+
+def _edge_stats(g: Geom) -> tuple[float, float]:
+    """(mean, variance) of consecutive-coordinate edge lengths —
+    BooleanVector.percentageOfMeanEdgeDifference (POINT contributes one
+    zero-length pseudo-edge, like the reference)."""
+    if g.gtype == "POINT":
+        return 0.0, 0.0
+    c = _flat_coords(g)
+    if len(c) < 2:
+        return 0.0, 0.0
+    d = np.sqrt(((c[1:] - c[:-1]) ** 2).sum(axis=1))
+    mean = float(d.mean())
+    return mean, float(((d - mean) ** 2).mean())
 
 
 _FEAT_SCHEMA = T.ArrayType(T.DoubleType())
 
 
+def pair_feature_vector(ga: Geom | None, gb: Geom | None) -> np.ndarray:
+    """One pair's dense BooleanVector (plain-python kernel, shared by the
+    Arrow UDF and the pytest differential oracle)."""
+    v = np.zeros(N_FEATURES, dtype=np.float64)
+    if ga is None or gb is None:
+        return v
+    ta, tb = ga.gtype, gb.gtype
+
+    # 1. any-side geometry-type bits
+    for i, t in enumerate(_TYPE_BITS):
+        if ta == t or tb == t:
+            v[i] = 1.0
+
+    # 2. %Δ area (reference: (areaA-areaB)/maxArea, 0 if both 0)
+    aa, ab = area(ga), area(gb)
+    mx = max(aa, ab)
+    pct_area = 0.0 if (aa == 0 and ab == 0) else (aa - ab) / mx
+    b = _pct_bin(pct_area, -0.9, 19)
+    if b is not None:
+        v[8 + b] = 1.0
+
+    # 3. %Δ points — Java INT division (value in {-1,0,1})
+    na, nb = npoints(ga), npoints(gb)
+    mp = max(na, nb)
+    pct_pts = 0.0 if (na == 0 and nb == 0) else float(int((na - nb) / mp))
+    b = _pct_bin(pct_pts, -1.0, 20)
+    if b is not None:
+        v[27 + b] = 1.0
+
+    # 4. %Δ mean edge (NaN when both means are 0 -> no bit, like Java)
+    mean_a, var_a = _edge_stats(ga)
+    mean_b, var_b = _edge_stats(gb)
+    max_mean = max(mean_a, mean_b)
+    pct_mean = (mean_a - mean_b) / max_mean if max_mean != 0 else float("nan")
+    b = _pct_bin(pct_mean, -1.0, 20)
+    if b is not None:
+        v[47 + b] = 1.0
+
+    # 5. mean-of-means bins
+    v[67 + _edge_bin((mean_a + mean_b) / 2.0, _MEANS_AVG_EDGES)] = 1.0
+
+    # 6. %Δ edge variance
+    max_var = max(var_a, var_b)
+    pct_var = (var_a - var_b) / max_var if max_var != 0 else float("nan")
+    b = _pct_bin(pct_var, -1.0, 20)
+    if b is not None:
+        v[99 + b] = 1.0
+
+    # 7. topology bits: cross, touch, intersect, AwithinB, BwithinA,
+    #    AcontainsB, BcontainsA (real relate, not bbox proxies)
+    try:
+        flags = relate_flags(ga, gb)
+        for i, f in enumerate(flags):
+            v[119 + i] = float(f)
+    except ValueError:
+        pass  # GEOMETRYCOLLECTION etc: JTS would throw inside relate too
+
+    # 8. Σ points bins
+    v[126 + _edge_bin(na + nb, _SUM_POINTS_EDGES)] = 1.0
+
+    # 9. centroid distance ×1e6 bins (reference uses raw coordinate-space
+    #    distance — degrees here — times 1e6)
+    ca, cb = centroid(ga), centroid(gb)
+    dist = math.hypot(ca[0] - cb[0], ca[1] - cb[1]) * 1e6
+    v[137 + _edge_bin(dist, _DIST_EDGES)] = 1.0
+
+    # 10. unit-vector angle bins (atan(dy/dx); NaN from 0/0 falls into the
+    #     reference's final else branch -> last bin)
+    dx, dy = cb[0] - ca[0], cb[1] - ca[1]
+    if dx == 0 and dy == 0:
+        angle = float("nan")  # Java 0/0 -> NaN -> final else branch
+    elif dx == 0:
+        angle = math.copysign(math.pi / 2, dy)  # Java atan(±Infinity)
+    else:
+        angle = math.atan(dy / dx)  # slope = unitY/unitX == dy/dx
+    bin_i = 3  # the reference's final else catches NaN and angle >= π/4
+    for i, e in enumerate(_ANGLE_EDGES):
+        if angle < e:
+            bin_i = i
+            break
+    v[142 + bin_i] = 1.0
+
+    # 11. Σ area bins
+    v[146 + _edge_bin(aa + ab, _SUM_AREA_EDGES)] = 1.0
+    return v
+
+
 @F.pandas_udf(_FEAT_SCHEMA)
 def u_pair_features(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
-    """BooleanVector analogue: per linked pair, geometry-type one-hots,
-    binned relative deltas (npoints, area), bbox topology bits, binned
-    centroid distance. Vectorized per Arrow batch."""
+    """BooleanVector.createGeometryFeatures per linked pair, one Arrow
+    batch pass (see module docstring for the dense layout)."""
     out = []
     for a_s, b_s in zip(wkt_a, wkt_b):
-        v = np.zeros(N_FEATURES, dtype=np.float64)
-        ga, gb = parse_wkt(a_s), parse_wkt(b_s)
-        if ga is None or gb is None:
-            out.append(v.tolist())
-            continue
-        if ga.gtype in _GTYPES:
-            v[_GTYPES.index(ga.gtype)] = 1.0
-        if gb.gtype in _GTYPES:
-            v[6 + _GTYPES.index(gb.gtype)] = 1.0
-        na, nb = npoints(ga), npoints(gb)
-        dn = abs(na - nb) / max(na, nb, 1)
-        v[12 + _bin5(dn)] = 1.0
-        aa, ab = area(ga), area(gb)
-        da = abs(aa - ab) / max(aa, ab, 1e-12) if (aa or ab) else 0.0
-        v[17 + _bin5(da)] = 1.0
-        ba, bb_ = bbox(ga), bbox(gb)
-        overlap = not (ba[2] < bb_[0] or bb_[2] < ba[0] or ba[3] < bb_[1] or bb_[3] < ba[1])
-        within_a = ba[0] >= bb_[0] and ba[1] >= bb_[1] and ba[2] <= bb_[2] and ba[3] <= bb_[3]
-        within_b = bb_[0] >= ba[0] and bb_[1] >= ba[1] and bb_[2] <= ba[2] and bb_[3] <= ba[3]
-        v[22] = float(overlap)
-        v[23] = float(within_a)
-        v[24] = float(within_b)
-        ca, cb = centroid(ga), centroid(gb)
-        dist_m = float(np.hypot(ca[0] - cb[0], ca[1] - cb[1]) * DEG_TO_M)
-        v[25] = min(dist_m / 1000.0, 1.0)
-        out.append(v.tolist())
+        out.append(pair_feature_vector(parse_wkt(a_s), parse_wkt(b_s)).tolist())
     return pd.Series(out)
 
 

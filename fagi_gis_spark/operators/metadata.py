@@ -48,7 +48,13 @@ def expand_chains(triples: DataFrame, max_depth: int = MAX_METADATA_DEPTH) -> Da
     )
     out = cur.filter(~F.col("object").startswith("_:"))
     frontier = cur.filter(F.col("object").startswith("_:"))
+    persisted = []
     for depth in range(2, max_depth + 1):
+        # persist before the emptiness probe: isEmpty() is an action, and
+        # without the persist each probe re-executes the growing join
+        # lineage (depth d re-runs all d-1 joins).
+        frontier = frontier.persist()
+        persisted.append(frontier)
         if frontier.isEmpty():
             break
         nxt = (
@@ -63,6 +69,11 @@ def expand_chains(triples: DataFrame, max_depth: int = MAX_METADATA_DEPTH) -> Da
         )
         out = out.unionByName(nxt.filter(~F.col("object").startswith("_:")))
         frontier = nxt.filter(F.col("object").startswith("_:"))
+    # the returned plan reads only `out`; drop the probe caches eagerly so
+    # long pipelines don't accumulate blocks (out's lineage re-derives from
+    # `triples`, which callers persist if they reuse).
+    for df in persisted:
+        df.unpersist()
     return out
 
 

@@ -63,25 +63,46 @@ def _mean_jw(words_a: list[str], words_b: list[str]) -> float:
 
 
 def score_matches(
-    profiles_a: list[dict], profiles_b: list[dict], text_weight: float = 0.5, type_weight: float = 0.5
+    profiles_a: list[dict],
+    profiles_b: list[dict],
+    text_weight: float = 0.5,
+    type_weight: float = 0.5,
+    wordnet=None,
+    max_parent_depth: int = 4,
+    power: float = 1.0,
 ) -> list[dict]:
-    """M2: pairwise chain scores = text (mean JW) + type compatibility,
-    normalized like the reference's combined score (semantic term
-    omitted — WordNet optional)."""
+    """M2: pairwise chain scores.
+
+    Default (``wordnet=None``): text (mean JW) + type compatibility — the
+    engine's documented JW+type scoring.
+
+    With a ``functions.semantic.MiniWordNet`` supplied, the reference's
+    full combined score is used instead:
+    ``(semantic + jaro + 0.5*same_type) / 3``
+    (VirtuosoImporter.java:950; semantic term :1971-2050 — hypernym
+    common-parent distance, ``(1 - min/(maxParentDepth+1))^power``)."""
+    from fagi_gis_spark.functions.semantic import semantic_chain_score
+
     out = []
     for pa in profiles_a:
         for pb in profiles_b:
             text = _mean_jw(pa["words"], pb["words"])
             type_ok = 1.0 if pa["vtype"] == pb["vtype"] else 0.0
-            out.append(
-                {
-                    "chain_a": pa["chain"],
-                    "chain_b": pb["chain"],
-                    "text_score": text,
-                    "type_score": type_ok,
-                    "score": text_weight * text + type_weight * type_ok,
-                }
-            )
+            row = {
+                "chain_a": pa["chain"],
+                "chain_b": pb["chain"],
+                "text_score": text,
+                "type_score": type_ok,
+            }
+            if wordnet is None:
+                row["score"] = text_weight * text + type_weight * type_ok
+            else:
+                sem = semantic_chain_score(
+                    pa["words"], pb["words"], wordnet, max_parent_depth, power
+                )
+                row["sem_score"] = sem
+                row["score"] = (sem + text + 0.5 * type_ok) / 3.0
+            out.append(row)
     return out
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from fagi_gis_spark.geometry.measures import DEG_TO_M
 from fagi_gis_spark.geometry.pip import PolygonIndex
 from fagi_gis_spark.geometry.wkt import parse_wkt
-from fagi_gis_spark.index.tiles import _X_MULT, cell_id_col
+from fagi_gis_spark.index.tiles import _X_MULT, _Z_MULT, cell_id_col, tile_x_col, tile_y_col
 
 
 def bbox_filter(
@@ -75,15 +75,20 @@ def radius_join(
     left_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
     right_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
     z: int | None = None,
-    salt_threshold: int | None = None,
+    salt_threshold: int | str | None = "auto",
     n_salt: int = 8,
 ) -> DataFrame:
     """J5 as one distributed join. Output: left keys + right keys + dist_m
     (planar degree distance x 111195 — identical numbers to the reference).
 
-    ``salt_threshold``: if set, build-side cells holding more than this
-    many rows are split into ``n_salt`` sub-keys (explicit skew handling);
-    probe rows replicate only for those hot cells.
+    ``salt_threshold``: build-side cells holding more than this many rows
+    are split into ``n_salt`` sub-keys (explicit skew handling); probe
+    rows replicate only for those hot cells. The default ``"auto"``
+    derives the threshold from the build-side cell-count distribution
+    (max(256, 8x mean)) with one tiny count aggregate, and skips salting
+    entirely when no cell exceeds it — so uniform data pays nothing and
+    skewed data is protected without tuning. ``None`` disables salting
+    (AQE skew-join remains the only protection).
     """
     lk, llon, llat = left_cols
     rk, rlon, rlat = right_cols
@@ -97,20 +102,39 @@ def radius_join(
         F.col(rk).alias("r_key"), F.col(rlon).alias("r_lon"), F.col(rlat).alias("r_lat")
     ).withColumn("cell", cell_id_col(F.col("r_lon"), F.col("r_lat"), z))
 
-    # probe side: ring-1 neighborhood (x +/- 1 wraps via the packed id's
-    # x-multiplier; y never wraps). 9 rows per probe point.
+    # probe side: ring-1 neighborhood. x wraps modulo 2^z so probes in the
+    # first/last tile column still see build rows across the antimeridian;
+    # y never wraps (the poles are not adjacent — out-of-range y cells
+    # simply match nothing). 9 rows per probe point.
     neigh = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
             for dx, dy in _ring1_offsets()
         ]
     )
-    base_cell = cell_id_col(F.col("l_lon"), F.col("l_lat"), z)
+    n_x = 2**z
+    tx = tile_x_col(F.col("l_lon"), z)
+    ty = tile_y_col(F.col("l_lat"), z)
     l = (
         l.withColumn("__o", F.explode(neigh))
-        .withColumn("cell", base_cell + F.col("__o.dx") * F.lit(_X_MULT).cast("long") + F.col("__o.dy"))
+        .withColumn(
+            "cell",
+            F.lit(z * _Z_MULT).cast("long")
+            + F.pmod(tx + F.col("__o.dx"), F.lit(n_x).cast("long")) * F.lit(_X_MULT).cast("long")
+            + (ty + F.col("__o.dy")),
+        )
         .drop("__o")
     )
+
+    if salt_threshold == "auto":
+        stats = (
+            r.groupBy("cell")
+            .count()
+            .agg(F.avg("count").alias("avg"), F.max("count").alias("mx"))
+            .collect()[0]
+        )
+        thr = max(256, int(8 * float(stats["avg"] or 0.0)))
+        salt_threshold = thr if int(stats["mx"] or 0) > thr else None
 
     if salt_threshold is not None:
         hot = (
@@ -145,8 +169,13 @@ def radius_join(
     else:
         joined = l.join(r, ["cell"], "inner")
 
+    # lon delta wraps at the antimeridian (|dlon| <= 180); identical to the
+    # reference's planar formula everywhere away from the seam, where the
+    # reference (degree-space FILTER) silently finds nothing.
+    dlon_abs = F.abs(F.col("l_lon") - F.col("r_lon"))
+    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
     dist_deg = F.sqrt(
-        (F.col("l_lon") - F.col("r_lon")) * (F.col("l_lon") - F.col("r_lon"))
+        dlon * dlon
         + (F.col("l_lat") - F.col("r_lat")) * (F.col("l_lat") - F.col("r_lat"))
     )
     return (

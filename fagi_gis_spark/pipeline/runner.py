@@ -34,7 +34,7 @@ class PipelineConfig:
     transformation: str = "keep_a"
     radius_m: float = 150.0
     params: FusionParams = field(default_factory=FusionParams)
-    salt_threshold: int | None = None
+    salt_threshold: int | str | None = "auto"
 
 
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFrame]:
@@ -102,7 +102,11 @@ def main():  # CLI-equivalent entry (reference §3.1: java -jar fagi-gis -c fusi
     ap.add_argument("--transformation", default="keep_a")
     ap.add_argument("--radius-m", type=float, default=150.0)
     ap.add_argument("--shift-pct", type=float, default=25.0)
-    ap.add_argument("--salt-threshold", type=int, default=None)
+    def _salt(v: str):
+        return None if v == "none" else v if v == "auto" else int(v)
+
+    ap.add_argument("--salt-threshold", type=_salt, default="auto",
+                    help="'auto' (count-based), 'none', or an integer row threshold")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 

@@ -602,7 +602,10 @@ def dedup_exact(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     from fagi_gis_spark.functions.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    # lenband = the DuckDB-expressible closed-form blocking (the oracle
+    # mirrors it exactly); the engine default is blocking="minhash", which
+    # also finds cross-band duplicates (tests/test_dedup.py differential)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, blocking="lenband")
 
 
 @register("dedup_minhash_lsh")  # signature hashing: pytest oracle only
@@ -847,8 +850,8 @@ def events_windowed_agg(spark, sf_dir):
 @register(
     "events_sessionize",
     "SELECT user_id, session_id, count(*) AS n_events FROM (\n"
-    "  SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
-    "         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id\n"
+    "  SELECT user_id, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
+    "         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id\n"
     "  FROM (\n"
     "    SELECT user_id, ts, event_id,\n"
     "      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1\n"
@@ -1298,3 +1301,75 @@ def doc_langid(spark, sf_dir):
     from fagi_gis_spark.functions.text import lang_id_heuristic
 
     return lang_id_heuristic(_docs(spark, sf_dir)).select("doc_id", "lang", "lang_pred")
+
+
+# --------------------------------------------------------------------------
+# OWL class insertion (FuseLinkServlet.java:225-270)
+# --------------------------------------------------------------------------
+
+@register(
+    "owl_class_insertion",
+    _o(
+        ", acc AS (\n"
+        "  SELECT DISTINCT l.node_a AS node,\n"
+        "         regexp_extract(t.object, '([a-z]+)$', 1) AS cls\n"
+        "  FROM links l JOIN triples_b t ON l.node_b = t.subject\n"
+        "  WHERE t.predicate = 'http://b.example/label'\n"
+        ")\n"
+        "SELECT node AS subject,\n"
+        "  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,\n"
+        "  'http://a.example/' || cls AS object FROM acc\n"
+        "UNION\n"
+        "SELECT DISTINCT 'http://a.example/' || cls AS subject,\n"
+        "  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,\n"
+        "  'http://www.w3.org/2002/07/owl#Class' AS object FROM acc\n"
+        "UNION\n"
+        "SELECT DISTINCT 'http://a.example/' || cls AS subject,\n"
+        "  'http://www.w3.org/2000/01/rdf-schema#label' AS predicate,\n"
+        "  cls AS object FROM acc"
+    ),
+)
+def owl_class_insertion(spark, sf_dir):
+    """OWL class insertion (FuseLinkServlet.java:225-270): accepted class
+    recommendations — here derived deterministically as the category token
+    of the linked B node's label — written as rdf:type / owl:Class /
+    rdfs:label triples under the dominant (A) ontology prefix."""
+    from fagi_gis_spark.operators.owl import owl_class_triples
+
+    L = layers(spark, sf_dir)
+    label_b = L["triples_b"].filter(F.col("predicate") == "http://b.example/label")
+    acc = (
+        L["links"]
+        .join(label_b, L["links"]["node_b"] == label_b["subject"])
+        .select(
+            F.col("node_a").alias("node"),
+            F.regexp_extract(F.col("object"), "([a-z]+)$", 1).alias("cls"),
+        )
+        .distinct()
+    )
+    return owl_class_triples(acc, "http://a.example/")
+
+
+@register(
+    "metadata_keep_both",
+    _o(
+        "SELECT l.node_a AS subject, 'http://a.example/name' AS predicate, t.object AS object\n"
+        "FROM links l JOIN triples_a t ON t.subject = l.node_a\n"
+        "  AND t.predicate = 'http://a.example/name'\n"
+        "UNION ALL\n"
+        "SELECT l.node_a AS subject, 'http://a.example/name' AS predicate, t.object AS object\n"
+        "FROM links l JOIN triples_b t ON t.subject = l.node_b\n"
+        "  AND t.predicate = 'http://b.example/label'"
+    ),
+)
+def metadata_keep_both_q(spark, sf_dir):
+    """Metadata Keep Both (BatchFusionServlet keep-both template): both
+    sides' chain leaves re-rooted on the dominant subject under one fused
+    predicate."""
+    from fagi_gis_spark.operators.metadata import metadata_keep_both
+
+    L = layers(spark, sf_dir)
+    return metadata_keep_both(
+        L["links"], L["triples_a"], L["triples_b"],
+        "http://a.example/name", "http://b.example/label", "http://a.example/", "name",
+    )

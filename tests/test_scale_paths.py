@@ -99,3 +99,89 @@ def test_stateful_streaming_sessionize(spark, tmp_path):
     g = dict(zip(got.user_id, got.n))
     e = dict(zip(expect.user_id, expect.n))
     assert g == e
+
+
+def test_radius_join_antimeridian_and_polar(spark):
+    """Points straddling lon ±180 (and near the WebMercator lat clamp)
+    must round-trip the cell-bucketed radius join against a brute-force
+    wrapped-distance oracle — the ring-1 x offset wraps modulo 2^z and
+    tile_y is clamped, so the seam behaves like any other meridian."""
+    from fagi_gis_spark.geometry.measures import DEG_TO_M
+    from fagi_gis_spark.operators.spatial_join import radius_join
+
+    rows = []
+    # pairs across the antimeridian at several latitudes incl. near-polar
+    for i, lat in enumerate([0.0, 45.0, 60.0, 84.9, 85.3, -85.3]):
+        rows.append((f"w{i}", 179.99995, lat))      # west of the seam
+        rows.append((f"e{i}", -179.99995, lat))     # east of the seam
+    # a control pair away from the seam + an isolated point
+    rows += [("c1", 10.0, 10.0), ("c2", 10.00005, 10.0), ("far", 90.0, 0.0)]
+    df = spark.createDataFrame(rows, "subject string, lon double, lat double")
+
+    got = radius_join(df, df, 50.0).select("l_key", "r_key").toPandas()
+    got_pairs = {(a, b) for a, b in got.itertuples(index=False) if a != b}
+
+    import math
+
+    def wdist(p, q):
+        dl = abs(p[1] - q[1])
+        dl = min(dl, 360.0 - dl)
+        return math.sqrt(dl * dl + (p[2] - q[2]) ** 2) * DEG_TO_M
+
+    expect = {
+        (p[0], q[0])
+        for p in rows
+        for q in rows
+        if p[0] != q[0] and wdist(p, q) <= 50.0
+    }
+    assert ("w0", "e0") in expect  # the seam pair is a real candidate
+    assert got_pairs == expect
+
+
+def test_ngram_jaccard_minhash_blocking_finds_cross_band_pairs(spark):
+    """The default (MinHash-bucket) blocking must find duplicate pairs
+    whose token counts straddle a length band — pairs the closed-form
+    lenband blocking structurally misses — and find at least every pair
+    lenband finds."""
+    from fagi_gis_spark.functions.dedup import ngram_jaccard_pairs
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar"
+    docs = [
+        (1, base),                                  # 15 tokens -> band 1
+        (2, base + " papa quebec"),                 # 17 tokens -> band 2 (cross-band dup)
+        (3, base + " papa"),                        # 16 tokens -> band 2
+        (4, "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa oscar nov mike lima"),
+        (5, "one two three"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    lenband = ngram_jaccard_pairs(df, threshold=0.5, blocking="lenband").toPandas()
+    bucketed = ngram_jaccard_pairs(df, threshold=0.5, blocking="minhash").toPandas()
+    lb = {(a, b) for a, b, _ in lenband.itertuples(index=False)}
+    mk = {(a, b) for a, b, _ in bucketed.itertuples(index=False)}
+
+    assert (1, 2) not in lb          # cross-band: lenband structurally blind
+    assert (1, 2) in mk              # minhash blocking finds it
+    assert lb <= mk                  # and misses nothing lenband found
+
+
+def test_owl_class_triples(spark):
+    """OWL class insertion (FuseLinkServlet.java:225-270): one typing
+    triple per accepted row, one owl:Class + rdfs:label pair per distinct
+    class."""
+    from fagi_gis_spark.operators.owl import OWL_CLASS, RDF_TYPE, RDFS_LABEL, owl_class_triples
+
+    acc = spark.createDataFrame(
+        [("a:1", "cafe"), ("a:2", "cafe"), ("a:3", "park")], "node string, cls string"
+    )
+    out = owl_class_triples(acc, "http://a.example/").toPandas()
+    triples = set(map(tuple, out.itertuples(index=False)))
+    assert triples == {
+        ("a:1", RDF_TYPE, "http://a.example/cafe"),
+        ("a:2", RDF_TYPE, "http://a.example/cafe"),
+        ("a:3", RDF_TYPE, "http://a.example/park"),
+        ("http://a.example/cafe", RDF_TYPE, OWL_CLASS),
+        ("http://a.example/park", RDF_TYPE, OWL_CLASS),
+        ("http://a.example/cafe", RDFS_LABEL, "cafe"),
+        ("http://a.example/park", RDFS_LABEL, "park"),
+    }

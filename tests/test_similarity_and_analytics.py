@@ -119,8 +119,9 @@ def test_svm_learns_separable_actions(spark):
     L = layers(spark, SF)
     pairs = linked_pairs(L["links"], L["poi_a"], L["poi_b"]).limit(400)
     feats = pair_features(pairs)
-    # synthetic ground truth: action 1 iff A-side geometry is a POINT
-    labeled = feats.withColumn("label", F.col("fv")[0].cast("double"))
+    # synthetic ground truth: action 1 iff either geometry is a POINT
+    # (BooleanVector slot 3 = any-side Point bit)
+    labeled = feats.withColumn("label", F.col("fv")[3].cast("double"))
     model = train_action_classifier(labeled)
     pred = predict_actions(model, feats).join(
         labeled.select("subject_a", "subject_b", "label"), ["subject_a", "subject_b"]

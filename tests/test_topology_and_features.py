@@ -1,0 +1,294 @@
+"""Differential tests for the topology predicates and the BooleanVector
+pair features — hand-built geometry set with hand-derived JTS truths
+(BooleanVector.java:476-530 uses JTS crosses/touches/intersects/within/
+contains on exactly these kinds of shapes)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from fagi_gis_spark.geometry.topology import (
+    contains,
+    crosses,
+    intersects,
+    touches,
+    within,
+)
+from fagi_gis_spark.geometry.wkt import parse_wkt
+
+SQ = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"                 # unit-ish square
+SQ_INNER = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"           # strictly inside SQ
+SQ_EDGE = "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))"            # shares edge x=4
+SQ_OVER = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"            # overlaps SQ corner
+SQ_FAR = "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"   # disjoint
+L_CROSS = "LINESTRING (-1 2, 5 2)"                          # crosses SQ
+L_INSIDE = "LINESTRING (1 1, 3 3)"                          # within SQ
+L_EDGE = "LINESTRING (4 1, 4 3)"                            # along SQ boundary
+L_TOUCH = "LINESTRING (4 2, 6 2)"                           # starts on SQ edge, exits
+L_X1 = "LINESTRING (0 0, 4 4)"
+L_X2 = "LINESTRING (0 4, 4 0)"                              # proper X crossing
+L_COLL = "LINESTRING (2 2, 6 6)"                            # collinear overlap w/ L_X1
+L_END = "LINESTRING (4 4, 8 4)"                             # endpoint touch w/ L_X1
+P_IN = "POINT (2 2)"
+P_EDGE = "POINT (4 2)"
+P_OUT = "POINT (9 9)"
+MP_SPLIT = "MULTIPOINT ((2 2), (9 9))"                      # one in, one out
+
+
+def g(w):
+    return parse_wkt(w)
+
+
+# (A, B, crosses, touches, intersects, A within B, A contains B)
+CASES = [
+    (P_IN, SQ, False, False, True, True, False),
+    (P_EDGE, SQ, False, True, True, False, False),
+    (P_OUT, SQ, False, False, False, False, False),
+    (MP_SPLIT, SQ, True, False, True, False, False),     # JTS: P/A crosses
+    (L_CROSS, SQ, True, False, True, False, False),
+    (L_INSIDE, SQ, False, False, True, True, False),
+    (L_EDGE, SQ, False, True, True, False, False),       # on boundary only
+    (L_TOUCH, SQ, False, True, True, False, False),      # endpoint on boundary
+    (L_X1, L_X2, True, False, True, False, False),
+    (L_X1, L_COLL, False, False, True, False, False),    # dim-1 overlap: no cross
+    (L_X1, L_END, False, True, True, False, False),
+    (SQ_INNER, SQ, False, False, True, True, False),
+    (SQ, SQ_INNER, False, False, True, False, True),
+    (SQ, SQ_EDGE, False, True, True, False, False),
+    (SQ, SQ_OVER, False, False, True, False, False),     # A/A overlap: not cross
+    (SQ, SQ_FAR, False, False, False, False, False),
+    (SQ, SQ, False, False, True, True, True),            # equal: within & contains
+]
+
+
+@pytest.mark.parametrize("a,b,xc,xt,xi,xw,xcon", CASES)
+def test_relate_predicates(a, b, xc, xt, xi, xw, xcon):
+    ga, gb = g(a), g(b)
+    assert intersects(ga, gb) == xi, f"intersects({a},{b})"
+    assert touches(ga, gb) == xt, f"touches({a},{b})"
+    assert crosses(ga, gb) == xc, f"crosses({a},{b})"
+    assert within(ga, gb) == xw, f"within({a},{b})"
+    assert contains(ga, gb) == xcon, f"contains({a},{b})"
+
+
+def test_relate_symmetric_predicates():
+    """intersects/touches/crosses are symmetric in JTS."""
+    for a, b, *_ in CASES:
+        ga, gb = g(a), g(b)
+        assert intersects(ga, gb) == intersects(gb, ga)
+        assert touches(ga, gb) == touches(gb, ga)
+        assert crosses(ga, gb) == crosses(gb, ga)
+
+
+# ---------------------------------------------------------------------------
+# BooleanVector fidelity
+# ---------------------------------------------------------------------------
+
+
+def test_pair_feature_vector_layout_and_bins():
+    from fagi_gis_spark.operators.learning import N_FEATURES, pair_feature_vector
+
+    assert N_FEATURES == 171  # 8+19+20+20+32+20+7+11+5+4+25
+
+    v = pair_feature_vector(g(P_IN), g(SQ))
+    # any-side type bits: Polygon (slot 1) and Point (slot 3)
+    assert v[1] == 1.0 and v[3] == 1.0
+    assert v[0] == 0.0 and v[4:8].sum() == 0.0
+    # area pct: (0 - 16)/16 = -1 -> first step -0.9 at i=0
+    assert v[8] == 1.0 and v[9:27].sum() == 0.0
+    # points pct (int division): (1-5)/5 -> Java int div 0 -> first step > 0
+    # is -1.0 + 0.1*11 = 0.1 -> i=11
+    assert v[27 + 11] == 1.0
+    # mean edge: point mean 0, square mean 4 -> (0-4)/4 = -1 -> i=0? -1 < -1.0
+    # is false; first step with -1 < -1.0+0.1*i is i=1
+    assert v[47 + 1] == 1.0
+    # means average = (0+4)/2 = 2 -> first edge with 2 < e is 2.5 (index 4)
+    assert v[67 + 4] == 1.0
+    # variance pct: var(point)=0, var(square edges)=0 -> 0/0 NaN -> NO bit
+    assert v[99:119].sum() == 0.0
+    # topology: point within polygon -> intersects + AwithinB + BcontainsA
+    assert list(v[119:126]) == [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0]
+    # sum points = 1 + 5 = 6 -> first edge (<10) bin 0
+    assert v[126] == 1.0
+    # centroid distance: both centroids (2,2) -> 0*1e6 = 0 -> bin 0 (<4)
+    assert v[137] == 1.0
+    # angle: same centroid -> NaN -> final else bin
+    assert v[142 + 3] == 1.0
+    # sum area = 0 + 16 = 16 -> bin 0 (<50)
+    assert v[146] == 1.0
+    # exactly one bit per binned family
+    assert v.sum() == 2 + 1 + 1 + 1 + 1 + 0 + 3 + 1 + 1 + 1 + 1
+
+
+def test_pair_feature_vector_matches_reference_formulas():
+    """Replay the reference's formulas independently for a random-ish pair
+    and check every binned family lands where the formulas say."""
+    from fagi_gis_spark.operators.learning import (
+        _MEANS_AVG_EDGES,
+        _SUM_AREA_EDGES,
+        _SUM_POINTS_EDGES,
+        pair_feature_vector,
+    )
+
+    a = "POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))"    # area 60, edges 10,6,10,6
+    b = "LINESTRING (20 0, 23 4, 26 0)"            # len edges 5,5
+    va = pair_feature_vector(g(a), g(b))
+
+    area_a, area_b = 60.0, 0.0
+    pct = (area_a - area_b) / 60.0  # 1.0 -> falls through all 19 steps
+    assert va[8:27].sum() == 0.0 and pct == 1.0
+
+    # points: (5 - 3)/5 int div = 0 -> i=11 (first step 0.1 > 0)
+    assert va[27 + 11] == 1.0
+
+    mean_a = (10 + 6 + 10 + 6) / 4.0  # 8
+    mean_b = (5 + 5) / 2.0            # 5
+    pm = (mean_a - mean_b) / 8.0      # 0.375 -> first step 0.4 -> i=14
+    assert 0.3 < pm < 0.4
+    assert va[47 + 14] == 1.0
+
+    avg = (mean_a + mean_b) / 2.0     # 6.5 -> first edge 7.0 -> index 13
+    assert _MEANS_AVG_EDGES[13] == 7.0 and va[67 + 13] == 1.0
+
+    var_a = 4.0   # edges 10,6,10,6: mean 8, dev ±2 -> var 4
+    var_b = 0.0
+    pv = (var_a - var_b) / 4.0        # 1.0 -> falls through
+    assert pv == 1.0 and va[99:119].sum() == 0.0
+
+    # disjoint -> all topology bits 0
+    assert va[119:126].sum() == 0.0
+
+    # sum points 8 -> bin 0; sum area 60 -> second edge (100) -> bin 1
+    assert va[126] == 1.0
+    assert _SUM_POINTS_EDGES[0] == 10
+    assert _SUM_AREA_EDGES[1] == 100 and va[146 + 1] == 1.0
+
+    # centroid distance: a centroid (5,3), b centroid on the line
+    # (dist >> 15/1e6) -> last distance bin
+    assert va[137 + 4] == 1.0
+
+    # angle: a centroid (5,3), b centroid (23,2) -> atan(-1/18) in
+    # (-π/4, 0) -> bin 1
+    assert va[142 + 1] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Chain-pair config parser (BatchFusionServlet.java:1793-1822)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_chain_pair_reference_format():
+    from fagi_gis_spark.operators.chain_config import (
+        PROPERTY_SEPARATOR,
+        fused_predicate_name,
+        parse_chain_pair,
+    )
+
+    assert PROPERTY_SEPARATOR == "=>"  # Constants.java:64
+    spec = "http://a.example/addr,http://a.example/street|http://a.example/name|=>http://b.example/address,http://b.example/street"
+    p = parse_chain_pair(spec)
+    assert p.left == (
+        ("http://a.example/addr", "http://a.example/street"),
+        ("http://a.example/name",),
+    )  # trailing '|' stripped like StringUtils.removeEnd
+    assert p.right == (("http://b.example/address", "http://b.example/street"),)
+    assert p.left_chain_keys() == [
+        "http://a.example/addr,http://a.example/street",
+        "http://a.example/name",
+    ]
+
+    # servlet quirk: &gt; unescaped before splitting
+    assert parse_chain_pair("a=&gt;b").left == (("a",),)
+
+    # fused predicate local name: left short token, ','/' ' -> '_'
+    assert fused_predicate_name("addr,street=>address") == "addr_street"
+
+
+def test_metadata_keep_from_spec_roundtrip(spark):
+    from fagi_gis_spark.operators.chain_config import metadata_keep_from_spec
+    from fagi_gis_spark.operators.metadata import metadata_keep
+    from fagi_gis_spark.registry import layers
+
+    L = layers(spark, "/root/testdata/sf0.001")
+    spec = "http://a.example/addr,http://a.example/street=>http://b.example/address,http://b.example/street"
+    via_spec = metadata_keep_from_spec(
+        L["links"], L["triples_a"], "a", spec, "http://a.example/", "addr"
+    ).toPandas()
+    direct = metadata_keep(
+        L["links"], L["triples_a"], "a",
+        "http://a.example/addr,http://a.example/street", "http://a.example/", "addr",
+    ).toPandas()
+    key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
+    assert key(via_spec) == key(direct)
+    assert len(direct) > 0
+
+
+# ---------------------------------------------------------------------------
+# WordNet-optional semantic term (VirtuosoImporter.java:1936-2050, :950)
+# ---------------------------------------------------------------------------
+
+
+def _mini_wn():
+    from fagi_gis_spark.functions.semantic import MiniWordNet
+
+    # cafe -> restaurant -> building -> structure -> entity
+    # museum ----------------^
+    # park -> area -> entity
+    return MiniWordNet(
+        senses={
+            "cafe": ["s.cafe"],
+            "museum": ["s.museum"],
+            "park": ["s.park"],
+            "name": ["s.name"],
+            "label": ["s.label"],
+        },
+        hypernyms={
+            "s.cafe": ["s.restaurant"],
+            "s.restaurant": ["s.building"],
+            "s.museum": ["s.building"],
+            "s.building": ["s.structure"],
+            "s.structure": ["s.entity"],
+            "s.park": ["s.area"],
+            "s.area": ["s.entity"],
+            "s.name": ["s.designation"],
+            "s.label": ["s.designation"],
+        },
+    )
+
+
+def test_semantic_word_score_reference_formula():
+    from fagi_gis_spark.functions.semantic import semantic_word_score
+
+    wn = _mini_wn()
+    # equal lemma -> 1.0 (before any synset lookup)
+    assert semantic_word_score("cafe", "cafe", wn) == 1.0
+    # cafe vs museum: common parent 'building' at 2 hops from cafe
+    # -> (1 - 2/5)^1 = 0.6
+    assert semantic_word_score("cafe", "museum", wn) == pytest.approx(0.6)
+    # name vs label: common parent at 1 hop -> (1 - 1/5) = 0.8
+    assert semantic_word_score("name", "label", wn) == pytest.approx(0.8)
+    # cafe vs park: common ancestor 'entity' at 4 hops -> (1 - 4/5) = 0.2
+    assert semantic_word_score("cafe", "park", wn) == pytest.approx(0.2)
+    # above maxParentDepth -> 0
+    assert semantic_word_score("cafe", "park", wn, max_parent_depth=3) == 0.0
+    # unknown word -> 0
+    assert semantic_word_score("cafe", "zzz", wn) == 0.0
+    # raiseToPower applied
+    assert semantic_word_score("cafe", "museum", wn, power=2.0) == pytest.approx(0.36)
+
+
+def test_schema_match_semantic_flag_off_is_unchanged_and_on_uses_combine():
+    from fagi_gis_spark.operators.schema_match import score_matches
+
+    pa = [{"chain": "http://a.example/name", "words": ["name"], "vtype": "string", "n": 5}]
+    pb = [{"chain": "http://b.example/label", "words": ["label"], "vtype": "string", "n": 5}]
+
+    off = score_matches(pa, pb)[0]
+    assert "sem_score" not in off  # default path untouched
+    assert off["score"] == pytest.approx(0.5 * off["text_score"] + 0.5)
+
+    on = score_matches(pa, pb, wordnet=_mini_wn())[0]
+    assert on["sem_score"] == pytest.approx(0.8)
+    # reference combine: (sem + jaro + 0.5*type)/3  (VirtuosoImporter:950)
+    assert on["score"] == pytest.approx((0.8 + on["text_score"] + 0.5) / 3.0)

@@ -22,7 +22,8 @@ AUDIT = [
     ("tile_assign", "WebMercator tile assignment (pure column math)"),
     ("pip_assign", "point-in-polygon join (broadcast index, mapInPandas)"),
     ("dedup_exact", "exact dedup (partial agg -> exchange -> final agg)"),
-    ("ann_cosine_topk", "brute-force ANN (broadcast matrix, no shuffle)"),
+    ("ann_cosine_topk", "exact ANN (block-partitioned cogroup matmul, no driver collect)"),
+    ("dedup_embedding_cosine", "embedding near-dup pairs (same blocked cogroup kernel)"),
     ("events_topk_users", "top-k per group (agg + window)"),
 ]
 
