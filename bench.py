@@ -4,7 +4,12 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
  "sf": ..., "throughput_rows_per_sec": ...}
 
 Each query is forced end-to-end with the noop sink (so UDF/projection
-columns are actually computed, not pruned by count()).
+columns are actually computed, not pruned by count()), executed
+$SPARK_GRAFT_REPEATS times (default 2), and reported as the per-query
+MINIMUM — the steady-state time, robust to transient host contention
+spikes on the shared sandbox (observed: the same unchanged query varying
+2.5s <-> 23s across adjacent runs). The aggregation is recorded in the
+JSON (``repeats`` / ``agg``).
 """
 
 from __future__ import annotations
@@ -58,12 +63,16 @@ def run(sf_dir: str | None = None, cores: str | None = None, names=None) -> dict
     ).count().collect()
     qs["fuse_keep_a"](spark, sf_dir).limit(1000).write.format("noop").mode("overwrite").save()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
     for name in names:
-        df = qs[name](spark, sf_dir)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
+        best = None
+        for _ in range(repeats):
+            df = qs[name](spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -74,6 +83,8 @@ def run(sf_dir: str | None = None, cores: str | None = None, names=None) -> dict
         "queries": timings,
         "sf": float(sf),
         "cores": cores,
+        "repeats": repeats,
+        "agg": "min",
         "input_rows": total_rows_in,
         "throughput_rows_per_sec": round(total_rows_in * len(names) / total, 1) if total else None,
     }

@@ -182,3 +182,90 @@ def u_midpoint_wkt(ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series) -
     mx = (ax.to_numpy(np.float64) + bx.to_numpy(np.float64)) / 2.0
     my = (ay.to_numpy(np.float64) + by.to_numpy(np.float64)) / 2.0
     return pd.Series([f"POINT ({x:.9f} {y:.9f})" for x, y in zip(mx, my)])
+
+
+_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
+        T.StructField("npts", T.IntegerType()),
+        T.StructField("gtype", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_SUMMARY_SCHEMA)
+def u_geo_summary(wkt: pd.Series) -> pd.DataFrame:
+    """ONE parse per geometry -> (centroid, npoints, gtype). The ingest-
+    time summary column: computed per POI row BEFORE the pair join, so the
+    per-pair fusion/scoring pipeline never re-parses WKT for metadata it
+    can precompute (at 100 TB this is the difference between parsing each
+    geometry once at ingest and once per link it participates in)."""
+    n = len(wkt)
+    cx = np.full(n, np.nan)
+    cy = np.full(n, np.nan)
+    npts = np.zeros(n, dtype=np.int32)
+    gts = []
+    for i, s in enumerate(wkt):
+        if not s:
+            gts.append(None)
+            continue
+        g = parse_wkt(s)
+        if g is None:
+            gts.append(None)
+            continue
+        c = centroid(g)
+        if c is not None:
+            cx[i], cy[i] = c
+        npts[i] = npoints(g)
+        gts.append(g.gtype)
+    return pd.DataFrame({"cx": cx, "cy": cy, "npts": npts, "gtype": gts})
+
+
+_SHIFT_PRE_SCHEMA = T.StructType(
+    [
+        T.StructField("wkt", T.StringType()),
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_SHIFT_PRE_SCHEMA)
+def u_shift_pre(
+    wkt_src: pd.Series,
+    cdx: pd.Series,
+    cdy: pd.Series,
+    shift_frac: pd.Series,
+    rot_deg: pd.Series,
+    fscale: pd.Series,
+) -> pd.DataFrame:
+    """ShiftAToB/ShiftBToA with the DESTINATION centroid precomputed (the
+    u_geo_summary layer column): parses only the source geometry — one
+    parse + one format per pair instead of two parses plus a downstream
+    re-parse. Also returns the fused centroid directly:
+    rotate/scale about the source centroid leave it fixed, so
+    c_out = c_src + s * (c_dst - c_src) — the oracle's exact expression
+    tree (ShiftAToB.java:190-232; see u_shift_pair for the degree-space
+    rotation note)."""
+    out_w, out_x, out_y = [], [], []
+    for s_w, dx_, dy_, s, r, f in zip(wkt_src, cdx, cdy, shift_frac, rot_deg, fscale):
+        if s_w is None or dx_ is None or pd.isna(dx_):
+            out_w.append(None)
+            out_x.append(None)
+            out_y.append(None)
+            continue
+        g = parse_wkt(s_w)
+        cs = centroid(g)
+        r = float(r)
+        f = float(f)
+        if r != 0.0:
+            g = rotate_about(g, math.radians(r))
+        if f != 1.0:
+            g = scale_about(g, f, f)
+        s = float(s)
+        g = translate(g, s * (float(dx_) - cs[0]), s * (float(dy_) - cs[1]))
+        out_w.append(format_wkt(g, prec=9))
+        out_x.append(cs[0] + s * (float(dx_) - cs[0]))
+        out_y.append(cs[1] + s * (float(dy_) - cs[1]))
+    return pd.DataFrame({"wkt": out_w, "cx": out_x, "cy": out_y})

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from fagi_gis_spark.functions.geo_udfs import (
     u_affine_about_centroid,
     u_centroid,
+    u_geo_summary,
     u_gtype,
     u_midpoint_wkt,
     u_npoints,
@@ -79,23 +80,53 @@ def linked_pairs(
 ) -> DataFrame:
     """J3 (SURVEY.md §2.2): links ⋈ A ⋈ B, never materializing A x B.
 
+    Each POI layer gets its geometry summary (centroid/npoints/gtype,
+    ONE WKT parse per row) attached BEFORE the join — the ingest-time
+    typed-column pattern: a geometry linked N times is parsed once, not N
+    times, and the downstream fusion/scoring expressions become pure JVM
+    column math over the summary columns.
+
     At 100 TB the links table and both POI layers are bucketed by
     subject/node key so these two joins co-locate without a shuffle; in
     unbucketed form AQE picks sort-merge with skew splitting. Set
     ``broadcast_pois`` when a POI layer is a small dimension.
+
+    Each side is hash-repartitioned by its join key BEFORE the summary
+    UDF: the parse stage then runs at full shuffle parallelism (a
+    narrow-partitioned source would otherwise bottleneck it), and the
+    join reuses that HashPartitioning — no additional exchange.
     """
+    n_shuffle = int(poi_a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     a = poi_a.select(
         F.col("subject").alias("subject_a"),
         F.col("geom_wkt").alias("wkt_a"),
         F.col("lon").alias("lon_a"),
         F.col("lat").alias("lat_a"),
-    )
+    ).repartition(n_shuffle, "subject_a").select(
+        "*",
+        u_geo_summary(F.col("wkt_a")).alias("__sa"),
+    ).select(
+        "*",
+        F.col("__sa.cx").alias("cax"),
+        F.col("__sa.cy").alias("cay"),
+        F.col("__sa.npts").alias("npa"),
+        F.col("__sa.gtype").alias("gta"),
+    ).drop("__sa")
     b = poi_b.select(
         F.col("subject").alias("subject_b"),
         F.col("geom_wkt").alias("wkt_b"),
         F.col("lon").alias("lon_b"),
         F.col("lat").alias("lat_b"),
-    )
+    ).repartition(n_shuffle, "subject_b").select(
+        "*",
+        u_geo_summary(F.col("wkt_b")).alias("__sb"),
+    ).select(
+        "*",
+        F.col("__sb.cx").alias("cbx"),
+        F.col("__sb.cy").alias("cby"),
+        F.col("__sb.npts").alias("npb"),
+        F.col("__sb.gtype").alias("gtb"),
+    ).drop("__sb")
     if broadcast_pois:
         a, b = F.broadcast(a), F.broadcast(b)
     return links.join(a, links.node_a == a.subject_a, "inner").join(
@@ -104,8 +135,11 @@ def linked_pairs(
 
 
 def _with_centroids(pairs: DataFrame) -> DataFrame:
-    """Attach exact centroids of both geometries (Arrow-batched UDF).
-    At ingest scale these are computed once and stored as columns."""
+    """Attach exact centroids of both geometries. Pairs from linked_pairs
+    already carry the layer-level summary columns (no re-parse); the UDF
+    fallback covers ad-hoc inputs."""
+    if "cax" in pairs.columns:
+        return pairs
     return (
         pairs.withColumn("__ca", u_centroid(F.col("wkt_a")))
         .withColumn("__cb", u_centroid(F.col("wkt_b")))
@@ -115,6 +149,21 @@ def _with_centroids(pairs: DataFrame) -> DataFrame:
         .withColumn("cby", F.col("__cb.cy"))
         .drop("__ca", "__cb")
     )
+
+
+def _gtype_col(pairs: DataFrame, side: str):
+    """Geometry type: precomputed summary column when present."""
+    col = "gta" if side == "a" else "gtb"
+    if col in pairs.columns:
+        return F.col(col)
+    return u_gtype(F.col(f"wkt_{side}"))
+
+
+def _npoints_col(pairs: DataFrame, side: str):
+    col = "npa" if side == "a" else "npb"
+    if col in pairs.columns:
+        return F.col(col)
+    return u_npoints(F.col(f"wkt_{side}"))
 
 
 _OUT = ["subject_a", "subject_b", "geom_wkt"]
@@ -132,12 +181,14 @@ def fuse(pairs: DataFrame, transformation: str, params: FusionParams | None = No
         raise ValueError(f"unknown transformation {t!r}; known: {sorted(TRANSFORMATIONS)}")
 
     if t == "most_points":  # KeepMostPointsTransformation.java:62-84
-        from fagi_gis_spark.functions.geo_udfs import u_most_points
-
+        # with summary columns this is pure JVM (CASE on precomputed
+        # npoints — whole-stage codegen, no Python at all)
         return pairs.select(
             "subject_a",
             "subject_b",
-            u_most_points(F.col("wkt_a"), F.col("wkt_b")).alias("geom_wkt"),
+            F.when(_npoints_col(pairs, "a") >= _npoints_col(pairs, "b"), F.col("wkt_a"))
+            .otherwise(F.col("wkt_b"))
+            .alias("geom_wkt"),
         )
     if t == "concatenation":  # Concatenation.java:66-81 — WKT string concat
         return pairs.select(
@@ -149,11 +200,39 @@ def fuse(pairs: DataFrame, transformation: str, params: FusionParams | None = No
         )
     if t in ("shift_a_to_b", "shift_b_to_a"):
         # rotate -> resize -> translate shift%% of centroid displacement
-        # (ShiftAToB.java:190-232 / ShiftBToA.java:190-232) — ONE Arrow
-        # pass over both WKTs
+        # (ShiftAToB.java:190-232 / ShiftBToA.java:190-232). With the
+        # destination centroid precomputed (summary column) only the
+        # SOURCE geometry is parsed — and the fused centroid comes out of
+        # the same pass (fused_cx/fused_cy), so downstream consumers never
+        # re-parse the output WKT.
+        if t == "shift_a_to_b":
+            src, cdx, cdy = "wkt_a", "cbx", "cby"
+        else:
+            src, cdx, cdy = "wkt_b", "cax", "cay"
+        if cdx in pairs.columns:
+            from fagi_gis_spark.functions.geo_udfs import u_shift_pre
+
+            shifted = pairs.withColumn(
+                "__sh",
+                u_shift_pre(
+                    F.col(src),
+                    F.col(cdx),
+                    F.col(cdy),
+                    F.lit(p.shift_pct / 100.0),
+                    F.lit(float(p.rotate_deg)),
+                    F.lit(float(p.scale_f)),
+                ),
+            )
+            return shifted.select(
+                "subject_a",
+                "subject_b",
+                F.col("__sh.wkt").alias("geom_wkt"),
+                F.col("__sh.cx").alias("fused_cx"),
+                F.col("__sh.cy").alias("fused_cy"),
+            )
         from fagi_gis_spark.functions.geo_udfs import u_shift_pair
 
-        src, dst = ("wkt_a", "wkt_b") if t == "shift_a_to_b" else ("wkt_b", "wkt_a")
+        dst = "wkt_b" if t == "shift_a_to_b" else "wkt_a"
         return pairs.select(
             "subject_a",
             "subject_b",
@@ -167,7 +246,7 @@ def fuse(pairs: DataFrame, transformation: str, params: FusionParams | None = No
         )
     if t == "avg_points":  # AvgTwoPointsTransformation.java:18-65 (POINTs only)
         c = _with_centroids(pairs)
-        both_pts = (u_gtype(F.col("wkt_a")) == "POINT") & (u_gtype(F.col("wkt_b")) == "POINT")
+        both_pts = (_gtype_col(c, "a") == "POINT") & (_gtype_col(c, "b") == "POINT")
         return c.filter(both_pts).select(
             "subject_a",
             "subject_b",
@@ -195,7 +274,7 @@ def fuse(pairs: DataFrame, transformation: str, params: FusionParams | None = No
         )
     if t == "most_points_translate":  # KeepMostPointsAndTranslateTransformation.java:130-155
         c = _with_centroids(pairs).withColumn(
-            "__a_wins", u_npoints(F.col("wkt_a")) >= u_npoints(F.col("wkt_b"))
+            "__a_wins", _npoints_col(pairs, "a") >= _npoints_col(pairs, "b")
         )
         kept = F.when(F.col("__a_wins"), F.col("wkt_a")).otherwise(F.col("wkt_b"))
         dx = F.when(F.col("__a_wins"), F.col("cbx") - F.col("cax")).otherwise(
@@ -286,8 +365,8 @@ def scores_quantized(pairs: DataFrame, threshold_m: float = 500.0) -> DataFrame:
     t_e12 = int(t_deg * t_deg * 1e12)  # same integer literal in the oracle
     dist_m = F.sqrt(F.col("dist2_e12").cast("double") / F.lit(1e12)) * F.lit(DEG_TO_M)
     gate = (
-        (u_gtype(F.col("wkt_a")) == "POINT")
-        & (u_gtype(F.col("wkt_b")) == "POLYGON")
+        (_gtype_col(c, "a") == "POINT")
+        & (_gtype_col(c, "b") == "POLYGON")
         & (F.col("dist2_e12") <= F.lit(t_e12))
     )
     return (
@@ -327,9 +406,7 @@ def with_scores(pairs: DataFrame, transformation: str, threshold_m: float = 500.
         # the reference checks the POINT/POLYGON gate BEFORE the
         # threshold==-1 shortcut (ShiftAToB.score:138-177), so mismatched
         # types score 0 even with no threshold.
-        type_gate = (u_gtype(F.col("wkt_a")) == "POINT") & (
-            u_gtype(F.col("wkt_b")) == "POLYGON"
-        )
+        type_gate = (_gtype_col(c, "a") == "POINT") & (_gtype_col(c, "b") == "POLYGON")
         if threshold_m < 0:
             score = F.when(type_gate, F.lit(1.0)).otherwise(F.lit(0.0))
         else:
@@ -339,7 +416,7 @@ def with_scores(pairs: DataFrame, transformation: str, threshold_m: float = 500.
             ).otherwise(F.lit(0.0))
     elif transformation == "avg_points":
         score = F.when(
-            (u_gtype(F.col("wkt_a")) == "POINT") & (u_gtype(F.col("wkt_b")) == "POINT"), 1.0
+            (_gtype_col(c, "a") == "POINT") & (_gtype_col(c, "b") == "POINT"), 1.0
         ).otherwise(0.0)
     else:
         score = F.lit(0.0)

