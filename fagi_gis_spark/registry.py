@@ -1383,3 +1383,20 @@ def metadata_keep_both_q(spark, sf_dir):
         L["links"], L["triples_a"], L["triples_b"],
         "http://a.example/name", "http://b.example/label", "http://a.example/", "name",
     )
+
+
+@register("tag_pair_features")  # TagFeatures extraction: rows-only + pytest bins
+def tag_pair_features(spark, sf_dir):
+    """A10 feature fidelity: the reference's TagFeatures per-geometry
+    vector (type/rectangle/npoints/area/circle/mean/variance bins,
+    TagFeatures.java:37-400) for both sides of each linked pair — the
+    liblinear input of the reference's tag predictor."""
+    from fagi_gis_spark.operators.fusion import linked_pairs as _lp
+    from fagi_gis_spark.operators.tag_features import pair_tag_features
+
+    L = layers(spark, sf_dir)
+    feats = pair_tag_features(_lp(L["links"], L["poi_a"], L["poi_b"]))
+    return feats.select(
+        "subject_a", "subject_b", F.size("fv").alias("n_features"),
+        F.round(F.aggregate("fv", F.lit(0.0), lambda a, x: a + x), 6).alias("fv_sum"),
+    )

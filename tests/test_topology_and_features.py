@@ -292,3 +292,58 @@ def test_schema_match_semantic_flag_off_is_unchanged_and_on_uses_combine():
     assert on["sem_score"] == pytest.approx(0.8)
     # reference combine: (sem + jaro + 0.5*type)/3  (VirtuosoImporter:950)
     assert on["score"] == pytest.approx((0.8 + on["text_score"] + 0.5) / 3.0)
+
+
+# ---------------------------------------------------------------------------
+# TagFeatures fidelity (learning/tagprediction/TagFeatures.java)
+# ---------------------------------------------------------------------------
+
+
+def test_tag_feature_vector_reference_bins():
+    from fagi_gis_spark.operators.tag_features import (
+        N_TAG_FEATURES,
+        tag_feature_vector,
+    )
+
+    assert N_TAG_FEATURES == 105  # 4+1+13+25+1+23+38
+
+    # axis-aligned 10x6 rectangle polygon
+    vp = tag_feature_vector(g("POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))"))
+    assert vp[1] == 1.0 and vp[0] == 0.0 and vp[3] == 0.0   # Polygon slot
+    assert vp[4] == 1.0                                      # isRectangle
+    assert vp[5] == 1.0                                      # 5 points < 10
+    assert vp[18 + 1] == 1.0                                 # area 60 -> <100
+    assert vp[43] == 0.0                                     # circle always 0
+    # mean edge (10+6+10+6)/4 = 8 -> first edge 10 -> bin 4
+    assert vp[44 + 4] == 1.0
+    # variance 4, normalized 4/64 = 0.0625 -> first edge 0.07 -> bin idx 7
+    # -> slot 67+1+7
+    assert vp[67 + 1 + 7] == 1.0
+    assert vp.sum() == 6.0
+
+    # POINT: type slot 3; npoints 1 -> bin 0; no area; mean 0 -> bin 0;
+    # variance 0/0 = NaN -> final else slot 104 (Java NaN semantics)
+    vpt = tag_feature_vector(g("POINT (1 2)"))
+    assert vpt[3] == 1.0 and vpt[5] == 1.0 and vpt[44] == 1.0
+    assert vpt[18:43].sum() == 0.0
+    assert vpt[104] == 1.0
+    assert vpt.sum() == 4.0
+
+    # non-rectangle polygon: rectangle bit off
+    vtri = tag_feature_vector(g("POLYGON ((0 0, 8 0, 4 6, 0 0))"))
+    assert vtri[4] == 0.0
+
+    # equal-length edges -> normalizedVariance == 0 -> slot 67
+    vsq = tag_feature_vector(g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    assert vsq[67] == 1.0
+
+
+def test_pair_tag_features_concat(spark):
+    from fagi_gis_spark.operators.fusion import linked_pairs
+    from fagi_gis_spark.operators.tag_features import N_TAG_FEATURES, pair_tag_features
+    from fagi_gis_spark.registry import layers
+
+    L = layers(spark, "/root/testdata/sf0.001")
+    out = pair_tag_features(linked_pairs(L["links"], L["poi_a"], L["poi_b"])).limit(50).toPandas()
+    assert len(out) == 50
+    assert all(len(fv) == 2 * N_TAG_FEATURES for fv in out.fv)
