@@ -239,6 +239,7 @@ def u_shift_pre(
     shift_frac: pd.Series,
     rot_deg: pd.Series,
     fscale: pd.Series,
+    metric: pd.Series,
 ) -> pd.DataFrame:
     """ShiftAToB/ShiftBToA with the DESTINATION centroid precomputed (the
     u_geo_summary layer column): parses only the source geometry — one
@@ -247,9 +248,21 @@ def u_shift_pre(
     rotate/scale about the source centroid leave it fixed, so
     c_out = c_src + s * (c_dst - c_src) — the oracle's exact expression
     tree (ShiftAToB.java:190-232; see u_shift_pair for the degree-space
-    rotation note)."""
+    rotation note).
+
+    ``metric`` selects the reference's FULL GeomRotate semantics:
+    rotation about the centroid in projected EPSG 2249 (schema.sql:103,
+    via geometry.projection's Snyder LCC) instead of degree space —
+    shape-preserving on the ground. The metric rotation moves the
+    degree-space centroid by a sub-nanometre reprojection residual, which
+    the translate step absorbs (it targets the destination either way).
+    """
+    from fagi_gis_spark.geometry.affine import rotate_metric
+
     out_w, out_x, out_y = [], [], []
-    for s_w, dx_, dy_, s, r, f in zip(wkt_src, cdx, cdy, shift_frac, rot_deg, fscale):
+    for s_w, dx_, dy_, s, r, f, mt in zip(
+        wkt_src, cdx, cdy, shift_frac, rot_deg, fscale, metric
+    ):
         if s_w is None or dx_ is None or pd.isna(dx_):
             out_w.append(None)
             out_x.append(None)
@@ -260,12 +273,22 @@ def u_shift_pre(
         r = float(r)
         f = float(f)
         if r != 0.0:
-            g = rotate_about(g, math.radians(r))
+            g = rotate_metric(g, math.radians(r)) if mt else rotate_about(g, math.radians(r))
         if f != 1.0:
             g = scale_about(g, f, f)
         s = float(s)
-        g = translate(g, s * (float(dx_) - cs[0]), s * (float(dy_) - cs[1]))
+        tx = cs[0] + s * (float(dx_) - cs[0])
+        ty = cs[1] + s * (float(dy_) - cs[1])
+        if r != 0.0 and mt:
+            # metric rotation perturbs the degree-space centroid by the
+            # reprojection residual; translate FROM the post-rotation
+            # centroid so the output centroid is exactly (tx, ty)
+            c_now = centroid(g)
+            g = translate(g, tx - c_now[0], ty - c_now[1])
+        else:
+            # bitwise-identical to the pre-metric kernel (oracle parity)
+            g = translate(g, s * (float(dx_) - cs[0]), s * (float(dy_) - cs[1]))
         out_w.append(format_wkt(g, prec=9))
-        out_x.append(cs[0] + s * (float(dx_) - cs[0]))
-        out_y.append(cs[1] + s * (float(dy_) - cs[1]))
+        out_x.append(tx)
+        out_y.append(ty)
     return pd.DataFrame({"wkt": out_w, "cx": out_x, "cy": out_y})

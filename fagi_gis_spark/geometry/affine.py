@@ -51,3 +51,27 @@ def rotate_about(g: Geom, angle_rad: float, origin: tuple[float, float] | None =
         return np.column_stack((ox + x * ca - y * sa, oy + x * sa + y * ca))
 
     return map_coords(g, fn)
+
+
+def rotate_metric(g: Geom, angle_rad: float, proj=None) -> Geom:
+    """GeomRotate at full fidelity: rotate about the centroid IN THE
+    PROJECTED METRIC FRAME (default EPSG 2249), then transform back —
+    exactly ST_Transform(rotate(ST_Transform(g, 2249)), 4326)
+    (schema.sql:103). Shape-preserving on the ground, unlike the
+    degree-space rotation (anisotropic by ~cos(lat))."""
+    if proj is None:
+        from fagi_gis_spark.geometry.projection import EPSG_2249
+
+        proj = EPSG_2249
+
+    def fwd(c: np.ndarray) -> np.ndarray:
+        x, y = proj.forward(c[:, 0], c[:, 1])
+        return np.column_stack((x, y))
+
+    def inv(c: np.ndarray) -> np.ndarray:
+        lon, lat = proj.inverse(c[:, 0], c[:, 1])
+        return np.column_stack((lon, lat))
+
+    gp = map_coords(g, fwd)
+    gp = rotate_about(gp, angle_rad)  # centroid of the PROJECTED geometry
+    return map_coords(gp, inv)

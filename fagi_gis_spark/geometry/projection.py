@@ -1,0 +1,107 @@
+"""Lambert Conformal Conic (2SP) projection — the metric frame the
+reference rotates in.
+
+Reference: the GeomRotate SQL function transforms to EPSG 2249 before
+rotating and back to 4326 after
+(/root/reference/fagi-gis/src/main/resources/schema.sql:103;
+geotransformations/ShiftAToB.java:196-198). No projection library ships
+in this sandbox, so the projection is implemented from the published
+closed forms: John P. Snyder, *Map Projections — A Working Manual*
+(USGS Professional Paper 1395, 1987), eqs. 14-15/15-1..15-11 (ellipsoidal
+Lambert Conformal Conic, two standard parallels), with the EPSG 2249
+parameter set (NAD83 / Massachusetts Mainland, US survey feet) from the
+public EPSG registry.
+
+Everything is numpy-vectorized over coordinate arrays; round-trip error
+on the test window is << 1e-9 degrees (see tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# GRS80 ellipsoid
+_A_M = 6378137.0
+_INV_F = 298.257222101
+_E2 = (2.0 - 1.0 / _INV_F) / _INV_F  # e² = 2f - f²
+_E = np.sqrt(_E2)
+
+# US survey foot (exact legal definition 1200/3937 m)
+US_FT = 1200.0 / 3937.0
+
+
+def _m(phi):
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - _E2 * s * s)
+
+
+def _t(phi):
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - _E * s) / (1.0 + _E * s)) ** (_E / 2.0)
+
+
+class LambertConformalConic:
+    """Ellipsoidal LCC-2SP (Snyder 1987, §15). Units follow ``unit_m``
+    (metres per output unit; 1.0 = metres, US_FT = US survey feet)."""
+
+    def __init__(
+        self,
+        lat1_deg: float,
+        lat2_deg: float,
+        lat0_deg: float,
+        lon0_deg: float,
+        false_easting: float,
+        false_northing: float,
+        unit_m: float = 1.0,
+    ):
+        self.lon0 = np.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+        self.a = _A_M / unit_m  # semi-major axis in output units
+        p1, p2, p0 = np.radians([lat1_deg, lat2_deg, lat0_deg])
+        m1, m2 = _m(p1), _m(p2)
+        t1, t2, t0 = _t(p1), _t(p2), _t(p0)
+        self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        self.f_ = m1 / (self.n * t1**self.n)
+        self.rho0 = self.a * self.f_ * t0**self.n
+
+    def forward(self, lon_deg: np.ndarray, lat_deg: np.ndarray):
+        """(lon, lat) degrees -> (x, y) projected units."""
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        rho = self.a * self.f_ * _t(phi) ** self.n
+        theta = self.n * (lam - self.lon0)
+        x = rho * np.sin(theta) + self.fe
+        y = self.rho0 - rho * np.cos(theta) + self.fn
+        return x, y
+
+    def inverse(self, x: np.ndarray, y: np.ndarray):
+        """(x, y) projected units -> (lon, lat) degrees. The latitude
+        iteration (Snyder eq. 7-9) converges quadratically; 8 rounds give
+        full float64 precision."""
+        xp = np.asarray(x, dtype=np.float64) - self.fe
+        yp = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        rho = np.sign(self.n) * np.sqrt(xp * xp + yp * yp)
+        theta = np.arctan2(np.sign(self.n) * xp, np.sign(self.n) * yp)
+        t = (rho / (self.a * self.f_)) ** (1.0 / self.n)
+        lam = theta / self.n + self.lon0
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - _E * s) / (1.0 + _E * s)) ** (_E / 2.0)
+            )
+        return np.degrees(lam), np.degrees(phi)
+
+
+#: EPSG 2249 — NAD83 / Massachusetts Mainland (US survey feet): the SRID
+#: hard-coded in the reference's GeomRotate (schema.sql:103).
+EPSG_2249 = LambertConformalConic(
+    lat1_deg=42.0 + 41.0 / 60.0,
+    lat2_deg=41.0 + 43.0 / 60.0,
+    lat0_deg=41.0,
+    lon0_deg=-71.5,
+    false_easting=656166.667,
+    false_northing=2460625.0,
+    unit_m=US_FT,
+)

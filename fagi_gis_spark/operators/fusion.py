@@ -68,11 +68,17 @@ ACTIVE = (
 class FusionParams:
     """UI-set factors (BatchFusionServlet.java:433-445): shift is a
     percentage of the centroid displacement; rotate in degrees; scale is
-    the GeomResize/ST_Scale factor."""
+    the GeomResize/ST_Scale factor.
+
+    ``metric_rotation=True`` rotates in projected EPSG 2249 like the
+    reference's GeomRotate (schema.sql:103) — shape-preserving on the
+    ground; the default rotates in degree space (the engine's documented
+    fast path; identical when rotate_deg == 0)."""
 
     shift_pct: float = 25.0
     rotate_deg: float = 0.0
     scale_f: float = 1.0
+    metric_rotation: bool = False
 
 
 def linked_pairs(
@@ -221,6 +227,7 @@ def fuse(pairs: DataFrame, transformation: str, params: FusionParams | None = No
                     F.lit(p.shift_pct / 100.0),
                     F.lit(float(p.rotate_deg)),
                     F.lit(float(p.scale_f)),
+                    F.lit(bool(p.metric_rotation)),
                 ),
             )
             return shifted.select(

@@ -185,3 +185,24 @@ def test_owl_class_triples(spark):
         ("http://a.example/cafe", RDFS_LABEL, "cafe"),
         ("http://a.example/park", RDFS_LABEL, "park"),
     }
+
+
+def test_broadcast_pois_uses_broadcast_join_and_matches(spark):
+    """J7 (smaller-side probe choice): broadcast_pois must put a
+    BroadcastHashJoin in the physical plan and return the identical
+    result set as the default (sort-merge / AQE) strategy."""
+    from fagi_gis_spark.operators.fusion import fuse, linked_pairs
+    from fagi_gis_spark.registry import layers
+
+    L = layers(spark, SF)
+    default_pairs = linked_pairs(L["links"], L["poi_a"], L["poi_b"])
+    bcast_pairs = linked_pairs(L["links"], L["poi_a"], L["poi_b"], broadcast_pois=True)
+
+    plan = bcast_pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    a = fuse(default_pairs, "most_points").toPandas()
+    b = fuse(bcast_pairs, "most_points").toPandas()
+    key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
+    assert key(a) == key(b)
+    assert len(a) > 0

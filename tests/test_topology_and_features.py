@@ -347,3 +347,89 @@ def test_pair_tag_features_concat(spark):
     out = pair_tag_features(linked_pairs(L["links"], L["poi_a"], L["poi_b"])).limit(50).toPandas()
     assert len(out) == 50
     assert all(len(fv) == 2 * N_TAG_FEATURES for fv in out.fv)
+
+
+# ---------------------------------------------------------------------------
+# LCC projection (EPSG 2249) + metric-frame rotation (GeomRotate fidelity)
+# ---------------------------------------------------------------------------
+
+
+def test_epsg2249_known_point_and_roundtrip():
+    import numpy as np
+
+    from fagi_gis_spark.geometry.projection import EPSG_2249
+
+    # Boston State House area: published EPSG-2249 coordinates are
+    # ~774,000 E / 2,956,000 N (US survey feet)
+    x, y = EPSG_2249.forward(np.array([-71.0636]), np.array([42.3581]))
+    assert abs(x[0] - 774117.0) < 5.0
+    assert abs(y[0] - 2955822.0) < 5.0
+
+    lons = np.linspace(-73.0, -69.0, 9)
+    lats = np.linspace(41.0, 43.0, 9)
+    X, Y = EPSG_2249.forward(lons, lats)
+    lo, la = EPSG_2249.inverse(X, Y)
+    assert np.abs(lo - lons).max() < 1e-11
+    assert np.abs(la - lats).max() < 1e-11
+
+
+def test_metric_rotation_preserves_ground_shape():
+    """Rotating a ground square 90° in the 2249 frame must return a
+    ground square (side lengths preserved within projection distortion);
+    degree-space rotation distorts it by ~1/cos(lat) ≈ 1.35 at 42.4°N."""
+    import math
+
+    import numpy as np
+
+    from fagi_gis_spark.geometry.affine import rotate_about, rotate_metric
+    from fagi_gis_spark.geometry.wkt import parse_wkt
+
+    # ~100 m ground square near Boston: dlat = 9e-4, dlon = 9e-4/cos(lat)
+    lat0, lon0 = 42.3581, -71.0636
+    dlat = 9e-4
+    dlon = dlat / math.cos(math.radians(lat0))
+    wkt = (
+        f"POLYGON (({lon0} {lat0}, {lon0 + dlon} {lat0}, "
+        f"{lon0 + dlon} {lat0 + dlat}, {lon0} {lat0 + dlat}, {lon0} {lat0}))"
+    )
+    g = parse_wkt(wkt)
+
+    def ground_edges(geom):
+        c = np.asarray(geom.data[0], dtype=float)
+        dx = np.diff(c[:, 0]) * math.cos(math.radians(lat0)) * 111195.0
+        dy = np.diff(c[:, 1]) * 111195.0
+        return np.sqrt(dx * dx + dy * dy)
+
+    e0 = ground_edges(g)
+    em = ground_edges(rotate_metric(g, math.radians(90.0)))
+    ed = ground_edges(rotate_about(g, math.radians(90.0)))
+
+    # metric rotation: all edges stay ~100 m (LCC scale distortion at
+    # Boston's latitude is ~0.4%)
+    assert np.allclose(sorted(em), sorted(e0), rtol=6e-3)
+    # degree rotation: the horizontal edges blow up by ~1/cos²? no —
+    # 1/cos(lat) ≈ 1.353; assert it visibly distorts
+    assert abs(ed.max() / ed.min() - 1.0) > 0.2
+
+
+def test_shift_with_metric_rotation_keeps_oracle_centroid(spark):
+    """With metric_rotation on, the fused centroid must still be exactly
+    c_src + s*(c_dst - c_src), and the output WKT's parsed centroid must
+    agree with the emitted fused_cx/cy to formatting precision."""
+    import numpy as np
+
+    from fagi_gis_spark.geometry.measures import centroid
+    from fagi_gis_spark.geometry.wkt import parse_wkt
+    from fagi_gis_spark.operators.fusion import FusionParams, fuse_all
+    from fagi_gis_spark.registry import layers
+
+    L = layers(spark, "/root/testdata/sf0.001")
+    out = fuse_all(
+        L["links"], L["poi_a"], L["poi_b"], "shift_a_to_b",
+        FusionParams(shift_pct=25.0, rotate_deg=30.0, metric_rotation=True),
+    ).limit(200).toPandas()
+    assert len(out) == 200
+    for _, row in out.iterrows():
+        c = centroid(parse_wkt(row.geom_wkt))
+        assert abs(c[0] - row.fused_cx) < 2e-9   # 9-decimal WKT rounding
+        assert abs(c[1] - row.fused_cy) < 2e-9
