@@ -204,30 +204,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def _fnv64_tokens(tokens: list[str]) -> np.ndarray:
+    """FNV-1a of each token, vectorized column-wise: tokens are padded
+    into one byte matrix and the hash recurrence runs once per CHARACTER
+    POSITION (<= max token length) over all tokens at once, instead of a
+    Python loop per character per token."""
+    n = len(tokens)
+    encs = [t.encode("utf-8", "ignore") for t in tokens]
+    lens = np.fromiter((len(e) for e in encs), dtype=np.int64, count=n)
+    width = int(lens.max()) if n else 0
+    mat = np.zeros((n, width), dtype=np.uint64)
+    for i, e in enumerate(encs):  # one row-copy per token (cheap memcpy)
+        mat[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+    h = np.full(n, np.uint64(1469598103934665603))
+    prime = np.uint64(1099511628211)
+    for c in range(width):
+        active = c < lens
+        h = np.where(active, (h ^ mat[:, c]) * prime, h)
+    return h
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash over word-token FNV hashes (vectorized)."""
+    """64-bit SimHash over word-token FNV hashes. The kernel is fully
+    vectorized per Arrow batch: FNV runs column-wise over the batch's
+    UNIQUE tokens (corpora share vocabulary, so the dedup is a large
+    win), bit unpack/accumulate is one numpy pass per document. Output
+    values are bit-identical to the scalar definition (FNV-1a per token,
+    MSB-first majority bits)."""
 
     @F.pandas_udf(T.LongType())
     def u_simhash(text: pd.Series) -> pd.Series:
         out = np.zeros(len(text), dtype=np.int64)
-        prime = np.uint64(1099511628211)
-        for i, s in enumerate(text):
-            toks = (s or "").lower().split()
+        docs_toks = [(s or "").lower().split() for s in text]
+        vocab: dict[str, int] = {}
+        for toks in docs_toks:
+            for t in toks:
+                if t not in vocab:
+                    vocab[t] = len(vocab)
+        if not vocab:
+            return pd.Series(out)
+        hashes = _fnv64_tokens(list(vocab))
+        # (n_vocab, 64) bit matrix, same order as h.tobytes() big-bitorder
+        bitmat = np.unpackbits(
+            hashes.view(np.uint8).reshape(-1, 8), axis=1
+        ).astype(np.int64)
+        for i, toks in enumerate(docs_toks):
             if not toks:
                 continue
-            acc = np.zeros(bits, dtype=np.int64)
-            for t in toks:
-                h = np.uint64(1469598103934665603)
-                for ch in t.encode("utf-8", "ignore"):
-                    h = (h ^ np.uint64(ch)) * prime
-                hb = np.unpackbits(np.frombuffer(h.tobytes(), dtype=np.uint8))
-                acc += np.where(hb.astype(bool), 1, -1)
-            v = np.uint64(0)
-            for bit in acc > 0:
-                v = (v << np.uint64(1)) | np.uint64(bool(bit))
-            out[i] = np.int64(v)
+            idx = np.fromiter((vocab[t] for t in toks), dtype=np.int64, count=len(toks))
+            acc = bitmat[idx].sum(axis=0) * 2 - len(toks)
+            v = int.from_bytes(np.packbits((acc > 0).astype(np.uint8)).tobytes(), "big")
+            if v >= 1 << 63:
+                v -= 1 << 64
+            out[i] = v
         return pd.Series(out)
 
     return docs.select(F.col(id_col).alias("doc_id"), u_simhash(F.col(text_col)).alias("simhash"))

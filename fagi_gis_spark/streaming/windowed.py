@@ -45,3 +45,19 @@ def start_memory_sink(df: DataFrame, name: str, output_mode: str = "complete"):
     return (
         df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked streaming deduplication (the training-data pipeline's
+    streaming front door for exact dedup): dropDuplicatesWithinWatermark
+    keeps the first arrival per key and expires dedup state once the
+    watermark passes — bounded state at any input volume, the streaming
+    twin of functions.dedup.exact_dedup_keep."""
+    keys = keys or ["event_id"]
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -166,3 +166,34 @@ def test_shift_with_rotation_and_scale_matches_local_replay(spark):
             got_wkt = got_wkt.iloc[0]
         actual = centroid(parse_wkt(got_wkt))
         np.testing.assert_allclose(actual, expect, atol=2e-9)
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """stream_dedup over a file source with injected duplicate rows must
+    keep exactly one row per event_id — same key set as batch
+    dropDuplicates."""
+    import shutil
+
+    from fagi_gis_spark.streaming.windowed import stream_dedup
+
+    batch = spark.read.parquet(f"{SF}/events.parquet").limit(500)
+    dup = batch.limit(120)  # duplicates arriving again
+    src = str(tmp_path / "dedup_src")
+    batch.unionByName(dup).repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        stream_dedup(stream, keys=["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_id FROM dedup_sink").toPandas()
+    expect = batch.select("event_id").distinct().toPandas()
+    assert sorted(got.event_id) == sorted(expect.event_id)
+    assert got.event_id.is_unique
