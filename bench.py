@@ -67,8 +67,11 @@ def run(sf_dir: str | None = None, cores: str | None = None, names=None) -> dict
     for name in names:
         best = None
         for _ in range(repeats):
-            df = qs[name](spark, sf_dir)
+            # construction is timed too: query functions may run planning
+            # work (e.g. fitting a quantizer), and excluding it would
+            # under-report such queries
             t0 = time.time()
+            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)

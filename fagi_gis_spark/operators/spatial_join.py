@@ -85,10 +85,12 @@ def radius_join(
     are split into ``n_salt`` sub-keys (explicit skew handling); probe
     rows replicate only for those hot cells. The default ``"auto"``
     derives the threshold from the build-side cell-count distribution
-    (max(256, 8x mean)) with one tiny count aggregate, and skips salting
-    entirely when no cell exceeds it — so uniform data pays nothing and
-    skewed data is protected without tuning. ``None`` disables salting
-    (AQE skew-join remains the only protection).
+    (max(256, 8x mean)) entirely inside the plan: the hot-cell set is a
+    tiny broadcast built in the same query DAG, so uniform data pays one
+    cheap cell-count aggregation and zero fan-out, skewed data is
+    protected without tuning, and nothing blocks on a driver-side
+    collect. ``None`` disables salting (AQE skew-join remains the only
+    protection).
     """
     lk, llon, llat = left_cols
     rk, rlon, rlat = right_cols
@@ -126,23 +128,31 @@ def radius_join(
         .drop("__o")
     )
 
+    hot = None
     if salt_threshold == "auto":
-        stats = (
-            r.groupBy("cell")
-            .count()
-            .agg(F.avg("count").alias("avg"), F.max("count").alias("mx"))
-            .collect()[0]
+        # count-based auto threshold, computed INSIDE the plan: the hot
+        # set is (cells with count > max(256, 8x mean)), built as a tiny
+        # broadcast within the same query DAG — no driver collect and no
+        # separate synchronous job before the join (at cluster scale the
+        # collect would serialize planning behind a full scan)
+        counts = r.groupBy("cell").count()
+        thr_df = counts.agg(
+            F.greatest(F.lit(256.0), F.avg("count") * F.lit(8.0)).alias("__thr")
         )
-        thr = max(256, int(8 * float(stats["avg"] or 0.0)))
-        salt_threshold = thr if int(stats["mx"] or 0) > thr else None
-
-    if salt_threshold is not None:
+        hot = (
+            counts.join(F.broadcast(thr_df))
+            .filter(F.col("count") > F.col("__thr"))
+            .select("cell", F.lit(True).alias("__hot"))
+        )
+    elif salt_threshold is not None:
         hot = (
             r.groupBy("cell")
             .count()
             .filter(F.col("count") > salt_threshold)
             .select("cell", F.lit(True).alias("__hot"))
         )
+
+    if hot is not None:
         r = (
             r.join(F.broadcast(hot), "cell", "left")
             .withColumn(

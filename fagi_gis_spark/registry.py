@@ -1400,3 +1400,38 @@ def tag_pair_features(spark, sf_dir):
         "subject_a", "subject_b", F.size("fv").alias("n_features"),
         F.round(F.aggregate("fv", F.lit(0.0), lambda a, x: a + x), 6).alias("fv_sum"),
     )
+
+
+@register(
+    "link_name_jw",
+    _o(
+        "SELECT l.node_a, l.node_b,\n"
+        "       jaro_winkler_similarity(ta.object, tb.object) AS jw\n"
+        "FROM links l\n"
+        "JOIN triples_a ta ON ta.subject = l.node_a\n"
+        "  AND ta.predicate = 'http://a.example/name'\n"
+        "JOIN triples_b tb ON tb.subject = l.node_b\n"
+        "  AND tb.predicate = 'http://b.example/label'"
+    ),
+)
+def link_name_jw(spark, sf_dir):
+    """D4's Jaro-Winkler scalar, oracle-checked end-to-end: JW between the
+    linked pair's name literals. The engine's from-scratch Winkler-1990
+    implementation (functions/similarity.py) is bit-identical to DuckDB's
+    jaro_winkler_similarity (differential-tested over 3000 random pairs),
+    so the driver hash compares raw doubles with no quantization."""
+    from fagi_gis_spark.functions.similarity import u_jaro_winkler
+
+    L = layers(spark, sf_dir)
+    ta = L["triples_a"].filter(F.col("predicate") == "http://a.example/name").select(
+        F.col("subject").alias("node_a"), F.col("object").alias("lit_a")
+    )
+    tb = L["triples_b"].filter(F.col("predicate") == "http://b.example/label").select(
+        F.col("subject").alias("node_b"), F.col("object").alias("lit_b")
+    )
+    return (
+        L["links"]
+        .join(ta, "node_a")
+        .join(tb, "node_b")
+        .select("node_a", "node_b", u_jaro_winkler(F.col("lit_a"), F.col("lit_b")).alias("jw"))
+    )
