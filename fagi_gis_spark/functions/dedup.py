@@ -291,3 +291,66 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the duplicate-pair graph — the step that
+    turns pairwise near-dup hits into dedup groups (component id = min
+    member id, the canonical survivor).
+
+    Distributed min-label propagation: every node starts labeled with its
+    own id; each round joins current labels across undirected edges and
+    keeps the per-node minimum; converged when a round changes nothing.
+    Rounds needed = graph diameter (duplicate clusters are shallow), each
+    round is one shuffle join + one aggregation; labels persist per round
+    so the fixpoint check does not re-execute the lineage. This is the
+    simple variant of the large-star/small-star map-reduce CC algorithm —
+    adequate because dedup components are small and shallow; swap in
+    star-contraction if diameters grow."""
+    und = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    ).distinct().persist()
+    labels = (
+        und.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).persist()
+
+    for _ in range(max_iter):
+        prop = (
+            und.join(labels, und.u == labels.id)
+            .select(F.col("v").alias("id"), F.col("lbl"))
+        )
+        new_labels = (
+            labels.select("id", "lbl")
+            .unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("component_id"))
+
+
+def dedup_survivors(docs: DataFrame, components: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one document per component (the min-id canonical survivor);
+    documents with no duplicate edges survive untouched."""
+    comp = components.filter(F.col("doc_id") != F.col("component_id"))
+    return docs.join(
+        comp.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )

@@ -1435,3 +1435,36 @@ def link_name_jw(spark, sf_dir):
         .join(tb, "node_b")
         .select("node_a", "node_b", u_jaro_winkler(F.col("lit_a"), F.col("lit_b")).alias("jw"))
     )
+
+
+@register(
+    "dedup_components",
+    "WITH RECURSIVE t AS (\n"
+    "  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks\n"
+    "  FROM documents),\n"
+    "b AS (SELECT doc_id, toks, CAST(floor(len(toks) / 8) AS INTEGER) AS blk FROM t),\n"
+    "p AS (\n"
+    "  SELECT l.doc_id AS u, r.doc_id AS v FROM b l\n"
+    "  JOIN b r ON l.blk = r.blk AND l.doc_id < r.doc_id\n"
+    "  WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)\n"
+    "      / CAST(len(list_distinct(list_concat(l.toks, r.toks))) AS DOUBLE) >= 0.5),\n"
+    "e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),\n"
+    "reach(u, v) AS (\n"
+    "  SELECT u, u FROM (SELECT DISTINCT u FROM e) n\n"
+    "  UNION\n"
+    "  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u\n"
+    ")\n"
+    "SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u",
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate-component clustering: pairwise near-dup hits -> dedup
+    groups via distributed min-label propagation
+    (functions.dedup.connected_components). Edges are the oracle-exact
+    lenband ngram-Jaccard pairs; the DuckDB oracle computes the same
+    components closed-form with a recursive transitive-closure CTE, so
+    the propagation loop (joins + min-agg per round, persist + fixpoint
+    check) is verified end-to-end, multi-hop chains included."""
+    from fagi_gis_spark.functions.dedup import connected_components, ngram_jaccard_pairs
+
+    edges = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, blocking="lenband")
+    return connected_components(edges)

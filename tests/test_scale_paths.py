@@ -206,3 +206,28 @@ def test_broadcast_pois_uses_broadcast_join_and_matches(spark):
     key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
     assert key(a) == key(b)
     assert len(a) > 0
+
+
+def test_connected_components_chains_cycles_isolated(spark):
+    """Min-label propagation must handle multi-hop chains, cycles and
+    separate components; survivors keep exactly one doc per component."""
+    from fagi_gis_spark.functions.dedup import connected_components, dedup_survivors
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),        # 5-chain -> comp 1
+            (10, 11), (11, 12), (12, 10),           # cycle -> comp 10
+            (20, 21),                               # pair -> comp 20
+        ],
+        "doc_a long, doc_b long",
+    )
+    comp = connected_components(edges).toPandas()
+    got = dict(zip(comp.doc_id, comp.component_id))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    kept = dedup_survivors(docs, connected_components(edges)).toPandas()
+    assert sorted(kept.doc_id) == [1, 10, 20, 99]  # min per comp + untouched 99
