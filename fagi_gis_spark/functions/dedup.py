@@ -312,10 +312,14 @@ def connected_components(
     simple variant of the large-star/small-star map-reduce CC algorithm —
     adequate because dedup components are small and shallow; swap in
     star-contraction if diameters grow."""
+    # persist the input first: the undirected union reads the edge lineage
+    # twice (once per direction), and edge generation is usually the
+    # expensive part (a near-dup join)
+    edges = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).persist()
     und = edges.select(
-        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+        F.col("a").alias("u"), F.col("b").alias("v")
     ).unionByName(
-        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     ).distinct().persist()
     labels = (
         und.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
@@ -344,6 +348,7 @@ def connected_components(
         if changed == 0:
             break
     und.unpersist()
+    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("component_id"))
 
 

@@ -1468,3 +1468,75 @@ def dedup_components(spark, sf_dir):
 
     edges = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, blocking="lenband")
     return connected_components(edges)
+
+
+_QUALITY_SQL = (
+    "SELECT doc_id, text, length(text) AS n_chars,\n"
+    "  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,\n"
+    "  length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,\n"
+    "  CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),\n"
+    "    ['the','of','and','a','to','in','is','it','you','that','he','was','for','on','are',\n"
+    "     'as','with','his','they','i','at','be','this','have','from','or','one','had','by',\n"
+    "     'word','but','not','what','all','were','we','when'])) AS BIGINT) AS stop_hits\n"
+    "FROM documents"
+)
+
+
+@register(
+    "clean_corpus",
+    "WITH RECURSIVE scored AS (\n"
+    "  SELECT doc_id, text, n_tokens,\n"
+    "    CAST(CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 40 ELSE 10 END\n"
+    "     + CASE WHEN n_tokens > 0 THEN least(30, stop_hits * 3) ELSE 0 END\n"
+    "     + CASE WHEN n_chars > 0 THEN (CASE WHEN n_punct * 5 <= n_chars THEN 30 ELSE 5 END)"
+    " ELSE 0 END AS BIGINT) AS quality\n"
+    f"  FROM ({_QUALITY_SQL}) raw\n"
+    "),\n"
+    "kept AS (SELECT * FROM scored WHERE quality >= 70),\n"
+    "tk AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks\n"
+    "       FROM kept),\n"
+    "b AS (SELECT doc_id, toks, CAST(floor(len(toks) / 8) AS INTEGER) AS blk FROM tk),\n"
+    "p AS (\n"
+    "  SELECT l.doc_id AS u, r.doc_id AS v FROM b l\n"
+    "  JOIN b r ON l.blk = r.blk AND l.doc_id < r.doc_id\n"
+    "  WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)\n"
+    "      / CAST(len(list_distinct(list_concat(l.toks, r.toks))) AS DOUBLE) >= 0.5),\n"
+    "e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),\n"
+    "reach(u, v) AS (\n"
+    "  SELECT u, u FROM (SELECT DISTINCT u FROM e) n\n"
+    "  UNION\n"
+    "  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u\n"
+    "),\n"
+    "comp AS (SELECT u AS doc_id, min(v) AS cid FROM reach GROUP BY u),\n"
+    "dropped AS (SELECT doc_id FROM comp WHERE doc_id != cid)\n"
+    "SELECT k.doc_id, k.n_tokens, k.quality FROM kept k\n"
+    "WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped) AND k.n_tokens <= 80",
+)
+def clean_corpus(spark, sf_dir):
+    """The training-data cleaning pipeline as ONE composed query —
+    quality gate -> near-dup component survivors -> token-budget cap —
+    each stage the engine operator, the whole composition oracle-checked:
+
+      quality_score >= 70          (functions.text)
+      lenband ngram-Jaccard pairs  (functions.dedup, oracle-exact blocking)
+      connected_components         (min-label propagation)
+      dedup_survivors              (min-id per component)
+      token budget n_tokens <= 80  (char_classes)
+
+    At 100 TB every stage is a shuffle-bounded DataFrame op: no stage
+    collects, the CC loop is diameter-bounded, and the quality/token
+    gates push down to the scan of the kept columns."""
+    from fagi_gis_spark.functions.dedup import (
+        connected_components,
+        dedup_survivors,
+        ngram_jaccard_pairs,
+    )
+    from fagi_gis_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    kept = quality_score(docs).filter(F.col("quality") >= 70).persist()
+    edges = ngram_jaccard_pairs(
+        kept.select("doc_id", "text"), threshold=0.5, blocking="lenband"
+    )
+    survivors = dedup_survivors(kept, connected_components(edges))
+    return survivors.filter(F.col("n_tokens") <= 80).select("doc_id", "n_tokens", "quality")
