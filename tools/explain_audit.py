@@ -15,10 +15,10 @@ from contextlib import redirect_stdout
 sys.path.insert(0, "/root/repo")
 
 AUDIT = [
-    ("radius_join_150m", "cell-bucketed radius join (ring-1 expansion + refine)"),
+    ("radius_join_150m", "cell-bucketed radius join (ring-1 + plan-internal auto salting)"),
     ("knn_conflation", "kNN conflation (radius join + per-probe window)"),
     ("fuse_keep_a", "Keep-A fusion (links ⋈ A, J1)"),
-    ("fuse_most_points", "most-points fusion (3-way join + single-parse UDF)"),
+    ("fuse_most_points", "most-points fusion (JVM CASE over layer-level summaries)"),
     ("tile_assign", "WebMercator tile assignment (pure column math)"),
     ("pip_assign", "point-in-polygon join (broadcast index, mapInPandas)"),
     ("dedup_exact", "exact dedup (partial agg -> exchange -> final agg)"),
