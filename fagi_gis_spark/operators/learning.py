@@ -79,14 +79,22 @@ _DIST_EDGES = [4.0, 6.0, 8.0, 15.0]  # + else = 5 (linkLength, dist ×1e6)
 _ANGLE_EDGES = [-math.pi / 4, 0.0, math.pi / 4]  # + else = 4
 
 N_FEATURES = 8 + 19 + 20 + 20 + 32 + 20 + 7 + 11 + 5 + 4 + 25  # = 171
+N_OWL_FEATURES = 19  # createOWLFeatures (BooleanVector.java:765-806)
+N_FEATURES_OWL = N_FEATURES + N_OWL_FEATURES  # = 190
 
 
 def _pct_bin(pct: float, start: float, n: int) -> int | None:
-    """First i in [0,n) with pct < start + 0.1*i — the reference's
-    percentage-step loop; None = fell through (incl. NaN)."""
+    """First i in [0,n) with pct < step, where step ACCUMULATES by 0.1
+    from ``start`` — exactly the reference's for-loop
+    (``for(step=-0.9; step<1; step+=0.1)``). The accumulation matters:
+    repeated double addition gives e.g. 0.4999999999999999 at the 0.5
+    boundary, so pct==0.5 lands one bin higher than the closed form
+    start+0.1*i would put it. None = fell through (incl. NaN)."""
+    step = start
     for i in range(n):
-        if pct < start + 0.1 * i:
+        if pct < step:
             return i
+        step += 0.1
     return None
 
 
@@ -218,6 +226,22 @@ def pair_feature_vector(ga: Geom | None, gb: Geom | None) -> np.ndarray:
     return v
 
 
+def owl_feature_slice(owl_a: str | None, owl_b: str | None) -> np.ndarray:
+    """createOWLFeatures (BooleanVector.java:765-806): %Δ of the two
+    sides' OWL class COUNTS (comma-joined class strings, Java split
+    semantics: ''.split(',') has length 1), binned with the same -0.9..0.9
+    percentage loop as the area feature. 19 slots (the reference
+    increments by OWL_CLASS=20 — one more sparse-id off-by-one)."""
+    v = np.zeros(N_OWL_FEATURES, dtype=np.float64)
+    size_a = len((owl_a or "").split(","))
+    size_b = len((owl_b or "").split(","))
+    pct = (size_a - size_b) / max(size_a, size_b)
+    b = _pct_bin(pct, -0.9, 19)
+    if b is not None:
+        v[b] = 1.0
+    return v
+
+
 @F.pandas_udf(_FEAT_SCHEMA)
 def u_pair_features(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
     """BooleanVector.createGeometryFeatures per linked pair, one Arrow
@@ -228,10 +252,50 @@ def u_pair_features(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def pair_features(pairs: DataFrame) -> DataFrame:
-    """Feature vectors for linked pairs (input: linked_pairs output)."""
-    return pairs.select(
-        "subject_a", "subject_b", u_pair_features(F.col("wkt_a"), F.col("wkt_b")).alias("fv")
+@F.pandas_udf(_FEAT_SCHEMA)
+def u_pair_features_owl(
+    wkt_a: pd.Series, wkt_b: pd.Series, owl_a: pd.Series, owl_b: pd.Series
+) -> pd.Series:
+    """Geometry features ++ OWL class-count slice (the full BooleanVector
+    driver list: createGeometryFeatures + createOWLFeatures)."""
+    out = []
+    for a_s, b_s, oa, ob in zip(wkt_a, wkt_b, owl_a, owl_b):
+        geo = pair_feature_vector(parse_wkt(a_s), parse_wkt(b_s))
+        out.append(np.concatenate([geo, owl_feature_slice(oa, ob)]).tolist())
+    return pd.Series(out)
+
+
+def pair_features(
+    pairs: DataFrame, triples_a: DataFrame | None = None, triples_b: DataFrame | None = None
+) -> DataFrame:
+    """Feature vectors for linked pairs (input: linked_pairs output).
+
+    With ``triples_a``/``triples_b`` supplied, each side's rdf:type
+    objects are collected per subject (sorted, comma-joined — the
+    MapPair.getOWLClassA wire form) and the OWL class-count slice is
+    appended (190 dims); otherwise geometry features only (171 dims)."""
+    if triples_a is None or triples_b is None:
+        return pairs.select(
+            "subject_a", "subject_b", u_pair_features(F.col("wkt_a"), F.col("wkt_b")).alias("fv")
+        )
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def classes(triples, out_col):
+        return (
+            triples.filter(F.col("predicate") == rdf_type)
+            .groupBy("subject")
+            .agg(F.array_join(F.array_sort(F.collect_set("object")), ",").alias(out_col))
+        )
+
+    ca = classes(triples_a, "owl_a").withColumnRenamed("subject", "subject_a")
+    cb = classes(triples_b, "owl_b").withColumnRenamed("subject", "subject_b")
+    joined = pairs.join(ca, "subject_a", "left").join(cb, "subject_b", "left")
+    return joined.select(
+        "subject_a",
+        "subject_b",
+        u_pair_features_owl(
+            F.col("wkt_a"), F.col("wkt_b"), F.col("owl_a"), F.col("owl_b")
+        ).alias("fv"),
     )
 
 

@@ -1540,3 +1540,21 @@ def clean_corpus(spark, sf_dir):
     )
     survivors = dedup_survivors(kept, connected_components(edges))
     return survivors.filter(F.col("n_tokens") <= 80).select("doc_id", "n_tokens", "quality")
+
+
+@register("learning_pair_features_owl")  # A9 + createOWLFeatures: rows-only
+def learning_pair_features_owl(spark, sf_dir):
+    """Full BooleanVector driver list including the OWL class slice
+    (createGeometryFeatures + createOWLFeatures, 190 dims): rdf:type
+    objects collected per side feed the class-count percentage bins."""
+    from fagi_gis_spark.operators.fusion import linked_pairs as _lp
+    from fagi_gis_spark.operators.learning import pair_features
+
+    L = layers(spark, sf_dir)
+    feats = pair_features(
+        _lp(L["links"], L["poi_a"], L["poi_b"]), L["triples_a"], L["triples_b"]
+    )
+    return feats.select(
+        "subject_a", "subject_b", F.size("fv").alias("n_features"),
+        F.round(F.aggregate("fv", F.lit(0.0), lambda a, x: a + x), 6).alias("fv_sum"),
+    )

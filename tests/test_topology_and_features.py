@@ -433,3 +433,33 @@ def test_shift_with_metric_rotation_keeps_oracle_centroid(spark):
         c = centroid(parse_wkt(row.geom_wkt))
         assert abs(c[0] - row.fused_cx) < 2e-9   # 9-decimal WKT rounding
         assert abs(c[1] - row.fused_cy) < 2e-9
+
+
+def test_owl_feature_slice_reference_bins():
+    from fagi_gis_spark.operators.learning import N_OWL_FEATURES, owl_feature_slice
+
+    assert N_OWL_FEATURES == 19
+    # equal counts -> pct 0 -> first step 0.1 -> bin 10
+    v = owl_feature_slice("Poi,Cafe", "Thing,Place")
+    assert v[10] == 1.0 and v.sum() == 1.0
+    # 1 vs 2 -> (1-2)/2 = -0.5 -> first step -0.4 -> bin 5
+    assert owl_feature_slice("Poi", "Thing,Place")[5] == 1.0
+    # Java ''.split(',') length 1: empty == one class
+    assert owl_feature_slice("", "")[10] == 1.0
+    # 2 vs 1 -> 0.5 -> first step 0.6 -> bin 15
+    assert owl_feature_slice("A,B", "C")[15] == 1.0
+
+
+def test_pair_features_with_owl_slice(spark):
+    from fagi_gis_spark.operators.fusion import linked_pairs
+    from fagi_gis_spark.operators.learning import N_FEATURES_OWL, pair_features
+    from fagi_gis_spark.registry import layers
+
+    L = layers(spark, "/root/testdata/sf0.001")
+    out = pair_features(
+        linked_pairs(L["links"], L["poi_a"], L["poi_b"]),
+        L["triples_a"], L["triples_b"],
+    ).limit(30).toPandas()
+    assert all(len(fv) == N_FEATURES_OWL for fv in out.fv)
+    # both sides have exactly one rdf:type ({onto}Poi) -> pct 0 -> bin 10
+    assert all(fv[171 + 10] == 1.0 for fv in out.fv)
