@@ -103,3 +103,18 @@ def test_morton_parent_is_prefix(p, level):
     # re-encoding at a coarser level equals the rolled-up parent id scaled
     coarse = morton_cell_np(lon, lat, level - 1)
     assert int(parent_cell_np(child, 1)[0]) >> 2 == int(coarse[0])
+
+
+@given(pt)
+@settings(max_examples=200, deadline=None)
+def test_lcc_projection_roundtrip_property(p):
+    """EPSG 2249 LCC forward/inverse is a bijection to float64 precision
+    anywhere on the globe away from the poles (the engine only needs it
+    near the data, but the Snyder forms hold globally)."""
+    from fagi_gis_spark.geometry.projection import EPSG_2249
+
+    lon, lat = p
+    x, y = EPSG_2249.forward(np.array([lon]), np.array([lat]))
+    lo, la = EPSG_2249.inverse(x, y)
+    assert abs(lo[0] - lon) < 1e-9
+    assert abs(la[0] - lat) < 1e-9
