@@ -1,0 +1,61 @@
+"""Physical-plan regression guards: the scale properties VERDICT graded
+(no driver collects in exact ANN, JVM-only most-points selection,
+constant-memory lineage checksums, broadcast PIP) must stay visible in
+the executed plans, not just in PLANS.md prose."""
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exact_ann_is_blocked_cogroup_not_collect(spark):
+    from fagi_gis_spark.registry import queries
+
+    plan = _plan(queries()["ann_cosine_topk"](spark, SF))
+    assert "FlatMapCoGroupsInPandas" in plan  # block-partitioned kernel
+    near = _plan(queries()["dedup_embedding_cosine"](spark, SF))
+    assert "FlatMapCoGroupsInPandas" in near
+
+
+def test_most_points_selection_is_jvm_only(spark):
+    """The most-points CASE must run on precomputed summary columns — the
+    only Python stages are the two layer-level summary passes, never a
+    per-pair geometry UDF."""
+    from fagi_gis_spark.registry import queries
+
+    plan = _plan(queries()["fuse_most_points"](spark, SF))
+    assert "u_most_points" not in plan
+    assert plan.count("ArrowEvalPython") == 2  # one summary pass per layer
+    assert "CASE WHEN" in plan
+
+
+def test_lineage_checksum_has_no_collect_list(spark):
+    from pyspark.sql import functions as F
+
+    from fagi_gis_spark.pipeline.lineage import stage_lineage
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    plan = _plan(stage_lineage(df))
+    assert "collect_list" not in plan
+    assert "bit_xor" in plan
+
+
+def test_pip_points_never_shuffle(spark):
+    """PIP probes the broadcast polygon index per input batch — the
+    operator itself must add no Exchange between the points source and
+    the kernel (a derived layer may shuffle for its own reasons)."""
+    from pyspark.sql import functions as F
+
+    from fagi_gis_spark.operators.spatial_join import pip_join
+    from fagi_gis_spark.sources.layers import admin_polygons_pdf
+
+    pts = spark.range(1000).select(
+        F.concat(F.lit("p"), F.col("id")).alias("subject"),
+        (F.lit(-0.9) + F.col("id") / 1000.0).alias("lon"),
+        (F.lit(50.6) + F.col("id") / 2000.0).alias("lat"),
+    )
+    plan = _plan(pip_join(pts, admin_polygons_pdf()))
+    below_kernel = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in below_kernel
