@@ -200,14 +200,18 @@ def knn_join(
     right: DataFrame,
     k: int,
     radius_m: float,
+    exclude_self: bool = False,
     **kwargs,
 ) -> DataFrame:
     """kNN conflation (bounded by a search radius, like the reference's
     discovery loop): radius join -> per-probe top-k by distance. Ties are
-    broken by the neighbor key for determinism."""
+    broken by the neighbor key for determinism. ``exclude_self`` drops
+    same-key pairs for self-joins (kNN of a layer against itself)."""
     from pyspark.sql import Window
 
     cand = radius_join(left, right, radius_m, **kwargs)
+    if exclude_self:
+        cand = cand.filter(F.col("l_key") != F.col("r_key"))
     w = Window.partitionBy("l_key").orderBy(F.col("dist_m").asc(), F.col("r_key").asc())
     return (
         cand.withColumn("knn_rank", F.row_number().over(w))
@@ -263,3 +267,65 @@ def linked_semi_join(poi: DataFrame, links: DataFrame, side: str) -> DataFrame:
     """J9: linked-only import (Importer.java:222-287)."""
     key = f"node_{side}"
     return poi.join(links.select(F.col(key).alias("subject")), "subject", "left_semi")
+
+
+def knn_join_adaptive(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    init_radius_m: float = 150.0,
+    max_doublings: int = 5,
+    left_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
+    right_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
+    **kwargs,
+) -> DataFrame:
+    """True kNN without a fixed radius bound: iterative ring doubling.
+
+    Round i probes the not-yet-finished points at radius 2^i * init; a
+    probe is FINAL once k neighbors are found within the current radius
+    (the radius join is complete inside r, so its k-th hit is the global
+    k-th). Finished probes leave the frontier, so each round joins a
+    shrinking probe set at a coarser cell resolution — the standard
+    adaptive expansion that replaces the reference's per-entity retry
+    loop (BatchFindLinkServlet's widening SPARQL probes) with log(r_max /
+    r_0) shrinking distributed joins. Probes still unfinished after
+    ``max_doublings`` return their best-effort (< k) neighbors.
+    """
+    lk = left_cols[0]
+    # localCheckpoint (eager) truncates lineage every round: the frontier
+    # would otherwise accumulate one anti-join + one knn plan per round
+    # and Catalyst re-optimizes the whole stack each iteration
+    remaining = left.select(*left_cols).localCheckpoint()
+    finished_parts: list[DataFrame] = []
+    radius = init_radius_m
+    last = None
+    for _ in range(max_doublings):
+        cand = knn_join(
+            remaining, right, k, radius, left_cols=left_cols, right_cols=right_cols, **kwargs
+        ).localCheckpoint()
+        last = cand
+        # complete iff the k-th neighbor exists within this radius
+        done_keys = (
+            cand.groupBy("l_key").count().filter(F.col("count") >= k).select("l_key")
+        )
+        finished_parts.append(cand.join(done_keys, "l_key", "left_semi"))
+        remaining = remaining.join(
+            done_keys.withColumnRenamed("l_key", lk), lk, "left_anti"
+        ).localCheckpoint()
+        if remaining.isEmpty():
+            last = None
+            break
+        radius *= 2.0
+    if last is not None:
+        # best-effort rows for probes that never reached k neighbors
+        finished_parts.append(
+            last.join(
+                last.groupBy("l_key").count().filter(F.col("count") >= k).select("l_key"),
+                "l_key",
+                "left_anti",
+            )
+        )
+    out = finished_parts[0]
+    for part in finished_parts[1:]:
+        out = out.unionByName(part)
+    return out

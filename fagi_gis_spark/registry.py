@@ -1558,3 +1558,39 @@ def learning_pair_features_owl(spark, sf_dir):
         "subject_a", "subject_b", F.size("fv").alias("n_features"),
         F.round(F.aggregate("fv", F.lit(0.0), lambda a, x: a + x), 6).alias("fv_sum"),
     )
+
+
+_DIST_AB = (
+    "sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)) * 111195.0"
+)
+
+
+@register(
+    "knn_adaptive",
+    _o(
+        "SELECT l_key, r_key, round(dist_m, 4) AS dist_m_r, knn_rank FROM (\n"
+        "  SELECT a.subject AS l_key, b.subject AS r_key,\n"
+        f"         {_DIST_AB} AS dist_m,\n"
+        f"         row_number() OVER (PARTITION BY a.subject ORDER BY {_DIST_AB} ASC,"
+        " b.subject ASC) AS knn_rank\n"
+        "  FROM (SELECT * FROM poi_a WHERE lon <= -0.7) a,\n"
+        "       (SELECT * FROM poi_b WHERE lon <= -0.7) b\n"
+        ") t WHERE knn_rank <= 3"
+    ),
+)
+def knn_adaptive(spark, sf_dir):
+    """Unbounded kNN via adaptive ring doubling (knn_join_adaptive):
+    probes that miss k neighbors at the initial radius re-probe at
+    doubled radii until complete — the oracle is the brute-force
+    radius-free top-k over the same bbox subset, so the expansion loop's
+    completeness (a probe is final exactly when its k-th neighbor is
+    inside the current radius) is verified bit-exact."""
+    from fagi_gis_spark.operators.spatial_join import bbox_filter, knn_join_adaptive
+
+    L = layers(spark, sf_dir)
+    a = bbox_filter(L["poi_a"], -999.0, -999.0, -0.7, 999.0)
+    b = bbox_filter(L["poi_b"], -999.0, -999.0, -0.7, 999.0)
+    out = knn_join_adaptive(a, b, k=3, init_radius_m=100.0, max_doublings=10)
+    return out.select(
+        "l_key", "r_key", F.round(F.col("dist_m"), 4).alias("dist_m_r"), "knn_rank"
+    )

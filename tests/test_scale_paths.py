@@ -231,3 +231,40 @@ def test_connected_components_chains_cycles_isolated(spark):
     )
     kept = dedup_survivors(docs, connected_components(edges)).toPandas()
     assert sorted(kept.doc_id) == [1, 10, 20, 99]  # min per comp + untouched 99
+
+
+def test_knn_adaptive_equals_bruteforce(spark):
+    """Adaptive ring-doubling kNN must equal the unbounded brute-force
+    top-k wherever probes reach k neighbors — including probes whose k-th
+    neighbor lies beyond the initial radius."""
+    import numpy as np
+
+    from fagi_gis_spark.operators.spatial_join import knn_join_adaptive
+
+    rng = np.random.default_rng(5)
+    # dense blob + sparse outliers (outliers need several doublings)
+    pts = [(f"d{i}", -0.5 + rng.uniform(0, 0.01), 50.5 + rng.uniform(0, 0.01)) for i in range(150)]
+    pts += [(f"s{i}", -0.2 + i * 0.05, 51.5 + i * 0.03) for i in range(6)]
+    left = spark.createDataFrame(pts, "subject string, lon double, lat double")
+    right = left
+
+    got = knn_join_adaptive(
+        left, right, k=3, init_radius_m=50.0, max_doublings=12, exclude_self=True
+    ).toPandas()
+
+    import math
+
+    def brute(k=3):
+        out = {}
+        for s, x, y in pts:
+            d = sorted(
+                (math.hypot(x - x2, y - y2) * 111195.0, s2)
+                for s2, x2, y2 in pts if s2 != s
+            )[:k]
+            out[s] = [s2 for _, s2 in d]
+        return out
+
+    expect = brute()
+    got_sorted = got.sort_values(["l_key", "knn_rank"]).groupby("l_key")["r_key"].apply(list)
+    for key, exp in expect.items():
+        assert list(got_sorted[key]) == exp, key
