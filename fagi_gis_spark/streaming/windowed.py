@@ -61,3 +61,35 @@ def stream_dedup(
     keys = keys or ["event_id"]
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_gap: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    right events of the same key within ``max_gap`` AFTER it (the
+    standard Structured Streaming inner interval join — both sides
+    watermarked so join state is bounded and expired by event time)."""
+    l = left.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    ).alias("l")
+    r = right.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    ).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{ts_col}").alias("ts_l"),
+        F.col(f"r.{ts_col}").alias("ts_r"),
+        F.col("l.event_id").alias("event_l"),
+        F.col("r.event_id").alias("event_r"),
+    )

@@ -197,3 +197,47 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     expect = batch.select("event_id").distinct().toPandas()
     assert sorted(got.event_id) == sorted(expect.event_id)
     assert got.event_id.is_unique
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """The streaming interval join must produce the same pair set as the
+    equivalent batch join over the same files."""
+    from pyspark.sql import functions as F
+
+    from fagi_gis_spark.streaming.windowed import stream_interval_join
+
+    batch = spark.read.parquet(f"{SF}/events.parquet").limit(400)
+    src = str(tmp_path / "ij_src")
+    batch.repartition(2).write.parquet(src)
+
+    ls = spark.readStream.schema(batch.schema).parquet(src)
+    rs = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        stream_interval_join(ls, rs)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_l, event_r FROM ij_sink").toPandas()
+
+    b = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    l, r = b.alias("l"), b.alias("r")
+    expect = (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")),
+            "inner",
+        )
+        .select(F.col("l.event_id").alias("event_l"), F.col("r.event_id").alias("event_r"))
+        .toPandas()
+    )
+    key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
+    assert key(got) == key(expect)
+    assert len(expect) > 0
