@@ -268,3 +268,37 @@ def test_knn_adaptive_equals_bruteforce(spark):
     got_sorted = got.sort_values(["l_key", "knn_rank"]).groupby("l_key")["r_key"].apply(list)
     for key, exp in expect.items():
         assert list(got_sorted[key]) == exp, key
+
+
+def test_radius_join_randomized_completeness(spark):
+    """Randomized differential check: the cell-bucketed radius join must
+    return exactly the brute-force pair set for random point clouds and
+    radii (ring-1 completeness depends on the z choice — this guards
+    join_res_for_radius)."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    for trial in range(5):
+        n = 120
+        lon0, lat0 = rng.uniform(-170, 170), rng.uniform(-55, 55)
+        lons = lon0 + rng.uniform(0, 0.02, n)
+        lats = lat0 + rng.uniform(0, 0.02, n)
+        radius = float(rng.uniform(50, 800))
+        rows = [(f"p{i}", float(lons[i]), float(lats[i])) for i in range(n)]
+        df = spark.createDataFrame(rows, "subject string, lon double, lat double")
+
+        from fagi_gis_spark.operators.spatial_join import radius_join
+
+        got = {
+            (a, b)
+            for a, b in radius_join(df, df, radius)
+            .select("l_key", "r_key")
+            .toPandas()
+            .itertuples(index=False)
+        }
+        dx = lons[:, None] - lons[None, :]
+        dy = lats[:, None] - lats[None, :]
+        d = np.sqrt(dx * dx + dy * dy) * 111195.0
+        ii, jj = np.nonzero(d <= radius)
+        expect = {(f"p{i}", f"p{j}") for i, j in zip(ii, jj)}
+        assert got == expect, f"trial {trial}: lon0={lon0} lat0={lat0} r={radius}"
