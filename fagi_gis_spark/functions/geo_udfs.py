@@ -151,8 +151,14 @@ def u_shift_pair(
             out.append(None)
             continue
         g = parse_wkt(s_w)
+        g_dst = parse_wkt(d_w)
+        if g is None or g_dst is None:
+            # EMPTY / unparseable WKT: emit a null row instead of letting
+            # centroid(None) kill the whole Spark task
+            out.append(None)
+            continue
         cs = centroid(g)
-        cd = centroid(parse_wkt(d_w))
+        cd = centroid(g_dst)
         r = float(r)
         f = float(f)
         if r != 0.0:
@@ -269,6 +275,13 @@ def u_shift_pre(
             out_y.append(None)
             continue
         g = parse_wkt(s_w)
+        if g is None:
+            # EMPTY / unparseable WKT: null row, not a task-killing
+            # TypeError from centroid(None)
+            out_w.append(None)
+            out_x.append(None)
+            out_y.append(None)
+            continue
         cs = centroid(g)
         r = float(r)
         f = float(f)

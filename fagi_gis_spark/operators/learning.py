@@ -13,18 +13,26 @@ in order (reference method : slots):
 
 ====================================  =====  =========
 geometryTypeFeature (any-side bits)   8      [0,8)
-percentageOfAreaDifference            19     [8,27)
-percentageOfPointsDifference          20     [27,47)
-percentageOfMeanEdgeDifference        20     [47,67)
-percentageOfMeanEdgeAverage           32     [67,99)
-percentageOfVariance                  20     [99,119)
+percentageOfAreaDifference            20     [8,28)
+percentageOfPointsDifference          21     [28,49)
+percentageOfMeanEdgeDifference        21     [49,70)
+percentageOfMeanEdgeAverage           32     [70,102)
+percentageOfVariance                  21     [102,123)
 cross/touch/intersect/within×2/
-contains×2 (JTS relate)               7      [119,126)
-sumOfNumberOfPointsFeature            11     [126,137)
-linkLength (centroid dist ×1e6)       5      [137,142)
-unitVectorAngle                       4      [142,146)
-sumOfArea                             25     [146,171)
+contains×2 (JTS relate)               7      [123,130)
+sumOfNumberOfPointsFeature            11     [130,141)
+linkLength (centroid dist ×1e6)       5      [141,146)
+unitVectorAngle                       4      [146,150)
+sumOfArea                             25     [150,175)
 ====================================  =====  =========
+
+The %-loop slot counts include the accumulation quirk: Java's
+``for(step=-1; step<1; step+=0.1)`` accumulates to 0.9999999999999998
+(still < 1), so the loop body runs 21 times from start=-1 and 20 times
+from start=-0.9 — one more comparison than the closed form suggests.
+pct in [0.8999999999999998, 0.9999999999999998) therefore lands in that
+final accumulated slot; only pct >= 0.9999999999999998 (and NaN) falls
+through with no bit set.
 
 Fidelity notes (deliberate, documented):
 * the reference emits sparse liblinear ids whose increments don't match
@@ -78,9 +86,9 @@ _SUM_AREA_EDGES = [
 _DIST_EDGES = [4.0, 6.0, 8.0, 15.0]  # + else = 5 (linkLength, dist ×1e6)
 _ANGLE_EDGES = [-math.pi / 4, 0.0, math.pi / 4]  # + else = 4
 
-N_FEATURES = 8 + 19 + 20 + 20 + 32 + 20 + 7 + 11 + 5 + 4 + 25  # = 171
-N_OWL_FEATURES = 19  # createOWLFeatures (BooleanVector.java:765-806)
-N_FEATURES_OWL = N_FEATURES + N_OWL_FEATURES  # = 190
+N_FEATURES = 8 + 20 + 21 + 21 + 32 + 21 + 7 + 11 + 5 + 4 + 25  # = 175
+N_OWL_FEATURES = 20  # createOWLFeatures (BooleanVector.java:765-806)
+N_FEATURES_OWL = N_FEATURES + N_OWL_FEATURES  # = 195
 
 
 def _pct_bin(pct: float, start: float, n: int) -> int | None:
@@ -156,7 +164,7 @@ def pair_feature_vector(ga: Geom | None, gb: Geom | None) -> np.ndarray:
     aa, ab = area(ga), area(gb)
     mx = max(aa, ab)
     pct_area = 0.0 if (aa == 0 and ab == 0) else (aa - ab) / mx
-    b = _pct_bin(pct_area, -0.9, 19)
+    b = _pct_bin(pct_area, -0.9, 20)
     if b is not None:
         v[8 + b] = 1.0
 
@@ -164,46 +172,46 @@ def pair_feature_vector(ga: Geom | None, gb: Geom | None) -> np.ndarray:
     na, nb = npoints(ga), npoints(gb)
     mp = max(na, nb)
     pct_pts = 0.0 if (na == 0 and nb == 0) else float(int((na - nb) / mp))
-    b = _pct_bin(pct_pts, -1.0, 20)
+    b = _pct_bin(pct_pts, -1.0, 21)
     if b is not None:
-        v[27 + b] = 1.0
+        v[28 + b] = 1.0
 
     # 4. %Δ mean edge (NaN when both means are 0 -> no bit, like Java)
     mean_a, var_a = _edge_stats(ga)
     mean_b, var_b = _edge_stats(gb)
     max_mean = max(mean_a, mean_b)
     pct_mean = (mean_a - mean_b) / max_mean if max_mean != 0 else float("nan")
-    b = _pct_bin(pct_mean, -1.0, 20)
+    b = _pct_bin(pct_mean, -1.0, 21)
     if b is not None:
-        v[47 + b] = 1.0
+        v[49 + b] = 1.0
 
     # 5. mean-of-means bins
-    v[67 + _edge_bin((mean_a + mean_b) / 2.0, _MEANS_AVG_EDGES)] = 1.0
+    v[70 + _edge_bin((mean_a + mean_b) / 2.0, _MEANS_AVG_EDGES)] = 1.0
 
     # 6. %Δ edge variance
     max_var = max(var_a, var_b)
     pct_var = (var_a - var_b) / max_var if max_var != 0 else float("nan")
-    b = _pct_bin(pct_var, -1.0, 20)
+    b = _pct_bin(pct_var, -1.0, 21)
     if b is not None:
-        v[99 + b] = 1.0
+        v[102 + b] = 1.0
 
     # 7. topology bits: cross, touch, intersect, AwithinB, BwithinA,
     #    AcontainsB, BcontainsA (real relate, not bbox proxies)
     try:
         flags = relate_flags(ga, gb)
         for i, f in enumerate(flags):
-            v[119 + i] = float(f)
+            v[123 + i] = float(f)
     except ValueError:
         pass  # GEOMETRYCOLLECTION etc: JTS would throw inside relate too
 
     # 8. Σ points bins
-    v[126 + _edge_bin(na + nb, _SUM_POINTS_EDGES)] = 1.0
+    v[130 + _edge_bin(na + nb, _SUM_POINTS_EDGES)] = 1.0
 
     # 9. centroid distance ×1e6 bins (reference uses raw coordinate-space
     #    distance — degrees here — times 1e6)
     ca, cb = centroid(ga), centroid(gb)
     dist = math.hypot(ca[0] - cb[0], ca[1] - cb[1]) * 1e6
-    v[137 + _edge_bin(dist, _DIST_EDGES)] = 1.0
+    v[141 + _edge_bin(dist, _DIST_EDGES)] = 1.0
 
     # 10. unit-vector angle bins (atan(dy/dx); NaN from 0/0 falls into the
     #     reference's final else branch -> last bin)
@@ -219,10 +227,10 @@ def pair_feature_vector(ga: Geom | None, gb: Geom | None) -> np.ndarray:
         if angle < e:
             bin_i = i
             break
-    v[142 + bin_i] = 1.0
+    v[146 + bin_i] = 1.0
 
     # 11. Σ area bins
-    v[146 + _edge_bin(aa + ab, _SUM_AREA_EDGES)] = 1.0
+    v[150 + _edge_bin(aa + ab, _SUM_AREA_EDGES)] = 1.0
     return v
 
 
@@ -230,13 +238,14 @@ def owl_feature_slice(owl_a: str | None, owl_b: str | None) -> np.ndarray:
     """createOWLFeatures (BooleanVector.java:765-806): %Δ of the two
     sides' OWL class COUNTS (comma-joined class strings, Java split
     semantics: ''.split(',') has length 1), binned with the same -0.9..0.9
-    percentage loop as the area feature. 19 slots (the reference
+    percentage loop as the area feature (20 comparisons incl. the
+    accumulated ~0.99999... step). 20 slots (the reference
     increments by OWL_CLASS=20 — one more sparse-id off-by-one)."""
     v = np.zeros(N_OWL_FEATURES, dtype=np.float64)
     size_a = len((owl_a or "").split(","))
     size_b = len((owl_b or "").split(","))
     pct = (size_a - size_b) / max(size_a, size_b)
-    b = _pct_bin(pct, -0.9, 19)
+    b = _pct_bin(pct, -0.9, 20)
     if b is not None:
         v[b] = 1.0
     return v
@@ -273,7 +282,7 @@ def pair_features(
     With ``triples_a``/``triples_b`` supplied, each side's rdf:type
     objects are collected per subject (sorted, comma-joined — the
     MapPair.getOWLClassA wire form) and the OWL class-count slice is
-    appended (190 dims); otherwise geometry features only (171 dims)."""
+    appended (195 dims); otherwise geometry features only (175 dims)."""
     if triples_a is None or triples_b is None:
         return pairs.select(
             "subject_a", "subject_b", u_pair_features(F.col("wkt_a"), F.col("wkt_b")).alias("fv")

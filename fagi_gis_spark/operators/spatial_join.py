@@ -129,28 +129,33 @@ def radius_join(
     )
 
     hot = None
-    if salt_threshold == "auto":
-        # count-based auto threshold, computed INSIDE the plan: the hot
-        # set is (cells with count > max(256, 8x mean)), built as a tiny
-        # broadcast within the same query DAG — no driver collect and no
-        # separate synchronous job before the join (at cluster scale the
-        # collect would serialize planning behind a full scan)
-        counts = r.groupBy("cell").count()
-        thr_df = counts.agg(
-            F.greatest(F.lit(256.0), F.avg("count") * F.lit(8.0)).alias("__thr")
-        )
-        hot = (
-            counts.join(F.broadcast(thr_df))
-            .filter(F.col("count") > F.col("__thr"))
-            .select("cell", F.lit(True).alias("__hot"))
-        )
-    elif salt_threshold is not None:
-        hot = (
-            r.groupBy("cell")
-            .count()
-            .filter(F.col("count") > salt_threshold)
-            .select("cell", F.lit(True).alias("__hot"))
-        )
+    if salt_threshold is not None:
+        # The cell-count aggregation needs a full build-side scan, and its
+        # result is consumed by BOTH join sides' broadcasts (and, in auto
+        # mode, by the threshold agg as well) — without materialization
+        # each consumer re-runs that scan (measured ~40% steady-state
+        # overhead on uniform sf0.1 data). One eager localCheckpoint of
+        # the tiny per-cell count table (one row per occupied cell, stored
+        # distributed on the executors — no driver collect) makes every
+        # downstream branch read the materialized counts instead.
+        counts = r.groupBy("cell").count().localCheckpoint()
+        if salt_threshold == "auto":
+            # auto threshold = max(256, 8x mean cell count), computed from
+            # the checkpointed counts: uniform data pays one cheap
+            # aggregation and zero fan-out, skewed data is protected
+            # without tuning
+            thr_df = counts.agg(
+                F.greatest(F.lit(256.0), F.avg("count") * F.lit(8.0)).alias("__thr")
+            )
+            hot = (
+                counts.join(F.broadcast(thr_df))
+                .filter(F.col("count") > F.col("__thr"))
+                .select("cell", F.lit(True).alias("__hot"))
+            )
+        else:
+            hot = counts.filter(F.col("count") > salt_threshold).select(
+                "cell", F.lit(True).alias("__hot")
+            )
 
     if hot is not None:
         r = (
@@ -289,8 +294,12 @@ def knn_join_adaptive(
     adaptive expansion that replaces the reference's per-entity retry
     loop (BatchFindLinkServlet's widening SPARQL probes) with log(r_max /
     r_0) shrinking distributed joins. Probes still unfinished after
-    ``max_doublings`` return their best-effort (< k) neighbors.
+    ``max_doublings`` return their best-effort (< k) neighbors with
+    ``knn_exhausted = true`` so callers can distinguish a genuine < k
+    neighborhood bound from an exhausted search radius.
     """
+    if max_doublings < 1:
+        raise ValueError("knn_join_adaptive requires max_doublings >= 1")
     lk = left_cols[0]
     # localCheckpoint (eager) truncates lineage every round: the frontier
     # would otherwise accumulate one anti-join + one knn plan per round
@@ -316,14 +325,17 @@ def knn_join_adaptive(
             last = None
             break
         radius *= 2.0
+    finished_parts = [p.withColumn("knn_exhausted", F.lit(False)) for p in finished_parts]
     if last is not None:
         # best-effort rows for probes that never reached k neighbors
+        # within init * 2^(max_doublings-1): flagged so callers can tell
+        # an exhausted search apart from a genuinely < k neighborhood
         finished_parts.append(
             last.join(
                 last.groupBy("l_key").count().filter(F.col("count") >= k).select("l_key"),
                 "l_key",
                 "left_anti",
-            )
+            ).withColumn("knn_exhausted", F.lit(True))
         )
     out = finished_parts[0]
     for part in finished_parts[1:]:

@@ -7,7 +7,7 @@ Reference: learning/tagprediction/TagFeatures.java
 per-geometry feature list for each side of a pair; the tag predictor
 (TagPredictor.java) trains liblinear multiclass over them.
 
-Dense per-geometry layout (104 slots), reference order and bin edges:
+Dense per-geometry layout (105 slots), reference order and bin edges:
 
 ========================================  =====  =========
 geometry-type one-hot (LineString,
@@ -57,7 +57,7 @@ _VAR_EDGES = [
     0.005, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.12, 0.14,
     0.16, 0.18, 0.20, 0.22, 0.24, 0.26, 0.28, 0.30, 0.32, 0.34, 0.36, 0.38, 0.40,
     0.42, 0.44, 0.46, 0.48, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0,
-]  # ==0 slot + 35 edges + else = 37
+]  # ==0 slot + 36 edges + else = 38
 
 N_TAG_FEATURES = 4 + 1 + 13 + 25 + 1 + 23 + 38  # = 105
 _TYPE_SLOTS = {"LINESTRING": 0, "POLYGON": 1, "LINEARRING": 2, "POINT": 3}
@@ -112,7 +112,7 @@ def u_tag_features(wkt: pd.Series) -> pd.Series:
 
 
 def pair_tag_features(pairs: DataFrame) -> DataFrame:
-    """TagFeatures for a linked pair: A slice ++ B slice (208 dims), the
+    """TagFeatures for a linked pair: A slice ++ B slice (210 dims), the
     input the reference's tag predictor trains on."""
     return pairs.select(
         "subject_a",

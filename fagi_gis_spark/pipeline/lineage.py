@@ -56,7 +56,7 @@ def stage_lineage(df: DataFrame, cell_col: str | None = None) -> DataFrame:
         F.count("*").alias("n_rows"),
         # bit_xor is a true partial aggregate (constant memory per task);
         # collect_list would materialize every row hash of a partition.
-        F.expr("CAST(bit_xor(__h) AS BIGINT)").alias("checksum"),
+        F.expr("CAST(coalesce(bit_xor(__h), 0) AS BIGINT)").alias("checksum"),
     ]
     if cell_col:
         aggs += [F.min(cell_col).alias("cell_min"), F.max(cell_col).alias("cell_max")]
@@ -97,7 +97,7 @@ def run_stage(
     lin.write.mode("overwrite").parquet(lin_dir)
     totals = lin.agg(
         F.sum("n_rows").alias("rows"),
-        F.expr("CAST(bit_xor(checksum) AS BIGINT)").alias("checksum"),
+        F.expr("CAST(coalesce(bit_xor(checksum), 0) AS BIGINT)").alias("checksum"),
     ).collect()[0]
 
     manifest = {

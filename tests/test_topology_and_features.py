@@ -89,36 +89,67 @@ def test_relate_symmetric_predicates():
 def test_pair_feature_vector_layout_and_bins():
     from fagi_gis_spark.operators.learning import N_FEATURES, pair_feature_vector
 
-    assert N_FEATURES == 171  # 8+19+20+20+32+20+7+11+5+4+25
+    assert N_FEATURES == 175  # 8+20+21+21+32+21+7+11+5+4+25
 
     v = pair_feature_vector(g(P_IN), g(SQ))
     # any-side type bits: Polygon (slot 1) and Point (slot 3)
     assert v[1] == 1.0 and v[3] == 1.0
     assert v[0] == 0.0 and v[4:8].sum() == 0.0
     # area pct: (0 - 16)/16 = -1 -> first step -0.9 at i=0
-    assert v[8] == 1.0 and v[9:27].sum() == 0.0
+    assert v[8] == 1.0 and v[9:28].sum() == 0.0
     # points pct (int division): (1-5)/5 -> Java int div 0 -> first step > 0
     # is -1.0 + 0.1*11 = 0.1 -> i=11
-    assert v[27 + 11] == 1.0
+    assert v[28 + 11] == 1.0
     # mean edge: point mean 0, square mean 4 -> (0-4)/4 = -1 -> i=0? -1 < -1.0
     # is false; first step with -1 < -1.0+0.1*i is i=1
-    assert v[47 + 1] == 1.0
+    assert v[49 + 1] == 1.0
     # means average = (0+4)/2 = 2 -> first edge with 2 < e is 2.5 (index 4)
-    assert v[67 + 4] == 1.0
+    assert v[70 + 4] == 1.0
     # variance pct: var(point)=0, var(square edges)=0 -> 0/0 NaN -> NO bit
-    assert v[99:119].sum() == 0.0
+    assert v[102:123].sum() == 0.0
     # topology: point within polygon -> intersects + AwithinB + BcontainsA
-    assert list(v[119:126]) == [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0]
+    assert list(v[123:130]) == [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0]
     # sum points = 1 + 5 = 6 -> first edge (<10) bin 0
-    assert v[126] == 1.0
+    assert v[130] == 1.0
     # centroid distance: both centroids (2,2) -> 0*1e6 = 0 -> bin 0 (<4)
-    assert v[137] == 1.0
+    assert v[141] == 1.0
     # angle: same centroid -> NaN -> final else bin
-    assert v[142 + 3] == 1.0
+    assert v[146 + 3] == 1.0
     # sum area = 0 + 16 = 16 -> bin 0 (<50)
-    assert v[146] == 1.0
+    assert v[150] == 1.0
     # exactly one bit per binned family
     assert v.sum() == 2 + 1 + 1 + 1 + 1 + 0 + 3 + 1 + 1 + 1 + 1
+
+
+def test_pct_bin_final_accumulated_step():
+    """Java's ``for(step=-1; step<1; step+=0.1)`` runs one MORE comparison
+    than the closed form suggests: step accumulates to 0.9999999999999998
+    (< 1), so pct in [0.9, ~1.0) lands in a final slot instead of falling
+    through. Regression for the round-2 off-by-one (ADVICE r2 item 1)."""
+    from fagi_gis_spark.operators.learning import _pct_bin, owl_feature_slice, pair_feature_vector
+
+    # replay Java's accumulating loop independently for both starts
+    for start, n in ((-1.0, 21), (-0.9, 20)):
+        step, java_bins = start, []
+        while step < 1:
+            java_bins.append(step)
+            step += 0.1
+        assert len(java_bins) == n  # the loop body really runs n times
+        for pct in (0.85, 0.9, 0.95, 0.9999999999999997):
+            java = next((i for i, e in enumerate(java_bins) if pct < e), None)
+            assert _pct_bin(pct, start, n) == java
+        assert _pct_bin(1.0, start, n) is None  # 1.0 still falls through
+        assert _pct_bin(float("nan"), start, n) is None
+
+    # end-to-end: area pct 0.95 ((1000-50)/1000) -> final area slot 8+19
+    a = "POLYGON ((0 0, 40 0, 40 25, 0 25, 0 0))"      # area 1000
+    b = "POLYGON ((100 0, 110 0, 110 5, 100 5, 100 0))"  # area 50
+    va = pair_feature_vector(g(a), g(b))
+    assert va[8 + 19] == 1.0 and va[8:27].sum() == 0.0
+
+    # OWL: 20 vs 1 classes -> pct 0.95 -> final slot 19
+    v = owl_feature_slice(",".join(f"C{i}" for i in range(20)), "T")
+    assert v[19] == 1.0 and v.sum() == 1.0
 
 
 def test_pair_feature_vector_matches_reference_formulas():
@@ -136,41 +167,41 @@ def test_pair_feature_vector_matches_reference_formulas():
     va = pair_feature_vector(g(a), g(b))
 
     area_a, area_b = 60.0, 0.0
-    pct = (area_a - area_b) / 60.0  # 1.0 -> falls through all 19 steps
-    assert va[8:27].sum() == 0.0 and pct == 1.0
+    pct = (area_a - area_b) / 60.0  # 1.0 -> falls through all 20 steps
+    assert va[8:28].sum() == 0.0 and pct == 1.0
 
     # points: (5 - 3)/5 int div = 0 -> i=11 (first step 0.1 > 0)
-    assert va[27 + 11] == 1.0
+    assert va[28 + 11] == 1.0
 
     mean_a = (10 + 6 + 10 + 6) / 4.0  # 8
     mean_b = (5 + 5) / 2.0            # 5
     pm = (mean_a - mean_b) / 8.0      # 0.375 -> first step 0.4 -> i=14
     assert 0.3 < pm < 0.4
-    assert va[47 + 14] == 1.0
+    assert va[49 + 14] == 1.0
 
     avg = (mean_a + mean_b) / 2.0     # 6.5 -> first edge 7.0 -> index 13
-    assert _MEANS_AVG_EDGES[13] == 7.0 and va[67 + 13] == 1.0
+    assert _MEANS_AVG_EDGES[13] == 7.0 and va[70 + 13] == 1.0
 
     var_a = 4.0   # edges 10,6,10,6: mean 8, dev ±2 -> var 4
     var_b = 0.0
     pv = (var_a - var_b) / 4.0        # 1.0 -> falls through
-    assert pv == 1.0 and va[99:119].sum() == 0.0
+    assert pv == 1.0 and va[102:123].sum() == 0.0
 
     # disjoint -> all topology bits 0
-    assert va[119:126].sum() == 0.0
+    assert va[123:130].sum() == 0.0
 
     # sum points 8 -> bin 0; sum area 60 -> second edge (100) -> bin 1
-    assert va[126] == 1.0
+    assert va[130] == 1.0
     assert _SUM_POINTS_EDGES[0] == 10
-    assert _SUM_AREA_EDGES[1] == 100 and va[146 + 1] == 1.0
+    assert _SUM_AREA_EDGES[1] == 100 and va[150 + 1] == 1.0
 
     # centroid distance: a centroid (5,3), b centroid on the line
     # (dist >> 15/1e6) -> last distance bin
-    assert va[137 + 4] == 1.0
+    assert va[141 + 4] == 1.0
 
     # angle: a centroid (5,3), b centroid (23,2) -> atan(-1/18) in
     # (-π/4, 0) -> bin 1
-    assert va[142 + 1] == 1.0
+    assert va[146 + 1] == 1.0
 
 
 # ---------------------------------------------------------------------------
@@ -438,7 +469,7 @@ def test_shift_with_metric_rotation_keeps_oracle_centroid(spark):
 def test_owl_feature_slice_reference_bins():
     from fagi_gis_spark.operators.learning import N_OWL_FEATURES, owl_feature_slice
 
-    assert N_OWL_FEATURES == 19
+    assert N_OWL_FEATURES == 20
     # equal counts -> pct 0 -> first step 0.1 -> bin 10
     v = owl_feature_slice("Poi,Cafe", "Thing,Place")
     assert v[10] == 1.0 and v.sum() == 1.0
@@ -462,4 +493,4 @@ def test_pair_features_with_owl_slice(spark):
     ).limit(30).toPandas()
     assert all(len(fv) == N_FEATURES_OWL for fv in out.fv)
     # both sides have exactly one rdf:type ({onto}Poi) -> pct 0 -> bin 10
-    assert all(fv[171 + 10] == 1.0 for fv in out.fv)
+    assert all(fv[175 + 10] == 1.0 for fv in out.fv)
