@@ -82,7 +82,11 @@ class FusionParams:
 
 
 def linked_pairs(
-    links: DataFrame, poi_a: DataFrame, poi_b: DataFrame, broadcast_pois: bool = False
+    links: DataFrame,
+    poi_a: DataFrame,
+    poi_b: DataFrame,
+    broadcast_pois: bool = False,
+    feature_primitives: bool = False,
 ) -> DataFrame:
     """J3 (SURVEY.md §2.2): links ⋈ A ⋈ B, never materializing A x B.
 
@@ -101,38 +105,47 @@ def linked_pairs(
     UDF: the parse stage then runs at full shuffle parallelism (a
     narrow-partitioned source would otherwise bottleneck it), and the
     join reuses that HashPartitioning — no additional exchange.
+
+    With ``feature_primitives`` the summary UDF is replaced by the richer
+    feature-primitives struct (learning.u_feat_primitives — a superset:
+    + area, edge stats, rectangle bit, envelope), kept as ``__pa``/``__pb``
+    for the vectorized feature extractors, in the SAME projection — still
+    one parse per POI row and zero additional shuffles.
     """
     n_shuffle = int(poi_a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    a = poi_a.select(
-        F.col("subject").alias("subject_a"),
-        F.col("geom_wkt").alias("wkt_a"),
-        F.col("lon").alias("lon_a"),
-        F.col("lat").alias("lat_a"),
-    ).repartition(n_shuffle, "subject_a").select(
-        "*",
-        u_geo_summary(F.col("wkt_a")).alias("__sa"),
-    ).select(
-        "*",
-        F.col("__sa.cx").alias("cax"),
-        F.col("__sa.cy").alias("cay"),
-        F.col("__sa.npts").alias("npa"),
-        F.col("__sa.gtype").alias("gta"),
-    ).drop("__sa")
-    b = poi_b.select(
-        F.col("subject").alias("subject_b"),
-        F.col("geom_wkt").alias("wkt_b"),
-        F.col("lon").alias("lon_b"),
-        F.col("lat").alias("lat_b"),
-    ).repartition(n_shuffle, "subject_b").select(
-        "*",
-        u_geo_summary(F.col("wkt_b")).alias("__sb"),
-    ).select(
-        "*",
-        F.col("__sb.cx").alias("cbx"),
-        F.col("__sb.cy").alias("cby"),
-        F.col("__sb.npts").alias("npb"),
-        F.col("__sb.gtype").alias("gtb"),
-    ).drop("__sb")
+
+    def _side(poi, side, c_pfx):
+        df = poi.select(
+            F.col("subject").alias(f"subject_{side}"),
+            F.col("geom_wkt").alias(f"wkt_{side}"),
+            F.col("lon").alias(f"lon_{side}"),
+            F.col("lat").alias(f"lat_{side}"),
+        ).repartition(n_shuffle, f"subject_{side}")
+        if feature_primitives:
+            from fagi_gis_spark.operators.learning import u_feat_primitives
+
+            p = f"__p{side}"
+            return df.select(
+                "*", u_feat_primitives(F.col(f"wkt_{side}")).alias(p)
+            ).select(
+                "*",
+                F.col(f"{p}.cx").alias(f"c{c_pfx}x"),
+                F.col(f"{p}.cy").alias(f"c{c_pfx}y"),
+                F.col(f"{p}.npts").alias(f"np{side}"),
+                F.col(f"{p}.gtype").alias(f"gt{side}"),
+            )
+        return df.select(
+            "*", u_geo_summary(F.col(f"wkt_{side}")).alias("__s")
+        ).select(
+            "*",
+            F.col("__s.cx").alias(f"c{c_pfx}x"),
+            F.col("__s.cy").alias(f"c{c_pfx}y"),
+            F.col("__s.npts").alias(f"np{side}"),
+            F.col("__s.gtype").alias(f"gt{side}"),
+        ).drop("__s")
+
+    a = _side(poi_a, "a", "a")
+    b = _side(poi_b, "b", "b")
     if broadcast_pois:
         a, b = F.broadcast(a), F.broadcast(b)
     return links.join(a, links.node_a == a.subject_a, "inner").join(

@@ -210,7 +210,10 @@ def pair_feature_vector(ga: Geom | None, gb: Geom | None) -> np.ndarray:
     # 9. centroid distance ×1e6 bins (reference uses raw coordinate-space
     #    distance — degrees here — times 1e6)
     ca, cb = centroid(ga), centroid(gb)
-    dist = math.hypot(ca[0] - cb[0], ca[1] - cb[1]) * 1e6
+    # sqrt(dx^2+dy^2) exactly — JTS Coordinate.distance's formula (not
+    # fused hypot), and bit-identical to the vectorized np.sqrt path
+    _dx, _dy = ca[0] - cb[0], ca[1] - cb[1]
+    dist = math.sqrt(_dx * _dx + _dy * _dy) * 1e6
     v[141 + _edge_bin(dist, _DIST_EDGES)] = 1.0
 
     # 10. unit-vector angle bins (atan(dy/dx); NaN from 0/0 falls into the
@@ -282,10 +285,24 @@ def pair_features(
     With ``triples_a``/``triples_b`` supplied, each side's rdf:type
     objects are collected per subject (sorted, comma-joined — the
     MapPair.getOWLClassA wire form) and the OWL class-count slice is
-    appended (195 dims); otherwise geometry features only (175 dims)."""
+    appended (195 dims); otherwise geometry features only (175 dims).
+
+    Production path: per-layer primitives structs (one parse per DISTINCT
+    geometry) + the vectorized numpy bin kernel; WKT is re-parsed only
+    for the envelope-overlapping pairs that can have nonzero relate bits.
+    Pairs from ``linked_pairs(..., feature_primitives=True)`` already
+    carry the ``__pa``/``__pb`` structs (zero extra shuffles); ad-hoc
+    pair tables get them via a distinct-geometry join.
+    """
+    if "__pa" not in pairs.columns or "__pb" not in pairs.columns:
+        pairs = with_side_primitives(with_side_primitives(pairs, "a"), "b")
     if triples_a is None or triples_b is None:
         return pairs.select(
-            "subject_a", "subject_b", u_pair_features(F.col("wkt_a"), F.col("wkt_b")).alias("fv")
+            "subject_a",
+            "subject_b",
+            u_pair_features_fast(
+                F.col("__pa"), F.col("__pb"), F.col("wkt_a"), F.col("wkt_b")
+            ).alias("fv"),
         )
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -302,8 +319,13 @@ def pair_features(
     return joined.select(
         "subject_a",
         "subject_b",
-        u_pair_features_owl(
-            F.col("wkt_a"), F.col("wkt_b"), F.col("owl_a"), F.col("owl_b")
+        u_pair_features_owl_fast(
+            F.col("__pa"),
+            F.col("__pb"),
+            F.col("wkt_a"),
+            F.col("wkt_b"),
+            F.col("owl_a"),
+            F.col("owl_b"),
         ).alias("fv"),
     )
 
@@ -336,3 +358,249 @@ def predict_actions(model, feats: DataFrame) -> DataFrame:
     return model.transform(df).select(
         "subject_a", "subject_b", F.col("prediction").cast("int").alias("action_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized feature path (the 100 TB shape)
+#
+# The per-row kernels above parse WKT once per PAIR; a geometry linked to
+# many entities is re-parsed once per link. The production path below
+# parses each DISTINCT geometry exactly once per layer into a primitives
+# struct (type, area, npoints, edge mean/variance, centroid, rectangle
+# bit, envelope), joins the structs to the pairs, and computes every bin
+# family as pure numpy over columns (np.searchsorted against the same
+# accumulated step / edge arrays — condition `x < edge` == side="right").
+# Only the topology family still needs real geometry, and only for pairs
+# whose ENVELOPES intersect (disjoint envelopes => all 7 relate bits are
+# 0), so the per-row parse+relate loop runs on the tiny candidate subset.
+# pair_feature_vector stays as the differential oracle kernel.
+# ---------------------------------------------------------------------------
+
+
+def _is_rectangle(g: Geom) -> bool:
+    """JTS Geometry.isRectangle: a single-ring polygon of 5 points whose
+    vertices all sit on the corners of its own envelope (used by the
+    TagFeatures slice; computed here so the primitives pass covers both
+    feature extractors)."""
+    if g.gtype != "POLYGON" or len(g.data) != 1:
+        return False
+    ring = np.asarray(g.data[0], dtype=float)
+    if len(ring) != 5:
+        return False
+    xs, ys = ring[:, 0], ring[:, 1]
+    xmin, xmax, ymin, ymax = xs.min(), xs.max(), ys.min(), ys.max()
+    for x, y in ring[:-1]:
+        if x not in (xmin, xmax) or y not in (ymin, ymax):
+            return False
+    return True
+
+
+def _accum_steps(start: float, n: int) -> np.ndarray:
+    """The Java loop's actual step sequence (double accumulation)."""
+    out, s = [], start
+    for _ in range(n):
+        out.append(s)
+        s += 0.1
+    return np.asarray(out, dtype=np.float64)
+
+
+_PCT_STEPS_M10 = _accum_steps(-1.0, 21)  # points / mean-edge / variance
+_PCT_STEPS_M09 = _accum_steps(-0.9, 20)  # area / OWL
+
+_PRIM_SCHEMA = T.StructType(
+    [
+        T.StructField("gtype", T.StringType()),
+        T.StructField("garea", T.DoubleType()),
+        T.StructField("npts", T.IntegerType()),
+        T.StructField("edge_mean", T.DoubleType()),
+        T.StructField("edge_var", T.DoubleType()),
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
+        T.StructField("is_rect", T.BooleanType()),
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+    ]
+)
+
+
+def primitives_of(s: str | None) -> dict:
+    """One geometry's primitives (plain kernel shared by the Arrow UDF and
+    the pytest differential)."""
+    from fagi_gis_spark.geometry.measures import bbox
+
+    out = {
+        "gtype": None, "garea": 0.0, "npts": 0, "edge_mean": 0.0,
+        "edge_var": 0.0, "cx": float("nan"), "cy": float("nan"),
+        "is_rect": False, "minx": float("nan"), "miny": float("nan"),
+        "maxx": float("nan"), "maxy": float("nan"),
+    }
+    if not s:
+        return out
+    try:
+        g = parse_wkt(s)
+    except ValueError:
+        g = None  # malformed WKT -> null primitives (all-zero feature row)
+    if g is None:
+        return out
+    out["gtype"] = g.gtype
+    out["garea"] = area(g)
+    out["npts"] = npoints(g)
+    out["edge_mean"], out["edge_var"] = _edge_stats(g)
+    c = centroid(g)
+    if c is not None:
+        out["cx"], out["cy"] = c
+    out["is_rect"] = _is_rectangle(g)
+    bb = bbox(g)
+    if bb is not None:
+        out["minx"], out["miny"], out["maxx"], out["maxy"] = bb
+    return out
+
+
+@F.pandas_udf(_PRIM_SCHEMA)
+def u_feat_primitives(wkt: pd.Series) -> pd.DataFrame:
+    """ONE parse per geometry -> full feature primitives struct."""
+    return pd.DataFrame([primitives_of(s) for s in wkt])
+
+
+def _scatter(M: np.ndarray, rows: np.ndarray, offset: int, bins: np.ndarray, n: int):
+    ok = bins < n
+    M[rows[ok], offset + bins[ok]] = 1.0
+
+
+def pair_feature_matrix(
+    pa: pd.DataFrame, pb: pd.DataFrame, wkt_a: pd.Series, wkt_b: pd.Series
+) -> np.ndarray:
+    """Vectorized BooleanVector.createGeometryFeatures over primitive
+    columns — bit-identical to pair_feature_vector row by row."""
+    n = len(pa)
+    M = np.zeros((n, N_FEATURES), dtype=np.float64)
+    rows = np.arange(n)
+    ta = pa["gtype"].to_numpy(dtype=object)
+    tb = pb["gtype"].to_numpy(dtype=object)
+    valid = np.array([a is not None and b is not None for a, b in zip(ta, tb)])
+
+    # 1. any-side type bits
+    for i, t in enumerate(_TYPE_BITS):
+        M[(ta == t) | (tb == t), i] = 1.0
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # 2. %Δ area
+        aa = pa["garea"].to_numpy(np.float64)
+        ab = pb["garea"].to_numpy(np.float64)
+        pct_area = np.where((aa == 0) & (ab == 0), 0.0, (aa - ab) / np.maximum(aa, ab))
+        _scatter(M, rows, 8, np.searchsorted(_PCT_STEPS_M09, pct_area, side="right"), 20)
+
+        # 3. %Δ points (Java INT division -> trunc toward zero)
+        na = pa["npts"].fillna(0).to_numpy(np.float64)
+        nb = pb["npts"].fillna(0).to_numpy(np.float64)
+        pct_pts = np.where(
+            (na == 0) & (nb == 0), 0.0, np.trunc((na - nb) / np.maximum(na, nb))
+        )
+        _scatter(M, rows, 28, np.searchsorted(_PCT_STEPS_M10, pct_pts, side="right"), 21)
+
+        # 4. %Δ mean edge (0/0 -> NaN -> searchsorted lands past the end -> no bit)
+        ma = pa["edge_mean"].to_numpy(np.float64)
+        mb = pb["edge_mean"].to_numpy(np.float64)
+        pct_mean = (ma - mb) / np.maximum(ma, mb)
+        _scatter(M, rows, 49, np.searchsorted(_PCT_STEPS_M10, pct_mean, side="right"), 21)
+
+        # 5. mean-of-means bins (else bin is a real slot)
+        M[rows, 70 + np.searchsorted(_MEANS_AVG_EDGES, (ma + mb) / 2.0, side="right")] = 1.0
+
+        # 6. %Δ edge variance
+        va = pa["edge_var"].to_numpy(np.float64)
+        vb = pb["edge_var"].to_numpy(np.float64)
+        pct_var = (va - vb) / np.maximum(va, vb)
+        _scatter(M, rows, 102, np.searchsorted(_PCT_STEPS_M10, pct_var, side="right"), 21)
+
+        # 8. Σ points
+        M[rows, 130 + np.searchsorted(_SUM_POINTS_EDGES, na + nb, side="right")] = 1.0
+
+        # 9. centroid distance ×1e6 (sqrt(dx²+dy²) — JTS Coordinate.distance)
+        cax, cay = pa["cx"].to_numpy(np.float64), pa["cy"].to_numpy(np.float64)
+        cbx, cby = pb["cx"].to_numpy(np.float64), pb["cy"].to_numpy(np.float64)
+        ddx, ddy = cax - cbx, cay - cby
+        dist = np.sqrt(ddx * ddx + ddy * ddy) * 1e6
+        M[rows, 141 + np.searchsorted(_DIST_EDGES, dist, side="right")] = 1.0
+
+        # 10. unit-vector angle: atan(dy/dx); x/0 -> ±Inf -> ±π/2, 0/0 ->
+        #     NaN -> final else bin — Java double division semantics exactly
+        ang = np.arctan((cby - cay) / (cbx - cax))
+        M[rows, 146 + np.searchsorted(_ANGLE_EDGES, ang, side="right")] = 1.0
+
+        # 11. Σ area
+        M[rows, 150 + np.searchsorted(_SUM_AREA_EDGES, aa + ab, side="right")] = 1.0
+
+    # 7. topology bits — only pairs whose envelopes intersect can set any
+    #    relate bit; parse exactly those
+    minxa, minya = pa["minx"].to_numpy(np.float64), pa["miny"].to_numpy(np.float64)
+    maxxa, maxya = pa["maxx"].to_numpy(np.float64), pa["maxy"].to_numpy(np.float64)
+    minxb, minyb = pb["minx"].to_numpy(np.float64), pb["miny"].to_numpy(np.float64)
+    maxxb, maxyb = pb["maxx"].to_numpy(np.float64), pb["maxy"].to_numpy(np.float64)
+    env_overlap = ~(
+        (maxxa < minxb) | (maxxb < minxa) | (maxya < minyb) | (maxyb < minya)
+    )
+    for i in np.nonzero(env_overlap & valid)[0]:
+        ga, gb = parse_wkt(wkt_a.iat[i]), parse_wkt(wkt_b.iat[i])
+        if ga is None or gb is None:
+            continue
+        try:
+            flags = relate_flags(ga, gb)
+        except ValueError:
+            continue  # GEOMETRYCOLLECTION etc: JTS throws inside relate too
+        for j, fl in enumerate(flags):
+            M[i, 123 + j] = float(fl)
+
+    M[~valid] = 0.0  # missing geometry on either side -> all-zero vector
+    return M
+
+
+def owl_feature_matrix(owl_a: pd.Series, owl_b: pd.Series) -> np.ndarray:
+    """Vectorized createOWLFeatures (class-COUNT %Δ; Java ''.split(',')
+    has length 1, so null/empty counts as one class)."""
+    n = len(owl_a)
+    M = np.zeros((n, N_OWL_FEATURES), dtype=np.float64)
+    sa = owl_a.fillna("").str.count(",").to_numpy(np.float64) + 1.0
+    sb = owl_b.fillna("").str.count(",").to_numpy(np.float64) + 1.0
+    pct = (sa - sb) / np.maximum(sa, sb)
+    _scatter(M, np.arange(n), 0, np.searchsorted(_PCT_STEPS_M09, pct, side="right"), 20)
+    return M
+
+
+@F.pandas_udf(_FEAT_SCHEMA)
+def u_pair_features_fast(
+    pa: pd.DataFrame, pb: pd.DataFrame, wkt_a: pd.Series, wkt_b: pd.Series
+) -> pd.Series:
+    return pd.Series(list(pair_feature_matrix(pa, pb, wkt_a, wkt_b)))
+
+
+@F.pandas_udf(_FEAT_SCHEMA)
+def u_pair_features_owl_fast(
+    pa: pd.DataFrame,
+    pb: pd.DataFrame,
+    wkt_a: pd.Series,
+    wkt_b: pd.Series,
+    owl_a: pd.Series,
+    owl_b: pd.Series,
+) -> pd.Series:
+    geo = pair_feature_matrix(pa, pb, wkt_a, wkt_b)
+    return pd.Series(list(np.hstack([geo, owl_feature_matrix(owl_a, owl_b)])))
+
+
+def with_side_primitives(pairs: DataFrame, side: str) -> DataFrame:
+    """Join the primitives struct for one side of a pair table, computing
+    it once per DISTINCT geometry (not once per pair). The distinct +
+    repartition by subject gives the parse stage full shuffle parallelism
+    and lets the join reuse the partitioning (same recipe as
+    linked_pairs' summary join)."""
+    subj, wkt, out_col = f"subject_{side}", f"wkt_{side}", f"__p{side}"
+    n_shuffle = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    prim = (
+        pairs.select(subj, wkt)
+        .distinct()
+        .repartition(n_shuffle, subj)
+        .select(subj, u_feat_primitives(F.col(wkt)).alias(out_col))
+    )
+    return pairs.join(prim, subj)

@@ -42,7 +42,12 @@ from pyspark.sql import types as T
 
 from fagi_gis_spark.geometry.measures import area, npoints
 from fagi_gis_spark.geometry.wkt import Geom, parse_wkt
-from fagi_gis_spark.operators.learning import _edge_bin, _edge_stats
+from fagi_gis_spark.operators.learning import (
+    _edge_bin,
+    _edge_stats,
+    _is_rectangle,
+    with_side_primitives,
+)
 
 _NPTS_EDGES = [10, 20, 30, 40, 50, 75, 100, 150, 200, 300, 500, 1000]  # +else = 13
 _AREA_EDGES = [
@@ -61,22 +66,6 @@ _VAR_EDGES = [
 
 N_TAG_FEATURES = 4 + 1 + 13 + 25 + 1 + 23 + 38  # = 105
 _TYPE_SLOTS = {"LINESTRING": 0, "POLYGON": 1, "LINEARRING": 2, "POINT": 3}
-
-
-def _is_rectangle(g: Geom) -> bool:
-    """JTS Geometry.isRectangle: a single-ring polygon of 5 points whose
-    vertices all sit on the corners of its own envelope."""
-    if g.gtype != "POLYGON" or len(g.data) != 1:
-        return False
-    ring = np.asarray(g.data[0], dtype=float)
-    if len(ring) != 5:
-        return False
-    xs, ys = ring[:, 0], ring[:, 1]
-    xmin, xmax, ymin, ymax = xs.min(), xs.max(), ys.min(), ys.max()
-    for x, y in ring[:-1]:
-        if x not in (xmin, xmax) or y not in (ymin, ymax):
-            return False
-    return True
 
 
 def tag_feature_vector(g: Geom | None) -> np.ndarray:
@@ -111,13 +100,59 @@ def u_tag_features(wkt: pd.Series) -> pd.Series:
     return pd.Series([tag_feature_vector(parse_wkt(s)).tolist() for s in wkt])
 
 
+def tag_feature_matrix(p: pd.DataFrame) -> np.ndarray:
+    """Vectorized TagFeatures over a primitives frame (one row per
+    geometry; columns from learning.u_feat_primitives) — bit-identical to
+    tag_feature_vector row by row. Every family is derivable from the
+    per-geometry scalars, so no WKT is parsed here at all."""
+    n = len(p)
+    M = np.zeros((n, N_TAG_FEATURES), dtype=np.float64)
+    rows = np.arange(n)
+    gt = p["gtype"].to_numpy(dtype=object)
+    valid = np.array([t is not None for t in gt])
+
+    for t, slot in _TYPE_SLOTS.items():
+        M[gt == t, slot] = 1.0
+    M[p["is_rect"].fillna(False).to_numpy(dtype=bool), 4] = 1.0
+    npts = p["npts"].fillna(0).to_numpy(np.float64)
+    M[rows, 5 + np.searchsorted(_NPTS_EDGES, npts, side="right")] = 1.0
+    is_poly = gt == "POLYGON"  # area bins only for Polygon (:84-91)
+    ar = p["garea"].to_numpy(np.float64)
+    M[rows[is_poly], 18 + np.searchsorted(_AREA_EDGES, ar[is_poly], side="right")] = 1.0
+    # slot 43: resembles-circle — always 0 (reference body commented out)
+    mean = p["edge_mean"].to_numpy(np.float64)
+    var = p["edge_var"].to_numpy(np.float64)
+    M[rows, 44 + np.searchsorted(_MEAN_EDGES, mean, side="right")] = 1.0
+    # mean == 0 -> Java 0.0/0.0 = NaN -> every comparison false -> final
+    # else slot (searchsorted sends NaN past every edge), NOT the ==0 slot
+    with np.errstate(divide="ignore", invalid="ignore"):
+        nv = var / (mean * mean)
+    zero = nv == 0
+    M[rows[zero], 67] = 1.0
+    nz = ~zero
+    M[rows[nz], 68 + np.searchsorted(_VAR_EDGES, nv[nz], side="right")] = 1.0
+
+    M[~valid] = 0.0  # unparseable geometry -> all-zero slice
+    return M
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def u_pair_tag_features_fast(pa: pd.DataFrame, pb: pd.DataFrame) -> pd.Series:
+    return pd.Series(list(np.hstack([tag_feature_matrix(pa), tag_feature_matrix(pb)])))
+
+
 def pair_tag_features(pairs: DataFrame) -> DataFrame:
     """TagFeatures for a linked pair: A slice ++ B slice (210 dims), the
-    input the reference's tag predictor trains on."""
+    input the reference's tag predictor trains on.
+
+    Production path: primitives once per DISTINCT geometry per layer
+    (learning.with_side_primitives), then one fully-vectorized numpy pass
+    — zero per-pair WKT parsing. Pairs from ``linked_pairs(...,
+    feature_primitives=True)`` already carry the structs."""
+    if "__pa" not in pairs.columns or "__pb" not in pairs.columns:
+        pairs = with_side_primitives(with_side_primitives(pairs, "a"), "b")
     return pairs.select(
         "subject_a",
         "subject_b",
-        F.concat(
-            u_tag_features(F.col("wkt_a")), u_tag_features(F.col("wkt_b"))
-        ).alias("fv"),
+        u_pair_tag_features_fast(F.col("__pa"), F.col("__pb")).alias("fv"),
     )

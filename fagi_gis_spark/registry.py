@@ -452,7 +452,71 @@ def discover_links_exact(spark, sf_dir):
     )
 
 
-@register("discover_links_fuzzy")  # Jaro-Winkler token matching: pytest oracle only
+def _discover_fuzzy_oracle() -> str:
+    """Fuzzy-token Jaccard replayed closed-form in DuckDB: the reference's
+    greedy token matching (each A token consumes the FIRST unused B token
+    with Jaro-Winkler > 0.8, FindLinkServlet.getJaccardIndex) runs as a
+    recursive CTE over a used-token bitmask; DuckDB's
+    jaro_winkler_similarity is bit-identical to the engine's Winkler-1990
+    implementation (verified on random pairs in pytest). The camelCase
+    breaker has no lookarounds in RE2, so it is emulated by inserting a
+    space at each aZ boundary before the non-alnum split."""
+    dist = _DIST
+    tok = (
+        "list_filter(list_transform(string_split_regex("
+        "regexp_replace({col}, '([a-z])([A-Z])', '\\1 \\2', 'g'),"
+        " '[^0-9A-Za-z]+'), x -> lower(x)), x -> len(x) > 0)"
+    )
+    return _o(
+        f"""
+SELECT node_a, node_b, round(dist_m, 4) AS dist_m_r, jac AS jaccard FROM (
+  WITH RECURSIVE toks AS (
+    SELECT cand.node_a, cand.node_b, cand.dist_m,
+           cand.node_a || '|' || cand.node_b || '|' || ta.object || '|' || cand.lit_b AS pid,
+           {tok.format(col='ta.object')} AS ta,
+           {tok.format(col='cand.lit_b')} AS tb
+    FROM (
+      SELECT a.subject AS node_a, b.subject AS node_b, {dist} AS dist_m, tb0.object AS lit_b
+      FROM poi_a a, poi_b b
+      JOIN triples_b tb0 ON tb0.subject = b.subject AND tb0.predicate = 'http://b.example/label'
+      WHERE {dist} <= 200.0
+    ) cand
+    JOIN (
+      SELECT node_a, lit_b FROM (
+        SELECT a.subject AS node_a, tb0.object AS lit_b, count(*) AS freq
+        FROM poi_a a, poi_b b
+        JOIN triples_b tb0 ON tb0.subject = b.subject AND tb0.predicate = 'http://b.example/label'
+        WHERE {dist} <= 200.0
+        GROUP BY 1, 2
+      ) f WHERE freq = 1
+    ) fr ON fr.node_a = cand.node_a AND fr.lit_b = cand.lit_b
+    JOIN triples_a ta ON ta.subject = cand.node_a AND ta.predicate = 'http://a.example/name'
+  ), step AS (
+    SELECT pid, 0 AS i, 0::BIGINT AS used, 0 AS inter FROM toks
+    UNION ALL
+    SELECT pid, i + 1,
+           CASE WHEN j IS NULL THEN used ELSE used | (1::BIGINT << (j - 1)) END,
+           inter + CASE WHEN j IS NULL THEN 0 ELSE 1 END
+    FROM (
+      SELECT t2.pid, st.i, st.used, st.inter,
+        list_min(list_filter(list_transform(t2.tb, (y, jj) ->
+          CASE WHEN ((st.used >> (jj - 1)) & 1) = 0
+                AND jaro_winkler_similarity(t2.ta[st.i + 1], y) > 0.8
+               THEN jj END), v -> v IS NOT NULL)) AS j
+      FROM step st JOIN toks t2 USING (pid)
+      WHERE st.i < len(t2.ta)
+    )
+  )
+  SELECT k.node_a, k.node_b, k.dist_m,
+    CASE WHEN len(k.ta) = 0 OR len(k.tb) = 0 THEN 0.0
+         ELSE st.inter::DOUBLE / (len(k.ta) + len(k.tb) - st.inter) END AS jac
+  FROM toks k JOIN step st ON st.pid = k.pid AND st.i = len(k.ta)
+) s WHERE jac > 0.2
+"""
+    )
+
+
+@register("discover_links_fuzzy", _discover_fuzzy_oracle())
 def discover_links_fuzzy(spark, sf_dir):
     from fagi_gis_spark.operators.discovery import discover_links
 
@@ -760,7 +824,7 @@ def learning_pair_features(spark, sf_dir):
     from fagi_gis_spark.operators.learning import pair_features
 
     L = layers(spark, sf_dir)
-    feats = pair_features(_lp(L["links"], L["poi_a"], L["poi_b"]))
+    feats = pair_features(_lp(L["links"], L["poi_a"], L["poi_b"], feature_primitives=True))
     return feats.select(
         "subject_a", "subject_b", F.size("fv").alias("n_features"),
         F.round(F.aggregate("fv", F.lit(0.0), lambda a, x: a + x), 6).alias("fv_sum"),
@@ -1401,7 +1465,7 @@ def tag_pair_features(spark, sf_dir):
     from fagi_gis_spark.operators.tag_features import pair_tag_features
 
     L = layers(spark, sf_dir)
-    feats = pair_tag_features(_lp(L["links"], L["poi_a"], L["poi_b"]))
+    feats = pair_tag_features(_lp(L["links"], L["poi_a"], L["poi_b"], feature_primitives=True))
     return feats.select(
         "subject_a", "subject_b", F.size("fv").alias("n_features"),
         F.round(F.aggregate("fv", F.lit(0.0), lambda a, x: a + x), 6).alias("fv_sum"),
@@ -1558,7 +1622,8 @@ def learning_pair_features_owl(spark, sf_dir):
 
     L = layers(spark, sf_dir)
     feats = pair_features(
-        _lp(L["links"], L["poi_a"], L["poi_b"]), L["triples_a"], L["triples_b"]
+        _lp(L["links"], L["poi_a"], L["poi_b"], feature_primitives=True),
+        L["triples_a"], L["triples_b"]
     )
     return feats.select(
         "subject_a", "subject_b", F.size("fv").alias("n_features"),

@@ -494,3 +494,109 @@ def test_pair_features_with_owl_slice(spark):
     assert all(len(fv) == N_FEATURES_OWL for fv in out.fv)
     # both sides have exactly one rdf:type ({onto}Poi) -> pct 0 -> bin 10
     assert all(fv[175 + 10] == 1.0 for fv in out.fv)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized feature path ≡ scalar kernels (round 3)
+# ---------------------------------------------------------------------------
+
+_VEC_FIXTURE = [
+    None,
+    "POINT EMPTY",                                         # parses to None
+    "POINT (2 2)",
+    "POINT (2.0000001 2)",                                 # near-coincident
+    "LINESTRING (0 0, 3 4)",
+    "LINESTRING (20 0, 23 4, 26 0)",
+    "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",                 # rectangle, contains POINT(2 2)
+    "POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))",
+    "POLYGON ((1 1, 3 1, 2 3, 1 1))",                      # triangle inside the square
+    "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))",                 # touches the square at x=4
+    "POLYGON ((0 0, 40 0, 40 25, 0 25, 0 0))",             # area 1000 (pct 0.95 vs 50)
+    "POLYGON ((100 0, 110 0, 110 5, 100 5, 100 0))",       # area 50, disjoint
+    "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",  # hole
+    "MULTIPOINT ((0 0), (5 5))",
+    "MULTILINESTRING ((0 0, 1 1), (2 2, 4 4))",
+    "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))",
+    "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 2 2))",
+]
+
+
+def test_vectorized_pair_features_match_scalar_kernel():
+    """pair_feature_matrix (numpy, envelope-gated relate) must be
+    bit-identical to the per-row pair_feature_vector oracle kernel over a
+    fixture covering every type, nulls, unparseable WKT, touching /
+    containing / disjoint envelopes and the 0.95-pct boundary."""
+    import pandas as pd
+
+    from fagi_gis_spark.operators.learning import (
+        pair_feature_matrix,
+        pair_feature_vector,
+        primitives_of,
+    )
+    from fagi_gis_spark.geometry.wkt import parse_wkt
+
+    wa = [a for a in _VEC_FIXTURE for _ in _VEC_FIXTURE]
+    wb = [b for _ in _VEC_FIXTURE for b in _VEC_FIXTURE]
+    pa = pd.DataFrame([primitives_of(w) for w in wa])
+    pb = pd.DataFrame([primitives_of(w) for w in wb])
+    got = pair_feature_matrix(pa, pb, pd.Series(wa), pd.Series(wb))
+    want = np.stack(
+        [pair_feature_vector(parse_wkt(a) if a else None, parse_wkt(b) if b else None)
+         for a, b in zip(wa, wb)]
+    )
+    mism = np.nonzero((got != want).any(axis=1))[0]
+    assert mism.size == 0, f"first mismatch pair: {wa[mism[0]]!r} vs {wb[mism[0]]!r}"
+
+
+def test_vectorized_owl_and_tag_features_match_scalar_kernels():
+    import pandas as pd
+
+    from fagi_gis_spark.operators.learning import (
+        owl_feature_matrix,
+        owl_feature_slice,
+        primitives_of,
+    )
+    from fagi_gis_spark.operators.tag_features import tag_feature_matrix, tag_feature_vector
+    from fagi_gis_spark.geometry.wkt import parse_wkt
+
+    owls = [None, "", "A", "A,B", "A,B,C", ",".join(f"C{i}" for i in range(20))]
+    oa = [a for a in owls for _ in owls]
+    ob = [b for _ in owls for b in owls]
+    got = owl_feature_matrix(pd.Series(oa), pd.Series(ob))
+    want = np.stack([owl_feature_slice(a, b) for a, b in zip(oa, ob)])
+    assert (got == want).all()
+
+    p = pd.DataFrame([primitives_of(w) for w in _VEC_FIXTURE])
+    got_t = tag_feature_matrix(p)
+    want_t = np.stack(
+        [tag_feature_vector(parse_wkt(w) if w else None) for w in _VEC_FIXTURE]
+    )
+    mism = np.nonzero((got_t != want_t).any(axis=1))[0]
+    assert mism.size == 0, f"first mismatch geom: {_VEC_FIXTURE[mism[0]]!r}"
+
+
+def test_pair_features_spark_fast_path_matches_slow_udf(spark):
+    """End-to-end: the production pair_features (primitives join + numpy
+    kernel) emits the same vectors as the per-pair parse UDF on real
+    sf0.001 pairs."""
+    from pyspark.sql import functions as F
+
+    from fagi_gis_spark.operators.fusion import linked_pairs
+    from fagi_gis_spark.operators.learning import pair_features, u_pair_features
+    from fagi_gis_spark.registry import layers
+
+    L = layers(spark, "/root/testdata/sf0.001")
+    pairs = linked_pairs(L["links"], L["poi_a"], L["poi_b"])
+    fast = pair_features(pairs).toPandas().set_index(["subject_a", "subject_b"])
+    slow = (
+        pairs.select(
+            "subject_a", "subject_b",
+            u_pair_features(F.col("wkt_a"), F.col("wkt_b")).alias("fv"),
+        )
+        .toPandas()
+        .set_index(["subject_a", "subject_b"])
+    )
+    assert len(fast) == len(slow) and len(fast) > 0
+    joined = fast.join(slow, lsuffix="_f", rsuffix="_s")
+    for fv_f, fv_s in zip(joined["fv_f"], joined["fv_s"]):
+        assert list(fv_f) == list(fv_s)
