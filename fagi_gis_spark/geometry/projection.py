@@ -105,3 +105,75 @@ EPSG_2249 = LambertConformalConic(
     false_northing=2460625.0,
     unit_m=US_FT,
 )
+
+
+class WebMercator:
+    """Spherical ("Google") Web Mercator — EPSG 900913/3857. The SRID the
+    reference's shift scoring transforms to before measuring distance
+    (geotransformations/ShiftAToB.java:141: ST_Transform(geom, 900913)).
+    Closed form: x = a·λ, y = a·ln(tan(π/4 + φ/2)) on the WGS84 semi-major
+    axis (Snyder 1987, eqs. 7-1/7-2 with R = a)."""
+
+    a = _A_M
+
+    def forward(self, lon_deg: np.ndarray, lat_deg: np.ndarray):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        return self.a * lam, self.a * np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+
+    def inverse(self, x: np.ndarray, y: np.ndarray):
+        lam = np.asarray(x, dtype=np.float64) / self.a
+        phi = 2.0 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / self.a)) - np.pi / 2.0
+        return np.degrees(lam), np.degrees(phi)
+
+
+class LambertAzimuthalEqualArea:
+    """Spherical oblique Lambert Azimuthal Equal-Area (Snyder 1987,
+    eqs. 24-2..24-4 / 22-4). EPSG 2163 (US National Atlas Equal Area) is
+    this projection on the authalic-ish sphere R = 6370997 m centred at
+    (45°N, 100°W) — the SRID the reference's clustering displacement
+    transforms to (clustering/GeoClusterer.java:257)."""
+
+    def __init__(self, lat0_deg: float, lon0_deg: float, radius_m: float,
+                 false_easting: float = 0.0, false_northing: float = 0.0):
+        self.phi0 = np.radians(lat0_deg)
+        self.lam0 = np.radians(lon0_deg)
+        self.r = radius_m
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lon_deg: np.ndarray, lat_deg: np.ndarray):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        dl = lam - self.lam0
+        kp = np.sqrt(
+            2.0
+            / (1.0 + np.sin(self.phi0) * np.sin(phi) + np.cos(self.phi0) * np.cos(phi) * np.cos(dl))
+        )
+        x = self.r * kp * np.cos(phi) * np.sin(dl) + self.fe
+        y = (
+            self.r
+            * kp
+            * (np.cos(self.phi0) * np.sin(phi) - np.sin(self.phi0) * np.cos(phi) * np.cos(dl))
+            + self.fn
+        )
+        return x, y
+
+
+#: EPSG 900913 — spherical Web Mercator (ShiftAToB.score's ST_Transform target)
+EPSG_900913 = WebMercator()
+
+#: EPSG 2163 — US National Atlas Equal Area (GeoClusterer's ST_Transform target)
+EPSG_2163 = LambertAzimuthalEqualArea(lat0_deg=45.0, lon0_deg=-100.0, radius_m=6370997.0)
+
+
+def projection_for_srid(srid: int):
+    """The metric frames the reference hard-codes (900913 scoring, 2163
+    clustering, 2249 rotation)."""
+    if srid == 900913 or srid == 3857:
+        return EPSG_900913
+    if srid == 2163:
+        return EPSG_2163
+    if srid == 2249:
+        return EPSG_2249
+    raise ValueError(f"no projection parameter set for SRID {srid}")

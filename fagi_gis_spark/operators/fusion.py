@@ -401,25 +401,80 @@ def scores_quantized(pairs: DataFrame, threshold_m: float = 500.0) -> DataFrame:
     )
 
 
-def with_scores(pairs: DataFrame, transformation: str, threshold_m: float = 500.0) -> DataFrame:
+def u_metric_centroid_dist(srid: int):
+    """Arrow UDF computing ST_Distance(ST_Centroid(ST_Transform(a, srid)),
+    ST_Centroid(ST_Transform(b, srid))) — the reference's metric-frame
+    link displacement (ShiftAToB.score:141 uses SRID 900913 with geometry
+    A un-centroided, which coincides with this for the POINT-A pairs its
+    type gate accepts; GeoClusterer.calculateDistance:257 uses SRID 2163
+    on both centroids). The full geometry is reprojected FIRST, then the
+    centroid is taken in the projected frame, exactly like PostGIS."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as _T
+
+    from fagi_gis_spark.geometry.measures import centroid as _centroid
+    from fagi_gis_spark.geometry.projection import projection_for_srid
+    from fagi_gis_spark.geometry.wkt import map_coords, parse_wkt as _parse
+
+    proj = projection_for_srid(srid)
+
+    def fwd(c):
+        x, y = proj.forward(c[:, 0], c[:, 1])
+        return np.column_stack((x, y))
+
+    # no parameter annotations: the module's `from __future__ import
+    # annotations` stringifies hints with names local to this factory,
+    # which pandas_udf's resolver cannot evaluate — returnType suffices
+    @F.pandas_udf(_T.DoubleType())
+    def _udf(wkt_a, wkt_b):
+        out = []
+        for a, b in zip(wkt_a, wkt_b):
+            ga = _parse(a) if a else None
+            gb = _parse(b) if b else None
+            if ga is None or gb is None:
+                out.append(None)
+                continue
+            ca = _centroid(map_coords(ga, fwd))
+            cb = _centroid(map_coords(gb, fwd))
+            dx, dy = ca[0] - cb[0], ca[1] - cb[1]
+            out.append(float((dx * dx + dy * dy) ** 0.5))
+        return pd.Series(out, dtype="float64")
+
+    return _udf
+
+
+def with_scores(
+    pairs: DataFrame,
+    transformation: str,
+    threshold_m: float = 500.0,
+    metric_srid: int | None = None,
+) -> DataFrame:
     """Transformation-suitability score per link (SURVEY.md §2.3 scoring).
 
     keep-variants: constant 1.0 (KeepLeftTransformation.java:33-35).
     shifts: gated on GeometryType(a)=POINT ∧ GeometryType(b)=POLYGON ∧
     dist <= threshold; score = sqrt((threshold - dist)/threshold); a
     threshold of -1 means always 1.0 (ShiftAToB.score:138-177). The
-    reference measures dist via ST_Transform to a metric SRID; this engine
-    uses planar degree distance x 111195 (the reference's own quick factor,
-    Constants.java:79-80) — documented divergence, same gating behavior.
+    reference measures dist via ST_Transform to a metric SRID
+    (ShiftAToB.score:141, SRID 900913); pass ``metric_srid=900913`` for
+    that exact semantics (closed-form spherical Mercator,
+    geometry/projection.py). The default stays the planar degree distance
+    x 111195 (the reference's own quick factor, Constants.java:79-80) —
+    the engine's documented fast path with the same gating behavior, and
+    the oracle-parity semantics.
     """
     c = _with_centroids(pairs)
-    dist_m = (
-        F.sqrt(
-            (F.col("cax") - F.col("cbx")) * (F.col("cax") - F.col("cbx"))
-            + (F.col("cay") - F.col("cby")) * (F.col("cay") - F.col("cby"))
+    if metric_srid is not None:
+        dist_m = u_metric_centroid_dist(metric_srid)(F.col("wkt_a"), F.col("wkt_b"))
+    else:
+        dist_m = (
+            F.sqrt(
+                (F.col("cax") - F.col("cbx")) * (F.col("cax") - F.col("cbx"))
+                + (F.col("cay") - F.col("cby")) * (F.col("cay") - F.col("cby"))
+            )
+            * F.lit(DEG_TO_M)
         )
-        * F.lit(DEG_TO_M)
-    )
     if transformation in ("keep_a", "keep_b", "keep_both", "most_points", "concatenation"):
         score = F.lit(1.0)
     elif transformation in ("shift_a_to_b", "shift_b_to_a", "most_points_translate"):

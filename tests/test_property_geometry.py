@@ -5,6 +5,7 @@ invariants."""
 import math
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -118,3 +119,82 @@ def test_lcc_projection_roundtrip_property(p):
     lo, la = EPSG_2249.inverse(x, y)
     assert abs(lo[0] - lon) < 1e-9
     assert abs(la[0] - lat) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Metric-SRID distance frames (round 3): EPSG 900913 scoring, EPSG 2163
+# clustering — closed Snyder forms vs published/derived reference values
+# ---------------------------------------------------------------------------
+
+
+def test_web_mercator_published_values():
+    from fagi_gis_spark.geometry.projection import EPSG_900913
+
+    # the canonical projected extent corner (published to the last digit)
+    x, y = EPSG_900913.forward(180.0, 0.0)
+    assert x == 20037508.342789244 and y == 0.0
+    # y at the mirrored latitude is symmetric; round-trip is exact
+    import numpy as np
+
+    lons = np.array([-71.5, 0.25, 139.7])
+    lats = np.array([42.0, 51.5, -35.7])
+    px, py = EPSG_900913.forward(lons, lats)
+    lo, la = EPSG_900913.inverse(px, py)
+    assert np.abs(lo - lons).max() < 1e-12 and np.abs(la - lats).max() < 1e-9
+
+
+def test_laea_snyder_formula_values():
+    """Snyder 1987 eqs. 24-2/22-4/22-5, R=3, centre (40N, 100W), point
+    (30N, 110W): k'=1.0063787, x=-0.4540288, y=-0.4987342 (derived by
+    direct evaluation of the published closed form)."""
+    import math
+
+    from fagi_gis_spark.geometry.projection import EPSG_2163, LambertAzimuthalEqualArea
+
+    p = LambertAzimuthalEqualArea(lat0_deg=40.0, lon0_deg=-100.0, radius_m=3.0)
+    x, y = p.forward(-110.0, 30.0)
+    # independent scalar evaluation of the same published equations
+    phi0, phi, dl = math.radians(40), math.radians(30), math.radians(-10)
+    kp = math.sqrt(2.0 / (1 + math.sin(phi0) * math.sin(phi) + math.cos(phi0) * math.cos(phi) * math.cos(dl)))
+    assert abs(x - 3 * kp * math.cos(phi) * math.sin(dl)) < 1e-12
+    assert abs(y - 3 * kp * (math.cos(phi0) * math.sin(phi) - math.sin(phi0) * math.cos(phi) * math.cos(dl))) < 1e-12
+    # EPSG 2163: centre projects to the origin; a point 1 deg east of the
+    # centre at lat0 projects to x ~ R*cos(45)*1deg (small-angle), y ~ small
+    cx, cy = EPSG_2163.forward(-100.0, 45.0)
+    assert abs(cx) < 1e-9 and abs(cy) < 1e-9
+    ex, ey = EPSG_2163.forward(-99.0, 45.0)
+    assert abs(ex - 6370997.0 * math.cos(math.radians(45)) * math.radians(1.0)) < 100.0
+    assert 0 < ey < 1000.0  # slight northing from the azimuthal geometry
+
+
+def test_metric_centroid_dist_frames(spark):
+    """u_metric_centroid_dist: 900913 inflates ground distance by
+    ~1/cos(lat) (Mercator scale), 2163 stays within a few % of the true
+    ground distance near the projection centre — both centroid-after-
+    transform like the reference's SQL."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fagi_gis_spark.operators.fusion import u_metric_centroid_dist
+
+    # two points 0.001 deg apart in lon at lat 51 (ground ~69.9 m)
+    df = spark.createDataFrame(
+        [("POINT (10.000000 51.000000)", "POINT (10.001000 51.000000)")],
+        "wkt_a string, wkt_b string",
+    )
+    d_merc = df.select(u_metric_centroid_dist(900913)(F.col("wkt_a"), F.col("wkt_b")).alias("d")).first()["d"]
+    ground = 111195.0 * 0.001 * math.cos(math.radians(51.0))
+    assert abs(d_merc - 111319.49079327358 * 0.001) < 0.01  # a*radians(0.001deg)
+    assert d_merc / ground == pytest.approx(1.0 / math.cos(math.radians(51.0)), rel=0.01)
+
+    # near the 2163 centre the LAEA distance tracks ground distance
+    df2 = spark.createDataFrame(
+        [("POINT (-100.000000 45.000000)", "POINT (-99.999000 45.000000)")],
+        "wkt_a string, wkt_b string",
+    )
+    d_laea = df2.select(u_metric_centroid_dist(2163)(F.col("wkt_a"), F.col("wkt_b")).alias("d")).first()["d"]
+    ground2 = 2.0 * 6370997.0 * math.asin(
+        math.cos(math.radians(45.0)) * math.sin(math.radians(0.0005))
+    )
+    assert d_laea == pytest.approx(ground2, rel=0.001)

@@ -190,3 +190,46 @@ def test_catalog_merge_by_key(spark, tmp_path):
     cat.merge_by_key("t", updates, "subject")
     got = {r.subject: r.val for r in cat.read("t").collect()}
     assert got == {"s1": 1, "s2": 20, "s3": 3, "s4": 40}
+
+
+def test_displacement_coverage_is_real_intersects(spark):
+    """Coverage must be the true ST_Intersects bit (GeoClusterer.
+    calculateCoverage), not a distance proxy: near-but-disjoint polygons
+    (centroids ~20 m apart) get 0, touching polygons get 1, and the
+    envelope short-circuit agrees with the relate kernel everywhere."""
+    from fagi_gis_spark.operators.clustering import displacement_features
+    from fagi_gis_spark.operators.fusion import linked_pairs
+
+    rows_a = [
+        ("a1", "POLYGON ((0 0, 0.0001 0, 0.0001 0.0001, 0 0.0001, 0 0))"),
+        ("a2", "POLYGON ((0 0, 0.0001 0, 0.0001 0.0001, 0 0.0001, 0 0))"),
+        ("a3", "POLYGON ((0 0, 0.0001 0, 0.0001 0.0001, 0 0.0001, 0 0))"),
+        ("a4", "POINT (0.5 0.5)"),
+    ]
+    rows_b = [
+        # near-but-disjoint: gap of 0.00005 deg (~5 m), centroid dist ~17 m
+        ("b1", "POLYGON ((0.00015 0, 0.00025 0, 0.00025 0.0001, 0.00015 0.0001, 0.00015 0))"),
+        # touching at x=0.0001 -> intersects
+        ("b2", "POLYGON ((0.0001 0, 0.0002 0, 0.0002 0.0001, 0.0001 0.0001, 0.0001 0))"),
+        # overlapping
+        ("b3", "POLYGON ((0.00005 0, 0.00015 0, 0.00015 0.0001, 0.00005 0.0001, 0.00005 0))"),
+        # coincident point
+        ("b4", "POINT (0.5 0.5)"),
+    ]
+
+    def layer(rows):
+        return spark.createDataFrame(
+            [(s, w, 0.0, 0.0) for s, w in rows], "subject string, geom_wkt string, lon double, lat double"
+        )
+
+    links = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2"), ("a3", "b3"), ("a4", "b4")], "node_a string, node_b string"
+    )
+    pairs = linked_pairs(links, layer(rows_a), layer(rows_b), feature_primitives=True)
+    out = (
+        displacement_features(pairs)
+        .toPandas()
+        .set_index("subject_a")["coverage"]
+        .to_dict()
+    )
+    assert out == {"a1": 0.0, "a2": 1.0, "a3": 1.0, "a4": 1.0}
