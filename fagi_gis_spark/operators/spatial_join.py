@@ -85,11 +85,12 @@ def radius_join(
     are split into ``n_salt`` sub-keys (explicit skew handling); probe
     rows replicate only for those hot cells. The default ``"auto"``
     derives the threshold from the build-side cell-count distribution
-    (max(256, 8x mean)) entirely inside the plan: the hot-cell set is a
-    tiny broadcast built in the same query DAG, so uniform data pays one
-    cheap cell-count aggregation and zero fan-out, skewed data is
-    protected without tuning, and nothing blocks on a driver-side
-    collect. ``None`` disables salting (AQE skew-join remains the only
+    (max(256, 8x mean)): one materialized cell-count pass (a pruned
+    two-column scan + tiny agg), then an adaptive decision — an EMPTY
+    hot set (uniform data) short-circuits to the plain cell join, so
+    the only auto cost is the detection pass; a non-empty hot set
+    engages the salted two-key join with probe fan-out limited to hot
+    cells. ``None`` disables salting (AQE skew-join remains the only
     protection).
     """
     lk, llon, llat = left_cols
@@ -156,6 +157,14 @@ def radius_join(
             hot = counts.filter(F.col("count") > salt_threshold).select(
                 "cell", F.lit(True).alias("__hot")
             )
+        # Adaptive short-circuit: with no hot cells (uniform data — the
+        # common case) the whole salting apparatus (two broadcast joins,
+        # a per-probe explode, a wider join key) is pure overhead, so
+        # fall back to the plain cell join. The check is a filter +
+        # limit-1 over the already-materialized tiny counts table —
+        # cheap at any scale. Skewed data still gets the full machinery.
+        if hot.isEmpty():
+            hot = None
 
     if hot is not None:
         r = (

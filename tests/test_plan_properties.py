@@ -59,3 +59,63 @@ def test_pip_points_never_shuffle(spark):
     plan = _plan(pip_join(pts, admin_polygons_pdf()))
     below_kernel = plan.split("MapInPandas")[-1]
     assert "Exchange" not in below_kernel
+
+
+def test_j7_broadcast_side_flips_with_smaller_side(spark):
+    """J7 runtime evidence (VERDICT r2 'what's missing' #3): when one POI
+    side of the pair join is tiny, AQE/Catalyst must broadcast THAT side
+    — and flip when the other side is the tiny one. Asserted on the
+    executed plan: the BroadcastExchange subtree must contain the tiny
+    side's parquet scan / literal range, not the big side's."""
+    from pyspark.sql import functions as F
+
+    from fagi_gis_spark.operators.fusion import linked_pairs
+
+    def layer(n, pfx):
+        return spark.range(n).select(
+            F.concat(F.lit(pfx), F.col("id")).alias("subject"),
+            F.concat(F.lit("POINT ("), (F.col("id") % 100) / 1000.0, F.lit(" 50.0)")).alias("geom_wkt"),
+            ((F.col("id") % 100) / 1000.0).alias("lon"),
+            F.lit(50.0).alias("lat"),
+        )
+
+    big_a, tiny_b = layer(200_000, "a"), layer(50, "b")
+    tiny_a, big_b = layer(50, "a"), layer(200_000, "b")
+    links = spark.range(50).select(
+        F.concat(F.lit("a"), F.col("id")).alias("node_a"),
+        F.concat(F.lit("b"), F.col("id")).alias("node_b"),
+    )
+
+    def broadcast_subtrees(pairs):
+        """The full text of every BroadcastExchange subtree, extracted by
+        tree indentation from the executed plan."""
+        pairs.write.format("noop").mode("overwrite").save()  # let AQE finalize
+        lines = pairs._jdf.queryExecution().executedPlan().toString().splitlines()
+
+        def depth(ln):
+            i = ln.find("+- ")
+            j = ln.find(":- ")
+            cands = [x for x in (i, j) if x >= 0]
+            return min(cands) if cands else 0
+
+        out = []
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            d = depth(ln)
+            sub = [ln]
+            for nxt in lines[i + 1:]:
+                if nxt.strip() and depth(nxt) <= d:
+                    break
+                sub.append(nxt)
+            out.append("\n".join(sub))
+        return out
+
+    big_scan = "Range (0, 200000"
+    s1 = broadcast_subtrees(linked_pairs(links, big_a, tiny_b))
+    s2 = broadcast_subtrees(linked_pairs(links, tiny_a, big_b))
+    # the tiny POI side must be broadcast in each direction...
+    assert any("subject_b" in t for t in s1), s1
+    assert any("subject_a" in t for t in s2), s2
+    # ...and the 200k side's scan must never sit under a BroadcastExchange
+    assert not any(big_scan in t for t in s1 + s2)

@@ -40,6 +40,39 @@ def test_salted_radius_join_equals_unsalted(spark):
     assert a == b
 
 
+def test_auto_salting_is_adaptive(spark):
+    """auto mode must engage the salted two-key join ONLY when a hot cell
+    exists: uniform input short-circuits to the plain cell join (no salt
+    column in the executed plan), skewed input salts."""
+    from fagi_gis_spark.operators.spatial_join import radius_join
+
+    uniform = spark.range(2000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("subject"),
+        (F.lit(-0.9) + F.col("id").cast("double") * 31 / 1e6).alias("lon"),
+        (F.lit(51.0) + F.col("id").cast("double") * 17 / 1e6).alias("lat"),
+    )
+    # hot pile + spread tail: auto's threshold is 8x the MEAN cell count,
+    # so a tail of singleton cells is needed for the pile to register as hot
+    skewed = spark.range(3000).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subject"),
+        (F.lit(0.1) + (F.col("id") % 50).cast("double") / 1e6).alias("lon"),
+        (F.lit(50.5) + ((F.col("id") * 7) % 50).cast("double") / 1e6).alias("lat"),
+    ).unionByName(
+        spark.range(2000).select(
+            F.concat(F.lit("t"), F.col("id")).alias("subject"),
+            (F.lit(-0.9) + F.col("id").cast("double") * 97 / 1e6).alias("lon"),
+            (F.lit(51.0) + F.col("id").cast("double") * 53 / 1e6).alias("lat"),
+        )
+    )
+
+    def join_plan(df):
+        out = radius_join(df, df.withColumn("lon", F.col("lon") + 0.00001), 50.0)
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    assert "salt" not in join_plan(uniform)
+    assert "salt" in join_plan(skewed)
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Bucketing by the join key co-locates both sides: the join plan must
     contain no Exchange — the storage-level answer to the reference's

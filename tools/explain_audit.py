@@ -25,6 +25,8 @@ AUDIT = [
     ("ann_cosine_topk", "exact ANN (block-partitioned cogroup matmul, no driver collect)"),
     ("dedup_embedding_cosine", "embedding near-dup pairs (same blocked cogroup kernel)"),
     ("events_topk_users", "top-k per group (agg + window)"),
+    ("learning_pair_features", "BooleanVector features (layer primitives + numpy bins)"),
+    ("tag_pair_features", "TagFeatures (primitives only — no per-pair Python parse)"),
 ]
 
 
