@@ -101,3 +101,54 @@ def semantic_chain_score(
         for wb in words_b
     )
     return total / (len(words_a) * len(words_b))
+
+
+def load_wordnet_dict(index_path: str, data_path: str) -> MiniWordNet:
+    """Load a real WordNet database-file export into MiniWordNet.
+
+    Reads the standard Princeton ``wndb`` format — the same ``dict/``
+    files JWNL points at in the reference's ``file_properties.xml``
+    (VirtuosoImporter.java:171-183 initializes JWNL over the WordNet
+    dictionary): ``index.<pos>`` maps lemma -> synset offsets,
+    ``data.<pos>`` carries per-synset pointers, of which ``@`` (hypernym)
+    and ``@i`` (instance hypernym) build the hypernym graph. Format per
+    wndb(5WN):
+
+    * index line:  ``lemma pos synset_cnt p_cnt [ptr...] sense_cnt
+      tagsense_cnt offset [offset...]`` — the trailing ``synset_cnt``
+      offsets are the senses, most-frequent first.
+    * data line:   ``offset lex_filenum ss_type w_cnt word lex_id ...
+      p_cnt [ptr_symbol offset pos source/target]... | gloss``.
+
+    Lemmas are stored with ``_`` for spaces (kept verbatim: the schema
+    matcher tokenizes property names the same way before lookup, and
+    lookups are lower-cased by MiniWordNet).
+    """
+    senses: dict[str, list[str]] = {}
+    with open(index_path, encoding="utf-8") as f:
+        for line in f:
+            if line.startswith("  ") or not line.strip():
+                continue  # license header lines start with two spaces
+            parts = line.split()
+            lemma, _pos, synset_cnt = parts[0], parts[1], int(parts[2])
+            senses[lemma] = parts[-synset_cnt:]
+    hypernyms: dict[str, list[str]] = {}
+    with open(data_path, encoding="utf-8") as f:
+        for line in f:
+            if line.startswith("  ") or not line.strip():
+                continue
+            body = line.split("|", 1)[0].split()
+            offset = body[0]
+            w_cnt = int(body[3], 16)  # w_cnt is HEX per wndb(5WN)
+            i = 4 + 2 * w_cnt  # skip (word, lex_id) pairs
+            p_cnt = int(body[i])
+            i += 1
+            hyps = []
+            for _ in range(p_cnt):
+                sym, tgt = body[i], body[i + 1]
+                if sym in ("@", "@i"):
+                    hyps.append(tgt)
+                i += 4  # pointer_symbol, synset_offset, pos, source/target
+            if hyps:
+                hypernyms[offset] = hyps
+    return MiniWordNet(senses, hypernyms)

@@ -233,3 +233,34 @@ def test_displacement_coverage_is_real_intersects(spark):
         .to_dict()
     )
     assert out == {"a1": 0.0, "a2": 1.0, "a3": 1.0, "a4": 1.0}
+
+
+def test_load_wordnet_dict_real_format(tmp_path):
+    """The wndb loader parses the exact Princeton database-file layout
+    (hex w_cnt, pointer quads, license header) and feeds the same
+    hypernym scoring the injected-taxonomy path uses."""
+    from fagi_gis_spark.functions.semantic import load_wordnet_dict, semantic_word_score
+
+    # data.noun: dog/canine/carnivore/animal chain + cat under carnivore
+    (tmp_path / "data.noun").write_text(
+        "  1 This software and database is being provided to you the LICENSEE.\n"
+        "00001740 03 n 01 animal 0 000 | a living organism\n"
+        "00002100 03 n 01 carnivore 0 001 @ 00001740 n 0000 | flesh-eater\n"
+        "00002200 03 n 02 dog 0 domestic_dog 0 002 @ 00002100 n 0000 ~ 00002300 n 0000 | the dog\n"
+        "00002300 03 n 01 cat 0 001 @ 00002100 n 0000 | the cat\n"
+    )
+    (tmp_path / "index.noun").write_text(
+        "  1 This software and database is being provided to you the LICENSEE.\n"
+        "animal n 1 0 1 0 00001740\n"
+        "carnivore n 1 1 @ 1 0 00002100\n"
+        "dog n 1 2 @ ~ 1 1 00002200\n"
+        "cat n 1 1 @ 1 1 00002300\n"
+    )
+    wn = load_wordnet_dict(str(tmp_path / "index.noun"), str(tmp_path / "data.noun"))
+    assert wn.senses["dog"] == ["00002200"]
+    assert wn.hypernyms["00002200"] == ["00002100"]  # ~ (hyponym) ignored
+    # dog vs cat: common parent carnivore at 1 hop -> 1 - 1/5 = 0.8
+    assert semantic_word_score("dog", "cat", wn) == 0.8
+    # dog vs animal: common parent is animal itself, 2 hops up -> 0.6
+    assert semantic_word_score("Dog", "ANIMAL", wn) == 0.6
+    assert semantic_word_score("dog", "dog", wn) == 1.0
