@@ -5,7 +5,7 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query is forced end-to-end with the noop sink (so UDF/projection
 columns are actually computed, not pruned by count()), executed
-$SPARK_GRAFT_REPEATS times (default 2), and reported as the per-query
+$SPARK_GRAFT_REPEATS times (default 3), and reported as the per-query
 MINIMUM — the steady-state time, robust to transient host contention
 spikes on the shared sandbox (observed: the same unchanged query varying
 2.5s <-> 23s across adjacent runs). The aggregation is recorded in the
@@ -63,7 +63,7 @@ def run(sf_dir: str | None = None, cores: str | None = None, names=None) -> dict
     ).count().collect()
     qs["fuse_keep_a"](spark, sf_dir).limit(1000).write.format("noop").mode("overwrite").save()
 
-    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
     for name in names:
         best = None
         for _ in range(repeats):
@@ -78,6 +78,40 @@ def run(sf_dir: str | None = None, cores: str | None = None, names=None) -> dict
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Scale probe: the flagship spatial join at ~27x the sf0.1 row count on
+    # a deterministic synthetic layer (same (subject, lon, lat) shape as
+    # the parquet layers; range-based, seed-free). One long measurement is
+    # far more noise-robust on this shared host than any min-of-k over
+    # ~3s queries, and it is the round-over-round comparable the per-query
+    # numbers can't give. Disable with SPARK_GRAFT_SCALE_PROBE=0.
+    scale_probe = None
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        from fagi_gis_spark.operators.spatial_join import radius_join
+
+        n_probe = int(os.environ.get("SPARK_GRAFT_SCALE_PROBE_N", "4000000"))
+        pts = spark.range(0, n_probe, 1, int(cores)).select(
+            F.col("id").cast("string").alias("subject"),
+            # hash-scattered over a ~333x166 km window at lat 50-51.5
+            # (a multiplicative lattice would leave points collinear and
+            # ~10x the true neighbour count): ~3-5 neighbours per probe at
+            # 150 m, so output stays O(input) and the probe measures join
+            # machinery, not pair materialization volume
+            (F.lit(-1.5) + F.pmod(F.xxhash64(F.col("id")), F.lit(3000000)) / 1e6).alias("lon"),
+            (F.lit(50.0) + F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(1500000)) / 1e6).alias("lat"),
+        )
+        other = pts.withColumn("lon", F.col("lon") + 0.0005).withColumn(
+            "subject", F.concat(F.lit("b"), F.col("subject"))
+        )
+        t0 = time.time()
+        radius_join(pts, other, 150.0).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        scale_probe = {
+            "rows": n_probe,
+            "sec": round(dt, 3),
+            "rows_per_sec": round(n_probe / dt, 1),
+        }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
         "metric": "headline suite wall time (spatial join + tiling + fusion + dedup + ann)",
@@ -90,6 +124,7 @@ def run(sf_dir: str | None = None, cores: str | None = None, names=None) -> dict
         "agg": "min",
         "input_rows": total_rows_in,
         "throughput_rows_per_sec": round(total_rows_in * len(names) / total, 1) if total else None,
+        "scale_probe": scale_probe,
     }
 
 
