@@ -305,3 +305,36 @@ def u_shift_pre(
         out_x.append(tx)
         out_y.append(ty)
     return pd.DataFrame({"wkt": out_w, "cx": out_x, "cy": out_y})
+
+
+@F.pandas_udf(T.LongType())
+def u_s2_cell12(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Real S2 cell id at level 12 (index/s2.py: face/uv/quadratic-ST/
+    Hilbert per the published s2geometry scheme), Arrow-batched."""
+    from fagi_gis_spark.index.s2 import s2_cell_np
+
+    return pd.Series(s2_cell_np(lon.to_numpy("float64"), lat.to_numpy("float64"), 12))
+
+
+@F.pandas_udf(T.LongType())
+def u_s2_cell30(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """S2 leaf cell id (level 30)."""
+    from fagi_gis_spark.index.s2 import s2_cell_np
+
+    return pd.Series(s2_cell_np(lon.to_numpy("float64"), lat.to_numpy("float64"), 30))
+
+
+@F.pandas_udf(T.LongType())
+def u_hex_cell9(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Aperture-7 hex cell at res 9 (index/hexgrid.py)."""
+    from fagi_gis_spark.index.hexgrid import hex_cell_np
+
+    return pd.Series(hex_cell_np(lon.to_numpy("float64"), lat.to_numpy("float64"), 9))
+
+
+@F.pandas_udf(T.LongType())
+def u_hex_cell8(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Aperture-7 hex cell at res 8."""
+    from fagi_gis_spark.index.hexgrid import hex_cell_np
+
+    return pd.Series(hex_cell_np(lon.to_numpy("float64"), lat.to_numpy("float64"), 8))

@@ -810,6 +810,79 @@ def morton_cells(spark, sf_dir):
     return L["poi_a"].select("subject", u_morton16(F.col("lon"), F.col("lat")).alias("cell_s2"))
 
 
+def _o_rec(extra_ctes: str, select: str) -> str:
+    """Oracle with RECURSIVE extension CTEs appended after the layers."""
+    return f"WITH RECURSIVE {oracle_ctes()},\n{extra_ctes}\n{select}"
+
+
+def _s2_oracle() -> str:
+    from fagi_gis_spark.index.s2 import s2_cell_sql
+
+    ctes = s2_cell_sql(
+        "SELECT subject, lon, lat FROM poi_a", "subject", "lon", "lat", 12
+    )
+    # ancestor at level 7 from the level-12 id: pure two's-complement bit
+    # arithmetic, identical on signed int64 (lsb7 = 1<<46)
+    lsb7 = 1 << 46
+    return _o_rec(
+        ctes,
+        f"SELECT subject, cell_id AS cell_s2_l12, "
+        f"((cell_id & {-(lsb7 << 1)}) | {lsb7}) AS cell_s2_l7 FROM __s2_out",
+    )
+
+
+@register("s2_cells", _s2_oracle())
+def s2_cells(spark, sf_dir):
+    """Real S2 cell ids (index/s2.py: cube face -> quadratic ST ->
+    Hilbert position per the published s2geometry scheme) at level 12,
+    plus the level-7 ancestor via in-plan bit arithmetic — the
+    hierarchical-rollup pattern (count per coarser cell) runs JVM-side
+    with no re-encode. Oracle: recursive-CTE replay of the same curve."""
+    from fagi_gis_spark.functions.geo_udfs import u_s2_cell12
+
+    L = layers(spark, sf_dir)
+    lsb7 = 1 << 46
+    out = L["poi_a"].select(
+        "subject", u_s2_cell12(F.col("lon"), F.col("lat")).alias("cell_s2_l12")
+    )
+    return out.withColumn(
+        "cell_s2_l7",
+        F.col("cell_s2_l12").bitwiseAND(F.lit(-(lsb7 << 1))).bitwiseOR(F.lit(lsb7)),
+    )
+
+
+def _hex_oracle() -> str:
+    from fagi_gis_spark.index.hexgrid import hex_cell_sql
+
+    c9 = hex_cell_sql(
+        "SELECT subject, lon, lat FROM poi_a", "subject", "lon", "lat", 9
+    )
+    c8 = hex_cell_sql(
+        "SELECT subject, lon, lat FROM poi_a", "subject", "lon", "lat", 8
+    ).replace("__hex_", "__hex8_")
+    return _o(
+        f"SELECT a.subject, a.cell_id AS cell_h9, b.cell_id AS cell_h8\n"
+        f"FROM (WITH {c9.lstrip()} SELECT * FROM __hex_out) a\n"
+        f"JOIN (WITH {c8.lstrip()} SELECT * FROM __hex8_out) b USING (subject)"
+    )
+
+
+@register("hex_cells", _hex_oracle())
+def hex_cells(spark, sf_dir):
+    """Aperture-7 hexagonal cells (H3 semantics: sqrt(7) scaling +
+    19.1-degree lattice rotation per res, hex cube rounding;
+    index/hexgrid.py) at res 9 and res 8 — closed-form DuckDB oracle
+    replays the exact basis constants and half-even rounding."""
+    from fagi_gis_spark.functions.geo_udfs import u_hex_cell8, u_hex_cell9
+
+    L = layers(spark, sf_dir)
+    return L["poi_a"].select(
+        "subject",
+        u_hex_cell9(F.col("lon"), F.col("lat")).alias("cell_h9"),
+        u_hex_cell8(F.col("lon"), F.col("lat")).alias("cell_h8"),
+    )
+
+
 @register("cluster_links_gmm")  # EM clustering: seeded-deterministic, rows-only
 def cluster_links_gmm(spark, sf_dir):
     from fagi_gis_spark.operators.clustering import cluster_links

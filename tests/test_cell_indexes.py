@@ -1,0 +1,180 @@
+"""S2 cell ids + aperture-7 hex hierarchy: differential, property, and
+hand-value tests (the non-Spark half; the Spark/DuckDB parity runs via
+the registry queries ``s2_cells`` / ``hex_cells``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fagi_gis_spark.index.hexgrid import (
+    grid_disk,
+    hex_cell_np,
+    hex_center_np,
+    hex_distance_np,
+    hex_parent_np,
+    pack_hex,
+    unpack_hex,
+)
+from fagi_gis_spark.index.s2 import (
+    s2_cell_center_np,
+    s2_cell_np,
+    s2_cell_slow,
+    s2_level_np,
+    s2_parent_np,
+)
+
+RNG = np.random.RandomState(421)
+LON = RNG.uniform(-180.0, 180.0, 3000)
+LAT = RNG.uniform(-89.95, 89.95, 3000)
+
+
+# ---------------------------------------------------------------- S2
+
+
+def test_s2_vectorized_equals_scalar_reference():
+    """The numpy kernel and the independent scalar transcription agree
+    bit-for-bit at several levels (incl. leaf)."""
+    for level in (0, 1, 7, 12, 30):
+        vec = s2_cell_np(LON[:400], LAT[:400], level)
+        slow = np.array(
+            [s2_cell_slow(a, b, level) for a, b in zip(LON[:400], LAT[:400])],
+            dtype=np.int64,
+        )
+        assert (vec == slow).all(), f"level {level}"
+
+
+def test_s2_level0_hand_values():
+    """Level-0 cells are face << 61 | 1 << 60 — hand-computable anchors
+    for all six faces (4 and 5 wrap negative in the signed view)."""
+    lon = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+    lat = np.array([0.0, 0.0, 90.0, 0.0, 0.0, -90.0])
+    got = s2_cell_np(lon, lat, 0).tolist()
+    expect = [
+        ((f << 61) | (1 << 60)) - ((1 << 64) if f >= 4 else 0) for f in range(6)
+    ]
+    assert got == expect
+
+
+def test_s2_prefix_containment_and_levels():
+    """parent(leaf, l) == direct encode at l for every l — the Hilbert
+    position is prefix-consistent, so coarse cells contain their
+    children by id truncation (the rollup/bucketing property)."""
+    leaf = s2_cell_np(LON, LAT, 30)
+    assert (s2_level_np(leaf) == 30).all()
+    for level in (3, 7, 12, 20):
+        direct = s2_cell_np(LON, LAT, level)
+        assert (s2_parent_np(leaf, level) == direct).all()
+        assert (s2_level_np(direct) == level).all()
+
+
+def test_s2_decode_round_trip_within_cell():
+    """decode(encode(p)) stays within the cell's angular radius (lon
+    error weighted by cos(lat) — degrees compress near the poles)."""
+    for level, bound_deg in ((30, 1e-6), (12, 0.04)):
+        cell = s2_cell_np(LON, LAT, level)
+        clon, clat = s2_cell_center_np(cell)
+        dlon = np.abs(clon - LON)
+        dlon = np.minimum(dlon, 360.0 - dlon) * np.cos(np.radians(LAT))
+        err = np.hypot(dlon, clat - LAT)
+        assert err.max() < bound_deg, f"level {level}: {err.max()}"
+
+
+def test_s2_bijection_on_sample():
+    """Distinct far-apart points get distinct leaf cells; equal points
+    get equal cells (encode is a function)."""
+    leaf = s2_cell_np(LON, LAT, 30)
+    assert len(np.unique(leaf)) == len(leaf)
+    again = s2_cell_np(LON.copy(), LAT.copy(), 30)
+    assert (leaf == again).all()
+
+
+def test_s2_locality_same_cell_for_nearby_points():
+    """Points ~1 m apart share their level-12 cell far more often than
+    random pairs do — the index actually buckets by proximity."""
+    eps = 1e-5  # ~1 m
+    a = s2_cell_np(LON, LAT, 12)
+    b = s2_cell_np(LON + eps, LAT + eps, 12)
+    assert (a == b).mean() > 0.9
+    shuffled = np.roll(a, 1)
+    assert (a == shuffled).mean() < 0.01
+
+
+# ---------------------------------------------------------------- hex
+
+
+def test_hex_pack_unpack_round_trip():
+    q = RNG.randint(-(1 << 26), 1 << 26, 500)
+    r = RNG.randint(-(1 << 26), 1 << 26, 500)
+    for res in (0, 9, 15):
+        cq, cr, cres = unpack_hex(pack_hex(q, r, res))
+        assert (cq == q).all() and (cr == r).all() and (cres == res).all()
+
+
+def test_hex_assignment_is_nearest_center():
+    """Every point's assigned res-9 cell center is no farther than any
+    neighbor cell's center (the defining Voronoi property of hex
+    rounding)."""
+    lon, lat = LON[:300], LAT[:300]
+    cell = hex_cell_np(lon, lat, 9)
+    cx, cy = hex_center_np(cell)
+    d_own = np.hypot(cx - lon, cy - lat)
+    q, r, _ = unpack_hex(cell)
+    for dq, dr in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+        ncell = pack_hex(q + dq, r + dr, 9)
+        nx, ny = hex_center_np(ncell)
+        d_n = np.hypot(nx - lon, ny - lat)
+        assert (d_own <= d_n + 1e-9).all()
+
+
+def test_hex_parent_children_aperture7():
+    """Enumerating the full res-9 axial lattice, every interior res-8
+    parent has EXACTLY 7 children (the defining aperture-7 property;
+    non-7 counts only appear where the enumeration window clips), and
+    each child center lies within sqrt(3)/sqrt(7) of its parent center
+    (the theoretical aperture-7 offset bound)."""
+    import collections
+
+    qs, rs = np.meshgrid(np.arange(-60, 61), np.arange(-60, 61))
+    child = pack_hex(qs.ravel(), rs.ravel(), 9)
+    parent = hex_parent_np(child, 8)
+    counts = collections.Counter(parent.tolist())
+    dist = collections.Counter(counts.values())
+    assert max(dist) == 7  # no parent exceeds 7 children
+    assert dist[7] / sum(dist.values()) > 0.9  # interior = exactly 7
+    # containment: child center within the theoretical offset of parent
+    uc = np.unique(child)
+    up = hex_parent_np(uc, 8)
+    ccx, ccy = hex_center_np(uc)
+    pcx, pcy = hex_center_np(up)
+    from fagi_gis_spark.index.hexgrid import S0
+
+    parent_circum = S0 / (7.0**0.5) ** 8
+    d = np.hypot(ccx - pcx, ccy - pcy)
+    assert d.max() <= parent_circum * (3.0 / 7.0) ** 0.5 * 1.000001
+
+
+def test_hex_parent_multilevel_consistency():
+    """Skipping levels equals stepping levels (res 9 -> 7 directly ==
+    9 -> 8 -> 7)."""
+    cell = hex_cell_np(LON[:500], LAT[:500], 9)
+    direct = hex_parent_np(cell, 7)
+    stepped = hex_parent_np(hex_parent_np(cell, 8), 7)
+    assert (direct == stepped).all()
+
+
+def test_hex_grid_disk_ring_sizes():
+    """|gridDisk(k)| = 1 + 3k(k+1) (H3's kRing cardinality)."""
+    for k in (0, 1, 2, 3):
+        assert len(grid_disk(5, -3, k)) == 1 + 3 * k * (k + 1)
+
+
+def test_hex_distance_matches_disk_membership():
+    center = pack_hex(np.array([5]), np.array([-3]), 9)
+    for k in (1, 2):
+        members = grid_disk(5, -3, k)
+        cells = pack_hex(
+            np.array([m[0] for m in members]), np.array([m[1] for m in members]), 9
+        )
+        d = hex_distance_np(cells, np.repeat(center, len(members)))
+        assert d.max() == k and (d >= 0).all()
