@@ -350,3 +350,116 @@ def knn_join_adaptive(
     for part in finished_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+# --------------------------------------------------------------------------
+# Hex-bucketed radius join (aperture-7 grid, index/hexgrid.py)
+# --------------------------------------------------------------------------
+
+_HEX_RING1 = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]
+_HEX_OFF = 1 << 27
+
+
+def hex_res_for_radius(radius_m: float) -> int:
+    """Finest hex res whose cell CIRCUMRADIUS still covers the radius.
+
+    Hexagons make the ring-1 completeness bound stronger than square
+    tiles: cells at hex distance 2 have centers >= 3R apart, so any two
+    points within R (circumradius) of each other sit in cells at hex
+    distance <= 1 — the 7-cell gridDisk(1) is a complete candidate set
+    (squares need radius <= tile INradius and scan 9 cells)."""
+    from fagi_gis_spark.index.hexgrid import MAX_RES, S0
+
+    radius_deg = radius_m / DEG_TO_M
+    res = 0
+    while res < MAX_RES and S0 / (7.0**0.5) ** (res + 1) >= radius_deg:
+        res += 1
+    return res
+
+
+def _hex_qr_cols(lon, lat, res: int):
+    """Axial hex coords as JVM column math — bround() is HALF_EVEN,
+    bit-identical to numpy's banker's rounding in hexgrid.hex_round_np,
+    so the whole assignment stays in whole-stage codegen (no Python)."""
+    from fagi_gis_spark.index.hexgrid import _basis_inv
+
+    inv = _basis_inv(res)
+    qf = F.lit(float(inv[0, 0])) * lon + F.lit(float(inv[0, 1])) * lat
+    rf = F.lit(float(inv[1, 0])) * lon + F.lit(float(inv[1, 1])) * lat
+    sf = -qf - rf
+    q0, r0, s0 = F.bround(qf), F.bround(rf), F.bround(sf)
+    dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sf)
+    q_fix = (dq > dr) & (dq > ds)
+    r_fix = (~q_fix) & (dr > ds)
+    q1 = F.when(q_fix, -r0 - s0).otherwise(q0)
+    r1 = F.when(r_fix, -q0 - s0).otherwise(r0)
+    return q1.cast("long"), r1.cast("long")
+
+
+def _hex_pack(q, r, res: int):
+    return (
+        F.lit(res << 56).cast("long")
+        + (q + F.lit(_HEX_OFF)) * F.lit(1 << 28).cast("long")
+        + (r + F.lit(_HEX_OFF))
+    )
+
+
+def hex_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    left_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
+    right_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
+    res: int | None = None,
+) -> DataFrame:
+    """J5 over the aperture-7 hex grid: build rows key by their single
+    hex cell, probe rows explode gridDisk(1) — 7 candidate cells per
+    probe vs 9 for square ring-1 (22% less candidate fan-out), with the
+    same planar-degree refine as ``radius_join`` (output-identical).
+
+    Antimeridian: probes within 2x the radius of the +-180 seam also
+    emit their cells in the lon-+360-shifted frame (array_union keeps
+    ids distinct, so no pair can double-match). Skew salting is not
+    wired here — this is the alternative physical strategy; compose the
+    counts/salt machinery from ``radius_join`` if a workload needs both.
+    """
+    lk, llon, llat = left_cols
+    rk, rlon, rlat = right_cols
+    if res is None:
+        res = hex_res_for_radius(radius_m)
+    radius_deg = radius_m / DEG_TO_M
+
+    r = right.select(
+        F.col(rk).alias("r_key"), F.col(rlon).alias("r_lon"), F.col(rlat).alias("r_lat")
+    )
+    rq, rr = _hex_qr_cols(F.col("r_lon"), F.col("r_lat"), res)
+    r = r.withColumn("cell", _hex_pack(rq, rr, res))
+
+    l = left.select(
+        F.col(lk).alias("l_key"), F.col(llon).alias("l_lon"), F.col(llat).alias("l_lat")
+    )
+
+    def disk_cells(lon_col):
+        q1, r1 = _hex_qr_cols(lon_col, F.col("l_lat"), res)
+        return F.array(*[_hex_pack(q1 + F.lit(dq), r1 + F.lit(dr), res) for dq, dr in _HEX_RING1])
+
+    base = disk_cells(F.col("l_lon"))
+    shifted_lon = F.when(F.col("l_lon") > 0, F.col("l_lon") - 360.0).otherwise(
+        F.col("l_lon") + 360.0
+    )
+    near_seam = F.abs(F.col("l_lon")) > F.lit(180.0 - 2.0 * radius_deg)
+    cells = F.when(near_seam, F.array_union(base, disk_cells(shifted_lon))).otherwise(base)
+    l = l.withColumn("cell", F.explode(cells))
+
+    joined = l.join(r, ["cell"], "inner")
+    dlon_abs = F.abs(F.col("l_lon") - F.col("r_lon"))
+    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
+    dist_deg = F.sqrt(
+        dlon * dlon
+        + (F.col("l_lat") - F.col("r_lat")) * (F.col("l_lat") - F.col("r_lat"))
+    )
+    return (
+        joined.withColumn("dist_m", dist_deg * F.lit(DEG_TO_M))
+        .filter(F.col("dist_m") <= F.lit(radius_m))
+        .select("l_key", "r_key", "dist_m", "l_lon", "l_lat", "r_lon", "r_lat")
+    )

@@ -339,6 +339,32 @@ def radius_join_150m(spark, sf_dir):
 
 
 @register(
+    "hex_radius_join_150m",
+    _o(
+        "SELECT a.subject AS node_a, b.subject AS node_b,\n"
+        f"       round({_DIST}, 4) AS dist_m_r\n"
+        "FROM poi_a a, poi_b b\n"
+        f"WHERE {_DIST} <= 150.0"
+    ),
+)
+def hex_radius_join_150m(spark, sf_dir):
+    """J5 via the aperture-7 hex grid (operators/spatial_join.py
+    hex_radius_join): 7-cell gridDisk(1) candidates instead of 9 square
+    ring-1 tiles, hex assignment entirely in whole-stage codegen
+    (bround == numpy banker's rounding). Output-identical to
+    radius_join_150m — same brute-force DuckDB oracle."""
+    from fagi_gis_spark.operators.spatial_join import hex_radius_join
+
+    L = layers(spark, sf_dir)
+    out = hex_radius_join(L["poi_a"], L["poi_b"], 150.0)
+    return out.select(
+        F.col("l_key").alias("node_a"),
+        F.col("r_key").alias("node_b"),
+        F.round(F.col("dist_m"), 4).alias("dist_m_r"),
+    )
+
+
+@register(
     "knn_conflation",
     _o(
         "SELECT node_a, node_b, knn_rank FROM (\n"

@@ -335,3 +335,58 @@ def test_radius_join_randomized_completeness(spark):
         ii, jj = np.nonzero(d <= radius)
         expect = {(f"p{i}", f"p{j}") for i, j in zip(ii, jj)}
         assert got == expect, f"trial {trial}: lon0={lon0} lat0={lat0} r={radius}"
+
+
+def test_hex_radius_join_randomized_equals_bruteforce(spark):
+    """The aperture-7 hex-bucketed radius join returns exactly the
+    brute-force pair set (gridDisk(1) completeness holds whenever
+    radius <= hex circumradius — guards hex_res_for_radius), including
+    across the antimeridian seam and at high latitude."""
+    import numpy as np
+
+    from fagi_gis_spark.operators.spatial_join import hex_radius_join
+
+    rng = np.random.default_rng(77)
+    windows = [(rng.uniform(-170, 170), rng.uniform(-55, 55)) for _ in range(3)]
+    windows += [(179.985, 10.0), (-179.995, -62.0)]  # seam straddles
+    for trial, (lon0, lat0) in enumerate(windows):
+        n = 120
+        lons = lon0 + rng.uniform(0, 0.02, n)
+        lons = (lons + 180.0) % 360.0 - 180.0  # wrap into [-180, 180)
+        lats = lat0 + rng.uniform(0, 0.02, n)
+        radius = float(rng.uniform(50, 800))
+        rows = [(f"p{i}", float(lons[i]), float(lats[i])) for i in range(n)]
+        df = spark.createDataFrame(rows, "subject string, lon double, lat double")
+        got = {
+            (a, b)
+            for a, b in hex_radius_join(df, df, radius)
+            .select("l_key", "r_key")
+            .toPandas()
+            .itertuples(index=False)
+        }
+        dx = np.abs(lons[:, None] - lons[None, :])
+        dx = np.minimum(dx, 360.0 - dx)
+        dy = lats[:, None] - lats[None, :]
+        d = np.sqrt(dx * dx + dy * dy) * 111195.0
+        ii, jj = np.nonzero(d <= radius)
+        expect = {(f"p{i}", f"p{j}") for i, j in zip(ii, jj)}
+        assert got == expect, f"trial {trial}: lon0={lon0} lat0={lat0} r={radius}"
+
+
+def test_hex_radius_join_equals_square_cell_join(spark):
+    """Same logical op, two physical strategies: hex gridDisk(1) and
+    square ring-1 produce identical (pair, dist) outputs."""
+    import numpy as np
+
+    from fagi_gis_spark.operators.spatial_join import hex_radius_join, radius_join
+
+    rng = np.random.default_rng(5150)
+    n = 250
+    lons = 23.0 + rng.uniform(0, 0.05, n)
+    lats = 37.9 + rng.uniform(0, 0.05, n)
+    rows = [(f"p{i}", float(lons[i]), float(lats[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "subject string, lon double, lat double")
+    hexed = hex_radius_join(df, df, 150.0).select("l_key", "r_key", "dist_m").toPandas()
+    squared = radius_join(df, df, 150.0).select("l_key", "r_key", "dist_m").toPandas()
+    key = lambda t: (t.l_key, t.r_key, round(t.dist_m, 9))  # noqa: E731
+    assert {key(t) for t in hexed.itertuples()} == {key(t) for t in squared.itertuples()}
