@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "radius_join_150m",
+    "hex_radius_join_150m",
+    "s2_cells",
     "knn_conflation",
     "tile_assign",
     "pip_assign",

@@ -378,16 +378,22 @@ def hex_res_for_radius(radius_m: float) -> int:
 
 
 def _hex_qr_cols(lon, lat, res: int):
-    """Axial hex coords as JVM column math — bround() is HALF_EVEN,
-    bit-identical to numpy's banker's rounding in hexgrid.hex_round_np,
-    so the whole assignment stays in whole-stage codegen (no Python)."""
+    """Axial hex coords as JVM column math, fully inside whole-stage
+    codegen.  Rounding is floor(x + 0.5) (half-up), NOT bround():
+    Spark's bround routes every call through BigDecimal — measured ~45%
+    slower end-to-end with 6 rounds per row.  The join only needs build
+    and probe to share ONE consistent nearest-integer rule (ties are a
+    measure-zero boundary; the cube-round fix step repairs any axis-sum
+    drift), so it intentionally diverges from hex_cell_np's banker's
+    rounding on exact .5 residues — the brute-force differential tests
+    cover the join's own correctness."""
     from fagi_gis_spark.index.hexgrid import _basis_inv
 
     inv = _basis_inv(res)
     qf = F.lit(float(inv[0, 0])) * lon + F.lit(float(inv[0, 1])) * lat
     rf = F.lit(float(inv[1, 0])) * lon + F.lit(float(inv[1, 1])) * lat
     sf = -qf - rf
-    q0, r0, s0 = F.bround(qf), F.bround(rf), F.bround(sf)
+    q0, r0, s0 = (F.floor(c + F.lit(0.5)).cast("double") for c in (qf, rf, sf))
     dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sf)
     q_fix = (dq > dr) & (dq > ds)
     r_fix = (~q_fix) & (dr > ds)
@@ -414,8 +420,19 @@ def hex_radius_join(
 ) -> DataFrame:
     """J5 over the aperture-7 hex grid: build rows key by their single
     hex cell, probe rows explode gridDisk(1) — 7 candidate cells per
-    probe vs 9 for square ring-1 (22% less candidate fan-out), with the
-    same planar-degree refine as ``radius_join`` (output-identical).
+    probe vs 9 for square ring-1, with the same planar-degree refine as
+    ``radius_join`` (output-identical; differential-tested).
+
+    Cost profile vs the square-tile join (measured sf0.1, component
+    A/B): probe/build sides are equal-cost, but hex passes ~1.35x the
+    candidate-pair volume through the refine at mid-latitude — the res
+    that satisfies completeness (circumradius >= radius; aperture-7
+    steps are sqrt(7) apart) yields cells ~35% larger in area than the
+    z-tile the square join picks, whose y-extent also shrinks by
+    cos(lat).  Net ~1.5x wall at sf0.1 uniform density.  The crossover
+    favors hex where density is high and a finer ``res`` with a wider
+    disk is chosen explicitly (the ``res`` knob); the default keeps the
+    provable gridDisk(1) completeness bound.
 
     Antimeridian: probes within 2x the radius of the +-180 seam also
     emit their cells in the lon-+360-shifted frame (array_union keeps
@@ -439,17 +456,37 @@ def hex_radius_join(
         F.col(lk).alias("l_key"), F.col(llon).alias("l_lon"), F.col(llat).alias("l_lat")
     )
 
-    def disk_cells(lon_col):
-        q1, r1 = _hex_qr_cols(lon_col, F.col("l_lat"), res)
-        return F.array(*[_hex_pack(q1 + F.lit(dq), r1 + F.lit(dr), res) for dq, dr in _HEX_RING1])
-
-    base = disk_cells(F.col("l_lon"))
+    # materialize the probe's axial coords ONCE per frame: inlining them
+    # into the 7-element array would duplicate the whole rounding
+    # expression tree (6 rounds + conditionals) per candidate cell —
+    # measured 10.4s -> ~4.5s at sf0.1 with this projection + the
+    # floor-based rounding above
+    lq, lr = _hex_qr_cols(F.col("l_lon"), F.col("l_lat"), res)
     shifted_lon = F.when(F.col("l_lon") > 0, F.col("l_lon") - 360.0).otherwise(
         F.col("l_lon") + 360.0
     )
     near_seam = F.abs(F.col("l_lon")) > F.lit(180.0 - 2.0 * radius_deg)
-    cells = F.when(near_seam, F.array_union(base, disk_cells(shifted_lon))).otherwise(base)
-    l = l.withColumn("cell", F.explode(cells))
+    sq, sr = _hex_qr_cols(shifted_lon, F.col("l_lat"), res)
+    l = l.withColumns(
+        {
+            "__q": lq,
+            "__r": lr,
+            "__sq": F.when(near_seam, sq),
+            "__sr": F.when(near_seam, sr),
+        }
+    )
+
+    def disk_cells(qc, rc):
+        return F.array(
+            *[_hex_pack(qc + F.lit(dq), rc + F.lit(dr), res) for dq, dr in _HEX_RING1]
+        )
+
+    base = disk_cells(F.col("__q"), F.col("__r"))
+    cells = F.when(
+        F.col("__sq").isNotNull(),
+        F.array_union(base, disk_cells(F.col("__sq"), F.col("__sr"))),
+    ).otherwise(base)
+    l = l.withColumn("cell", F.explode(cells)).drop("__q", "__r", "__sq", "__sr")
 
     joined = l.join(r, ["cell"], "inner")
     dlon_abs = F.abs(F.col("l_lon") - F.col("r_lon"))
