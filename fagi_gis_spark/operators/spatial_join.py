@@ -500,3 +500,26 @@ def hex_radius_join(
         .filter(F.col("dist_m") <= F.lit(radius_m))
         .select("l_key", "r_key", "dist_m", "l_lon", "l_lat", "r_lon", "r_lat")
     )
+
+
+def hex_parent_cols(cell, parent_res: int):
+    """Parent hex cell id as JVM column math (one aperture-7 level up:
+    axial Ainv = [[2,-1],[1,3]]/7, then cube rounding).  Unlike S2's
+    bit-truncation ancestors, aperture-7 parents don't nest, so the
+    rollup is genuine arithmetic.  Exact-tie-free: the pre-round
+    fractions are m/7 (7 odd, never exactly .5), so floor(x+0.5)
+    equals round-nearest under ANY tie rule — bit-identical to
+    hexgrid.hex_parent_np and to the DuckDB oracle replay."""
+    mask = F.lit((1 << 28) - 1).cast("long")
+    q = F.shiftright(cell, 28).bitwiseAND(mask) - F.lit(_HEX_OFF)
+    r = cell.bitwiseAND(mask) - F.lit(_HEX_OFF)
+    qf = (F.lit(2.0) * q - r) / F.lit(7.0)
+    rf = (q + F.lit(3.0) * r) / F.lit(7.0)
+    sf = -qf - rf
+    q0, r0, s0 = (F.floor(c + F.lit(0.5)).cast("double") for c in (qf, rf, sf))
+    dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sf)
+    q_fix = (dq > dr) & (dq > ds)
+    r_fix = (~q_fix) & (dr > ds)
+    q1 = F.when(q_fix, -r0 - s0).otherwise(q0).cast("long")
+    r1 = F.when(r_fix, -q0 - s0).otherwise(r0).cast("long")
+    return _hex_pack(q1, r1, parent_res)

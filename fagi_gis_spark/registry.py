@@ -909,6 +909,78 @@ def hex_cells(spark, sf_dir):
     )
 
 
+def _hex_rollup_oracle() -> str:
+    from fagi_gis_spark.index.hexgrid import hex_cell_sql
+
+    c9 = hex_cell_sql(
+        "SELECT subject, lon, lat FROM poi_a", "subject", "lon", "lat", 9
+    )
+    off = 1 << 27
+    mask = (1 << 28) - 1
+    # parent: unpack axial, Ainv=[[2,-1],[1,3]]/7, cube round (fractions
+    # are m/7 — never .5 — so round-half-up == nearest), repack at res 8
+    unpack = f"""
+    SELECT subject,
+           ((cell_id // {1 << 28}) % {mask + 1}) - {off} AS q,
+           (cell_id % {mask + 1}) - {off} AS r
+    FROM __hex_out
+    """
+    frac = """
+    SELECT subject, (2.0 * q - r) / 7.0 AS qf, (q + 3.0 * r) / 7.0 AS rf,
+           -((2.0 * q - r) / 7.0) - ((q + 3.0 * r) / 7.0) AS sf
+    FROM __hr_unpack
+    """
+    rounded = """
+    SELECT subject, qf, rf, sf,
+           CAST(floor(qf + 0.5) AS DOUBLE) AS q0,
+           CAST(floor(rf + 0.5) AS DOUBLE) AS r0,
+           CAST(floor(sf + 0.5) AS DOUBLE) AS s0
+    FROM __hr_frac
+    """
+    fixed = """
+    SELECT subject,
+      CASE WHEN abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf)
+           THEN -r0 - s0 ELSE q0 END AS q1,
+      CASE WHEN NOT (abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf))
+                AND abs(r0-rf) > abs(s0-sf)
+           THEN -q0 - s0 ELSE r0 END AS r1
+    FROM __hr_round
+    """
+    return _o(
+        f"SELECT parent_cell, count(*) AS n FROM (\n"
+        f"  WITH {c9.lstrip()},\n"
+        f"  __hr_unpack AS ({unpack}),\n"
+        f"  __hr_frac AS ({frac}),\n"
+        f"  __hr_round AS ({rounded}),\n"
+        f"  __hr_fix AS ({fixed})\n"
+        f"  SELECT CAST({8 << 56} AS BIGINT)\n"
+        f"         + (CAST(q1 AS BIGINT) + {off}) * {1 << 28}\n"
+        f"         + (CAST(r1 AS BIGINT) + {off}) AS parent_cell\n"
+        f"  FROM __hr_fix\n"
+        f") t GROUP BY parent_cell"
+    )
+
+
+@register("hex_rollup", _hex_rollup_oracle())
+def hex_rollup(spark, sf_dir):
+    """Hierarchical rollup on the aperture-7 hierarchy: res-9 cells
+    aggregated to their TRUE res-8 parents (hex children don't nest, so
+    the parent is real arithmetic — spatial_join.hex_parent_cols, all
+    JVM) with a partial-agg -> exchange -> final-agg count."""
+    from fagi_gis_spark.functions.geo_udfs import u_hex_cell9
+    from fagi_gis_spark.operators.spatial_join import hex_parent_cols
+
+    L = layers(spark, sf_dir)
+    cells = L["poi_a"].select(
+        u_hex_cell9(F.col("lon"), F.col("lat")).alias("cell_h9")
+    )
+    return (
+        cells.withColumn("parent_cell", hex_parent_cols(F.col("cell_h9"), 8))
+        .groupBy("parent_cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @register("cluster_links_gmm")  # EM clustering: seeded-deterministic, rows-only
 def cluster_links_gmm(spark, sf_dir):
     from fagi_gis_spark.operators.clustering import cluster_links
