@@ -93,3 +93,30 @@ def stream_interval_join(
         F.col("l.event_id").alias("event_l"),
         F.col("r.event_id").alias("event_r"),
     )
+
+
+def stream_hex_cell_counts(
+    stream: DataFrame,
+    res: int = 9,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Live spatial rollup: watermarked tumbling-window counts per
+    aperture-7 hex cell.  The hex assignment is the same whole-stage-
+    codegen column math the batch join uses (spatial_join._hex_qr_cols),
+    so it applies unchanged to a readStream source; state is bounded by
+    the watermark x occupied-cell count."""
+    from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
+
+    q, r = _hex_qr_cols(F.col(lon_col), F.col(lat_col), res)
+    s = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withColumn(
+        "cell_hex", _hex_pack(q, r, res)
+    )
+    return (
+        s.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), "cell_hex")
+        .agg(F.count("*").alias("n"))
+    )

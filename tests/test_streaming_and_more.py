@@ -241,3 +241,44 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
     assert key(got) == key(expect)
     assert len(expect) > 0
+
+
+def test_stream_hex_cell_counts_matches_batch(spark, tmp_path):
+    """Streaming hex-cell rollup == batch groupBy on the same events
+    (coords hash-synthesized from event_id, the layers' lattice trick)."""
+    from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
+    from fagi_gis_spark.streaming.windowed import (
+        start_memory_sink,
+        stream_hex_cell_counts,
+    )
+
+    batch = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id",
+        "ts",
+        ((F.col("event_id") * 2654435761 % 2000000 - 1000000) / 1e6).alias("lon"),
+        (F.lit(50.0) + (F.col("event_id") * 2246822519 % 2000000) / 1e6).alias("lat"),
+    )
+    src = str(tmp_path / "events_geo_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = stream_hex_cell_counts(stream)
+    q = start_memory_sink(agg, "hex_out", output_mode="complete")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.cell_hex, r.n)
+        for r in spark.sql(
+            "SELECT cell_hex, sum(n) AS n FROM hex_out GROUP BY cell_hex"
+        ).collect()
+    }
+    qc, rc = _hex_qr_cols(F.col("lon"), F.col("lat"), 9)
+    expect = {
+        (r.cell_hex, r.n)
+        for r in batch.withColumn("cell_hex", _hex_pack(qc, rc, 9))
+        .groupBy("cell_hex")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect and len(expect) > 10
