@@ -26,11 +26,28 @@ def geotag_cols(phash: Column) -> tuple[Column, Column]:
     return lon, lat
 
 
-def geotag_images(images: DataFrame, cell_res: int = 9) -> DataFrame:
-    """images(input_hint schema) -> + (lon, lat, cell) columns."""
+def geotag_images(
+    images: DataFrame, cell_res: int = 9, cell_indexes: tuple[str, ...] = ()
+) -> DataFrame:
+    """images(input_hint schema) -> + (lon, lat, cell) columns.
+
+    ``cell_indexes`` optionally adds the north star's named encodings
+    alongside the z-tile cell: ``"s2"`` -> ``cell_s2`` (level-12 S2 id,
+    Arrow-batched index/s2.py kernel), ``"hex"`` -> ``cell_hex`` (res-9
+    aperture-7 hex id, pure JVM column math)."""
     lon, lat = geotag_cols(F.col("phash"))
     out = images.withColumn("lon", lon).withColumn("lat", lat)
-    return out.withColumn("cell", tiles.cell_id_col(F.col("lon"), F.col("lat"), cell_res))
+    out = out.withColumn("cell", tiles.cell_id_col(F.col("lon"), F.col("lat"), cell_res))
+    if "s2" in cell_indexes:
+        from fagi_gis_spark.functions.geo_udfs import u_s2_cell12
+
+        out = out.withColumn("cell_s2", u_s2_cell12(F.col("lon"), F.col("lat")))
+    if "hex" in cell_indexes:
+        from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
+
+        q, r = _hex_qr_cols(F.col("lon"), F.col("lat"), 9)
+        out = out.withColumn("cell_hex", _hex_pack(q, r, 9))
+    return out
 
 
 def image_poi_layers(images: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -113,3 +113,25 @@ def test_nt_roundtrip(spark, tmp_path):
     assert ("http://a/s1", "http://a/p", "hello", "en", "") in rows
     assert ("http://a/s1", "http://a/q", "42", "", "http://www.w3.org/2001/XMLSchema#int") in rows
     assert ("http://a/s1", "http://a/r", "http://a/o", "", "") in rows
+
+
+def test_geotag_cell_indexes_match_kernels(spark):
+    """geotag_images(cell_indexes=('s2','hex')) emits the north star's
+    named encodings; both must equal the reference kernels applied to
+    the same (lon, lat)."""
+    import numpy as np
+
+    from fagi_gis_spark.index.hexgrid import hex_cell_np
+    from fagi_gis_spark.index.s2 import s2_cell_np
+    from fagi_gis_spark.operators.geotag import geotag_images
+    from fagi_gis_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 300, partitions=4)
+    g = geotag_images(imgs, cell_indexes=("s2", "hex")).select(
+        "image_id", "lon", "lat", "cell_s2", "cell_hex"
+    ).toPandas()
+    assert len(g) == 300
+    exp_s2 = s2_cell_np(g.lon.to_numpy(), g.lat.to_numpy(), 12)
+    exp_hex = hex_cell_np(g.lon.to_numpy(), g.lat.to_numpy(), 9)
+    assert (g.cell_s2.to_numpy() == exp_s2).all()
+    assert (g.cell_hex.to_numpy() == exp_hex).all()
