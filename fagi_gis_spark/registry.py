@@ -722,8 +722,61 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(sigs, jaccard_threshold=0.35)
 
 
-@register("dedup_simhash")  # signature hashing: pytest oracle only
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+n_tok AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+tok_hash AS (
+  -- FNV-1a per token, the engine's exact constants, mod-2^64 in HUGEINT
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(1469598103934665603 AS UBIGINT),
+                   list_transform(range(1, length(tok) + 1), i -> CAST(ascii(tok[i]) AS UBIGINT))),
+      (acc, b) -> CAST((CAST(xor(acc, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+    ) AS h
+  FROM toks
+),
+bit_cnt AS (
+  -- hp = hash bit position (0 = LSB); the engine's uint8 view is
+  -- little-endian and the final packbits/from_bytes is big-endian, so
+  -- majority of hash bit hp lands at RESULT position 8*(7-hp//8)+hp%8
+  SELECT t.doc_id, bb.hp,
+         sum(CASE WHEN (h >> CAST(bb.hp AS UBIGINT)) % 2 = 1 THEN 1 ELSE 0 END) AS ones
+  FROM tok_hash t CROSS JOIN (SELECT unnest(range(0, 64)) AS hp) bb
+  GROUP BY 1, 2
+),
+sig_u AS (
+  SELECT c.doc_id,
+    CAST(sum(CASE WHEN 2 * c.ones > n.n
+             THEN CAST(1 AS HUGEINT) << CAST(8 * (7 - c.hp // 8) + c.hp % 8 AS INTEGER)
+             ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS vu
+  FROM bit_cnt c JOIN n_tok n USING (doc_id)
+  GROUP BY 1
+),
+sigs AS (
+  SELECT d.doc_id, COALESCE(s.vu, CAST(0 AS UBIGINT)) AS vu
+  FROM documents d LEFT JOIN sig_u s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.vu, b.vu)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE ((a.vu >> 0) % 65536 = (b.vu >> 0) % 65536
+    OR (a.vu >> 16) % 65536 = (b.vu >> 16) % 65536
+    OR (a.vu >> 32) % 65536 = (b.vu >> 32) % 65536
+    OR (a.vu >> 48) % 65536 = (b.vu >> 48) % 65536)
+  AND bit_count(xor(a.vu, b.vu)) <= 8
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (4-block banding, hamming <= 8).  The
+    DuckDB oracle replays the FULL pipeline closed-form: per-token
+    FNV-1a (list_reduce mod-2^64 in HUGEINT), majority bits with the
+    kernel's byte-swapped bit layout, banded candidates, popcount —
+    bit-exact against the vectorized numpy kernel."""
     from fagi_gis_spark.functions.dedup import simhash_near_pairs, simhash_signatures
 
     return simhash_near_pairs(simhash_signatures(_docs(spark, sf_dir)), max_hamming=8)
