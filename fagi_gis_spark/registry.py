@@ -714,7 +714,58 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, blocking="lenband")
 
 
-@register("dedup_minhash_lsh")  # signature hashing: pytest oracle only
+def _minhash_oracle() -> str:
+    """Closed-form MinHash-LSH replay: the seeded permutation constants
+    are inlined as literals; shingle FNV-1a and the (a*h+b) mod-2^64
+    wraparound (the numpy-uint64 semantics) run in HUGEINT; banding is
+    slice equality (== Spark's hash(slice) bucket equality modulo
+    murmur collisions, negligible and deterministic on fixed data)."""
+    from fagi_gis_spark.functions.dedup import _perm_params
+
+    a, b = _perm_params(64)
+    perm_rows = ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(64))
+    return rf"""
+WITH norm AS (
+  SELECT doc_id,
+    CASE WHEN length(s) < 5 THEN s || repeat(' ', 5 - length(s)) ELSE s END AS s
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents)
+),
+sh AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(1469598103934665603 AS UBIGINT),
+                   list_transform(range(i.i, i.i + 5), j -> CAST(ascii(s[j]) AS UBIGINT))),
+      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+    ) AS h
+  FROM norm, LATERAL (SELECT unnest(range(1, length(s) - 3)) AS i) i
+),
+perms(perm_id, pa, pb) AS (VALUES {perm_rows}),
+minh AS (
+  SELECT doc_id, perm_id,
+    min(CAST(((CAST(h AS HUGEINT) * pa) % 18446744073709551616 + pb) % 18446744073709551616
+             % 2305843009213693951 AS BIGINT)) AS mh
+  FROM sh CROSS JOIN perms
+  GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(mh ORDER BY perm_id) AS sig FROM minh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, bb.band, list_slice(sig, bb.band * 4 + 1, bb.band * 4 + 4) AS sl
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) bb
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.sl = r.sl AND l.doc_id < r.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+  CAST(length(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64.0 AS jaccard_est
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE CAST(length(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64.0 >= 0.35
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
     from fagi_gis_spark.functions.dedup import minhash_lsh_pairs, minhash_signatures
 
