@@ -1013,6 +1013,42 @@ def hex_cells(spark, sf_dir):
     )
 
 
+def _s2_rollup_oracle() -> str:
+    from fagi_gis_spark.index.s2 import s2_cell_sql
+
+    ctes = s2_cell_sql(
+        "SELECT subject, lon, lat FROM poi_a", "subject", "lon", "lat", 12
+    )
+    lsb7 = 1 << 46
+    return _o_rec(
+        ctes,
+        f"SELECT ((cell_id & {-(lsb7 << 1)}) | {lsb7}) AS cell_l7, "
+        f"count(*) AS n FROM __s2_out GROUP BY cell_l7",
+    )
+
+
+@register("s2_rollup", _s2_rollup_oracle())
+def s2_rollup(spark, sf_dir):
+    """S2 hierarchical rollup: level-12 encode, ancestor at level 7 by
+    pure bit truncation (prefix containment — no re-encode), count per
+    coarse cell. Partial agg -> exchange -> final agg, all JVM after
+    the one Arrow encode pass."""
+    from fagi_gis_spark.functions.geo_udfs import u_s2_cell12
+
+    L = layers(spark, sf_dir)
+    lsb7 = 1 << 46
+    return (
+        L["poi_a"]
+        .select(u_s2_cell12(F.col("lon"), F.col("lat")).alias("c12"))
+        .withColumn(
+            "cell_l7",
+            F.col("c12").bitwiseAND(F.lit(-(lsb7 << 1))).bitwiseOR(F.lit(lsb7)),
+        )
+        .groupBy("cell_l7")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _hex_rollup_oracle() -> str:
     from fagi_gis_spark.index.hexgrid import hex_cell_sql
 
