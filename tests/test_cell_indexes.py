@@ -5,7 +5,6 @@ the registry queries ``s2_cells`` / ``hex_cells``)."""
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
 from fagi_gis_spark.index.hexgrid import (
     grid_disk,
