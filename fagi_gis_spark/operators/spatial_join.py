@@ -306,6 +306,12 @@ def knn_join_adaptive(
     ``max_doublings`` return their best-effort (< k) neighbors with
     ``knn_exhausted = true`` so callers can distinguish a genuine < k
     neighborhood bound from an exhausted search radius.
+
+    Each round's inner ``radius_join`` inherits ``**kwargs`` — including
+    the default-on auto salting, whose per-round hot-cell detection pass
+    re-scans the build side at that round's resolution.  On known-uniform
+    data pass ``salt_threshold=None`` to skip those passes; the default
+    stays skew-safe.
     """
     if max_doublings < 1:
         raise ValueError("knn_join_adaptive requires max_doublings >= 1")
