@@ -166,14 +166,29 @@ EPSG_900913 = WebMercator()
 #: EPSG 2163 — US National Atlas Equal Area (GeoClusterer's ST_Transform target)
 EPSG_2163 = LambertAzimuthalEqualArea(lat0_deg=45.0, lon0_deg=-100.0, radius_m=6370997.0)
 
+#: EPSG 3035-like — ETRS89-LAEA Europe on the GRS80 AUTHALIC sphere.
+#: The real 3035 is ellipsoidal (Snyder's q-series on GRS80); this
+#: spherical stand-in preserves the equal-area property and the
+#: (52N, 10E) center / false origin but deviates from the ellipsoidal
+#: grid by up to ~0.2%% in position — a documented sandbox boundary
+#: (no proj library), same approximation class the reference's own
+#: sphere-datum 2163 uses exactly.
+EPSG_3035_SPHERICAL = LambertAzimuthalEqualArea(
+    lat0_deg=52.0, lon0_deg=10.0, radius_m=6371007.1809,
+    false_easting=4321000.0, false_northing=3210000.0,
+)
+
 
 def projection_for_srid(srid: int):
     """The metric frames the reference hard-codes (900913 scoring, 2163
-    clustering, 2249 rotation)."""
+    clustering, 2249 rotation), plus the spherical 3035 stand-in for
+    Europe-LAEA workloads."""
     if srid == 900913 or srid == 3857:
         return EPSG_900913
     if srid == 2163:
         return EPSG_2163
+    if srid == 3035:
+        return EPSG_3035_SPHERICAL
     if srid == 2249:
         return EPSG_2249
     raise ValueError(f"no projection parameter set for SRID {srid}")

@@ -198,3 +198,44 @@ def test_metric_centroid_dist_frames(spark):
         math.cos(math.radians(45.0)) * math.sin(math.radians(0.0005))
     )
     assert d_laea == pytest.approx(ground2, rel=0.001)
+
+
+def test_epsg3035_spherical_frame_properties():
+    """The 3035-like LAEA frame: false origin lands at the projection
+    center, the radial distance of a 1-degree step matches the LAEA
+    closed form 2R sin(c/2), and small areas are preserved (the
+    defining equal-area property)."""
+    import numpy as np
+
+    from fagi_gis_spark.geometry.projection import projection_for_srid
+
+    p = projection_for_srid(3035)
+    x0, y0 = p.forward(np.array([10.0]), np.array([52.0]))
+    assert abs(x0[0] - 4321000.0) < 1e-6 and abs(y0[0] - 3210000.0) < 1e-6
+    x1, y1 = p.forward(np.array([10.0]), np.array([53.0]))
+    d = float(np.hypot(x1[0] - x0[0], y1[0] - y0[0]))
+    # LAEA radial distance from center = 2R sin(c/2) (equal-area radial
+    # compression, NOT the arc R*c): for c = 1 deg that is R*c*(1 - c^2/24),
+    # ~1.41 m under the 111.2 km arc
+    c = np.pi / 180.0
+    R = 6371007.1809
+    assert abs(d - 2.0 * R * np.sin(c / 2.0)) < 1e-6
+    assert abs(d - R * c) < 2.0  # and still ~the great-circle degree
+    # equal-area sanity: a small square's area is preserved (~0.1% tol)
+    eps = 0.01
+    lons = np.array([10.0, 10.0 + eps, 10.0 + eps, 10.0])
+    lats = np.array([52.0, 52.0, 52.0 + eps, 52.0 + eps])
+    xs, ys = p.forward(lons, lats)
+    area = 0.5 * abs(
+        sum(
+            xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+            for i in range(4)
+        )
+    )
+    sphere_area = (
+        (np.radians(eps))
+        * (np.sin(np.radians(52.0 + eps)) - np.sin(np.radians(52.0)))
+        * R
+        * R
+    )
+    assert abs(area - sphere_area) / sphere_area < 1e-3
