@@ -383,6 +383,54 @@ def hex_res_for_radius(radius_m: float) -> int:
     return res
 
 
+def hex_disk_k_for(radius_m: float, res: int) -> int:
+    """Smallest gridDisk radius k that keeps the candidate set COMPLETE
+    at hex resolution ``res`` for a given search radius.
+
+    Bound: cells at hex distance m >= 2 have centers >= 1.5*R*m apart
+    (the tightest spacing is the (1,1)-type diagonal; edge neighbors sit
+    at sqrt(3)*R > 1.5*R, so the bound holds for all m >= 1), and any
+    point lies within R of its cell center, so two cells can hold points
+    within d of each other only if 1.5*R*m - 2*R <= d, i.e.
+    m <= d/(1.5R) + 4/3.  Including every cell with hexdist <= k where
+    k = ceil(d/(1.5R) + 1/3) therefore covers all pairs (the m = k+1
+    shell is provably farther than d).  For d < R this gives k = 1 —
+    the gridDisk(1) case.  A 1e-12 guard rounds the knife-edge d == R*
+    boundary (corner-exact point pairs) up to the safe side."""
+    import math as _math
+
+    from fagi_gis_spark.index.hexgrid import S0
+
+    radius_deg = radius_m / DEG_TO_M
+    R = S0 / (7.0**0.5) ** res
+    return max(1, _math.ceil(radius_deg / (1.5 * R) + 1.0 / 3.0 + 1e-12))
+
+
+def hex_res_auto(radius_m: float, density_rows_per_deg2: float, max_k: int = 6) -> int:
+    """Density-aware resolution choice: per probe, cost ~ disk_size(k) *
+    (1 + rho * cell_area) — probe fan-out rows plus expected candidate
+    pairs.  Finer cells shrink the pair term by 7x per res while the
+    disk term grows ~quadratically in k; the optimum shifts finer as
+    density rises.  One number (rho = build rows / bbox area) drives the
+    closed-form argmin — at cluster scale that's a single tiny agg over
+    the build side, not a planning loop."""
+    from fagi_gis_spark.index.hexgrid import MAX_RES, S0
+
+    base = hex_res_for_radius(radius_m)
+    best_res, best_cost = base, None
+    for res in range(base, min(base + 6, MAX_RES) + 1):
+        k = hex_disk_k_for(radius_m, res)
+        if k > max_k:
+            break
+        R = S0 / (7.0**0.5) ** res
+        disk = 1 + 3 * k * (k + 1)
+        cell_area = 2.598076211353316 * R * R  # (3*sqrt(3)/2) R^2
+        cost = disk * (1.0 + density_rows_per_deg2 * cell_area)
+        if best_cost is None or cost < best_cost:
+            best_res, best_cost = res, cost
+    return best_res
+
+
 def _hex_qr_cols(lon, lat, res: int):
     """Axial hex coords as JVM column math, fully inside whole-stage
     codegen.  Rounding is floor(x + 0.5) (half-up), NOT bround():
@@ -422,7 +470,7 @@ def hex_radius_join(
     radius_m: float,
     left_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
     right_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
-    res: int | None = None,
+    res: int | str | None = None,
 ) -> DataFrame:
     """J5 over the aperture-7 hex grid: build rows key by their single
     hex cell, probe rows explode gridDisk(1) — 7 candidate cells per
@@ -437,8 +485,12 @@ def hex_radius_join(
     z-tile the square join picks, whose y-extent also shrinks by
     cos(lat).  Net ~1.5x wall at sf0.1 uniform density.  The crossover
     favors hex where density is high and a finer ``res`` with a wider
-    disk is chosen explicitly (the ``res`` knob); the default keeps the
-    provable gridDisk(1) completeness bound.
+    disk wins: pass ``res="auto"`` to pick the cost-optimal (res, k)
+    from a one-row density agg over the build side (hex_res_auto's
+    closed-form cost model), or an explicit int ``res`` — the disk
+    radius k always comes from the completeness bound hex_disk_k_for.
+    The default (None) keeps the base res with the provable gridDisk(1)
+    bound.
 
     Antimeridian: probes within 2x the radius of the +-180 seam also
     emit their cells in the lon-+360-shifted frame (array_union keeps
@@ -448,8 +500,25 @@ def hex_radius_join(
     """
     lk, llon, llat = left_cols
     rk, rlon, rlat = right_cols
+    if res == "auto":
+        # one tiny planning agg (count + bbox of the build side) -> rho;
+        # the collect is a single row, the scale analog of AQE statistics
+        stats = right.agg(
+            F.count("*").alias("n"),
+            F.min(rlon).alias("lo1"), F.max(rlon).alias("lo2"),
+            F.min(rlat).alias("la1"), F.max(rlat).alias("la2"),
+        ).first()
+        area = max((stats.lo2 - stats.lo1) * (stats.la2 - stats.la1), 1e-9)
+        res = hex_res_auto(radius_m, stats.n / area)
     if res is None:
         res = hex_res_for_radius(radius_m)
+    k = hex_disk_k_for(radius_m, res)
+    if k == 1:
+        disk_offsets = _HEX_RING1
+    else:
+        from fagi_gis_spark.index.hexgrid import grid_disk
+
+        disk_offsets = grid_disk(0, 0, k)
     radius_deg = radius_m / DEG_TO_M
 
     r = right.select(
@@ -484,7 +553,7 @@ def hex_radius_join(
 
     def disk_cells(qc, rc):
         return F.array(
-            *[_hex_pack(qc + F.lit(dq), rc + F.lit(dr), res) for dq, dr in _HEX_RING1]
+            *[_hex_pack(qc + F.lit(dq), rc + F.lit(dr), res) for dq, dr in disk_offsets]
         )
 
     base = disk_cells(F.col("__q"), F.col("__r"))

@@ -390,3 +390,75 @@ def test_hex_radius_join_equals_square_cell_join(spark):
     squared = radius_join(df, df, 150.0).select("l_key", "r_key", "dist_m").toPandas()
     key = lambda t: (t.l_key, t.r_key, round(t.dist_m, 9))  # noqa: E731
     assert {key(t) for t in hexed.itertuples()} == {key(t) for t in squared.itertuples()}
+
+
+def test_hex_radius_join_wider_disk_still_complete(spark):
+    """Forcing a finer res than the base (so gridDisk(k >= 2) kicks in
+    via hex_disk_k_for) must still return exactly the brute-force pair
+    set — guards the 1.5*R*m center-spacing completeness bound."""
+    import numpy as np
+
+    from fagi_gis_spark.operators.spatial_join import (
+        hex_disk_k_for,
+        hex_radius_join,
+        hex_res_for_radius,
+    )
+
+    rng = np.random.default_rng(99)
+    n = 150
+    lons = -0.9 + rng.uniform(0, 0.03, n)
+    lats = 50.4 + rng.uniform(0, 0.03, n)
+    radius = 400.0
+    base = hex_res_for_radius(radius)
+    rows = [(f"p{i}", float(lons[i]), float(lats[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "subject string, lon double, lat double")
+    dx = np.abs(lons[:, None] - lons[None, :])
+    dy = lats[:, None] - lats[None, :]
+    d = np.sqrt(dx * dx + dy * dy) * 111195.0
+    ii, jj = np.nonzero(d <= radius)
+    expect = {(f"p{i}", f"p{j}") for i, j in zip(ii, jj)}
+    for res in (base + 1, base + 2):
+        assert hex_disk_k_for(radius, res) >= 2
+        got = {
+            (a, b)
+            for a, b in hex_radius_join(df, df, radius, res=res)
+            .select("l_key", "r_key")
+            .toPandas()
+            .itertuples(index=False)
+        }
+        assert got == expect, f"res {res}"
+
+
+def test_hex_res_auto_scales_with_density(spark):
+    """The cost model picks the base res at low density and a finer res
+    (wider disk) once expected per-cell occupancy dominates; res=auto
+    end-to-end equals brute force."""
+    import numpy as np
+
+    from fagi_gis_spark.operators.spatial_join import (
+        hex_radius_join,
+        hex_res_auto,
+        hex_res_for_radius,
+    )
+
+    base = hex_res_for_radius(150.0)
+    assert hex_res_auto(150.0, 10.0) == base  # ~sparse: fan-out dominates
+    assert hex_res_auto(150.0, 1e9) > base  # dense: pair volume dominates
+    rng = np.random.default_rng(11)
+    n = 200
+    rows = [
+        (f"p{i}", float(-0.5 + rng.uniform(0, 0.01)), float(50.2 + rng.uniform(0, 0.01)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "subject string, lon double, lat double")
+    lon = np.array([r[1] for r in rows]); lat = np.array([r[2] for r in rows])
+    d = np.sqrt((lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2) * 111195.0
+    expect = {(f"p{i}", f"p{j}") for i, j in zip(*np.nonzero(d <= 150.0))}
+    got = {
+        (a, b)
+        for a, b in hex_radius_join(df, df, 150.0, res="auto")
+        .select("l_key", "r_key")
+        .toPandas()
+        .itertuples(index=False)
+    }
+    assert got == expect
