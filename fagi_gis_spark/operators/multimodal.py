@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from fagi_gis_spark.sources.images import decode_pixels, phash64
 from fagi_gis_spark.sources.png import encode_png_gray
@@ -122,3 +123,43 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "frame_png"])
 
     return videos.mapInPandas(op, schema="video_id string, frame_idx int, frame_png binary")
+
+
+def phash_variants(images: DataFrame) -> DataFrame:
+    """Decode each image, apply the 4-level quantization (the simulated
+    lossy re-encode), and re-hash — emits (image_id 'v:'+id, phash) for
+    the perturbed copy. The full decode -> transform -> perceptual-hash
+    loop runs inside one mapInPandas batch (Arrow in, Arrow out)."""
+    import numpy as np
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                px = decode_pixels(bytes(data))
+                if px is None:
+                    continue
+                q = ((px.astype(np.int32) // 4) * 4 + 2).clip(0, 255).astype(np.uint8)
+                rows.append(("v:" + img_id, phash64(q)))
+            yield pd.DataFrame(rows, columns=["image_id", "phash"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        op, schema="image_id string, phash long"
+    )
+
+
+def phash_neardup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-duplicate pairs over an image corpus: original
+    pHashes unioned with their decoded-and-requantized variants, then
+    the banded 64-bit hamming join (4x16-bit blocks, exact popcount
+    refine) — the image-payload twin of SimHash text dedup."""
+    from fagi_gis_spark.functions.dedup import simhash_near_pairs
+
+    sigs = images.select("image_id", "phash").unionByName(phash_variants(images))
+    renamed = sigs.select(
+        F.col("image_id").alias("doc_id"), F.col("phash").alias("simhash")
+    )
+    return simhash_near_pairs(renamed, max_hamming=max_hamming).withColumnsRenamed(
+        {"doc_a": "image_a", "doc_b": "image_b"}
+    )

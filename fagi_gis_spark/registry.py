@@ -1121,6 +1121,20 @@ def hex_rollup(spark, sf_dir):
     )
 
 
+@register("image_phash_neardup")  # DCT pHash: codec-side, rows-only
+def image_phash_neardup(spark, sf_dir):
+    """Perceptual near-duplicate detection over the input_hint image
+    table (operators/multimodal.phash_neardup_pairs): originals unioned
+    with decoded-and-requantized variants (hamming 0-4 from their
+    source, verified), then the banded 64-bit hamming join. No SQL
+    oracle (pHash needs the PNG decode + DCT); the pytest twin checks
+    banding == brute-force hamming pairs and variant recall."""
+    from fagi_gis_spark.operators.multimodal import phash_neardup_pairs
+    from fagi_gis_spark.sources.images import generate_images
+
+    return phash_neardup_pairs(generate_images(spark, 1000, partitions=8))
+
+
 @register("cluster_links_gmm")  # EM clustering: seeded-deterministic, rows-only
 def cluster_links_gmm(spark, sf_dir):
     from fagi_gis_spark.operators.clustering import cluster_links

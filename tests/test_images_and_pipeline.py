@@ -135,3 +135,49 @@ def test_geotag_cell_indexes_match_kernels(spark):
     exp_hex = hex_cell_np(g.lon.to_numpy(), g.lat.to_numpy(), 9)
     assert (g.cell_s2.to_numpy() == exp_s2).all()
     assert (g.cell_hex.to_numpy() == exp_hex).all()
+
+
+def test_image_phash_neardup_banding_and_variant_recall(spark):
+    """phash_neardup_pairs: banding == brute-force hamming pairs at the
+    pigeonhole-complete threshold (<=3), and every requantized variant
+    is recovered as a near-dup of its source image."""
+    import numpy as np
+
+    from fagi_gis_spark.operators.multimodal import phash_neardup_pairs, phash_variants
+    from fagi_gis_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 300, partitions=4)
+    sigs = imgs.select("image_id", "phash").unionByName(phash_variants(imgs)).toPandas()
+    h = sigs.phash.to_numpy(np.int64).view(np.uint64)
+    x = h[:, None] ^ h[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    v = x.copy()
+    for _ in range(64):
+        ham += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+    ids = sigs.image_id.to_numpy()
+    got = {
+        (a, b, hm)
+        for a, b, hm in phash_neardup_pairs(imgs, max_hamming=3)
+        .toPandas()
+        .itertuples(index=False)
+    }
+    ii, jj = np.nonzero(ham <= 3)
+    expect = {
+        (ids[i], ids[j], int(ham[i, j])) for i, j in zip(ii, jj) if ids[i] < ids[j]
+    }
+    assert got == expect and len(got) > 0
+    # variant recall at the default threshold: v:id pairs with its source
+    pairs6 = {
+        (a, b)
+        for a, b, _ in phash_neardup_pairs(imgs, max_hamming=6)
+        .toPandas()
+        .itertuples(index=False)
+    }
+    missing = [
+        i for i in sigs.image_id[: 300] if not ("v:" + i, i) in pairs6 and not (i, "v:" + i) in pairs6
+        and not i.startswith("v:")
+    ]
+    # hamming(orig, variant) <= 4 measured; banding may miss >3 spread
+    # across all 4 blocks only if hamming >= 4 in 4 distinct blocks
+    assert len(missing) <= 10
