@@ -1135,6 +1135,37 @@ def image_phash_neardup(spark, sf_dir):
     return phash_neardup_pairs(generate_images(spark, 1000, partitions=8))
 
 
+@register("image_caption_fusion")  # composition over generated images: rows-only
+def image_caption_fusion(spark, sf_dir):
+    """The graft axes composed end-to-end: perceptual near-dup links
+    between image records (decode -> requantize -> pHash -> banded
+    hamming join) become FAGI-style sameAs links, and the caption
+    metadata of each linked pair is fused with the Keep-Concatenated
+    action (distinct values joined, FAGI's metadata concatenation
+    semantics).  Exercises the full image-payload conflation flow the
+    north star describes; rows-only (pHash side has no SQL oracle)."""
+    from fagi_gis_spark.operators.multimodal import phash_neardup_pairs
+    from fagi_gis_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 1000, partitions=8)
+    links = phash_neardup_pairs(imgs).select("image_a", "image_b")
+    cap = imgs.select("image_id", "caption")
+    cap_v = cap.select(
+        F.concat(F.lit("v:"), F.col("image_id")).alias("image_id"), "caption"
+    )
+    caps = cap.unionByName(cap_v)
+    pairs = (
+        links.join(caps.withColumnsRenamed({"image_id": "image_a", "caption": "cap_a"}), "image_a")
+        .join(caps.withColumnsRenamed({"image_id": "image_b", "caption": "cap_b"}), "image_b")
+    )
+    fused = F.when(
+        F.col("cap_a") == F.col("cap_b"), F.col("cap_a")
+    ).otherwise(F.concat_ws(" | ", F.col("cap_a"), F.col("cap_b")))
+    return pairs.select(
+        "image_a", "image_b", fused.alias("caption_fused")
+    )
+
+
 @register("cluster_links_gmm")  # EM clustering: seeded-deterministic, rows-only
 def cluster_links_gmm(spark, sf_dir):
     from fagi_gis_spark.operators.clustering import cluster_links
