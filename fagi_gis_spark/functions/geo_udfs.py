@@ -338,3 +338,37 @@ def u_hex_cell8(lon: pd.Series, lat: pd.Series) -> pd.Series:
     from fagi_gis_spark.index.hexgrid import hex_cell_np
 
     return pd.Series(hex_cell_np(lon.to_numpy("float64"), lat.to_numpy("float64"), 8))
+
+
+def u_s2_cell_at(level: int):
+    """Factory: S2 cell encode at an arbitrary level (join resolutions
+    are radius-derived, so the level is a closure constant)."""
+
+    @F.pandas_udf(T.LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        from fagi_gis_spark.index.s2 import s2_cell_np
+
+        return pd.Series(
+            s2_cell_np(lon.to_numpy("float64"), lat.to_numpy("float64"), level)
+        )
+
+    return _enc
+
+
+def u_s2_disk_at(level: int):
+    """Factory: the 9-cell S2 neighborhood (own cell + 8 cross-face-
+    wrapped neighbors) as array<long> — duplicates possible at cube
+    corners; callers apply array_distinct before exploding."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _disk(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from fagi_gis_spark.index.s2 import s2_all_neighbors_np, s2_cell_np
+
+        own = s2_cell_np(lon.to_numpy("float64"), lat.to_numpy("float64"), level)
+        nb = s2_all_neighbors_np(own, level)
+        full = np.concatenate([own[:, None], nb], axis=1)
+        return pd.Series(list(full))
+
+    return _disk

@@ -353,3 +353,98 @@ __s2_out AS (
   FROM __s2_h WHERE k = {stop_k - 1}
 )
 """
+
+
+# --------------------------------------------------------------------------
+# Neighbors (cross-face wrap) — s2cell_id.cc AppendAllNeighbors semantics
+# --------------------------------------------------------------------------
+
+#: Published kMinWidth metric constant for the quadratic projection
+#: (s2metrics.h): minimum ground width of a level-L cell is
+#: (2*sqrt(2)/3) / 2^L radians — the completeness bound for
+#: neighborhood joins (verified empirically in tests).
+K_MIN_WIDTH_RAD = 2.0 * float(np.sqrt(2.0)) / 3.0
+
+
+def _cell_face_ij(cell: np.ndarray):
+    """Decode (face, leaf i, leaf j, level) — i/j of the cell's MIN
+    corner in leaf coordinates (the inverse Hilbert walk)."""
+    c = np.asarray(cell).view(np.uint64)
+    level = s2_level_np(c.view(np.int64))
+    face = (c >> np.uint64(61)).astype(np.int64)
+    orient = (face.astype(np.uint64)) & np.uint64(_SWAP)
+    i = np.zeros(c.shape, dtype=np.uint64)
+    j = np.zeros(c.shape, dtype=np.uint64)
+    maxlev = int(level.max()) if level.size else 0
+    for step in range(maxlev):
+        k = MAX_LEVEL - 1 - step
+        active = step < level
+        shift = np.where(active, 2 * (MAX_LEVEL - level) + 1 + 2 * (level - 1 - step), 0)
+        p = (c >> shift.astype(np.uint64)) & np.uint64(3)
+        ij = POS_TO_IJ[orient, p]
+        ku = np.uint64(k)
+        i = np.where(active, i | ((ij >> np.uint64(1)) << ku), i)
+        j = np.where(active, j | ((ij & np.uint64(1)) << ku), j)
+        orient = np.where(active, orient ^ POS_TO_ORIENT[p], orient)
+    return face, i.astype(np.int64), j.astype(np.int64), level
+
+
+def _st_to_uv_unclamped(s: np.ndarray) -> np.ndarray:
+    """The quadratic ST->UV extended beyond [0,1] — the wrap device
+    FromFaceIJWrap uses: out-of-face st maps to |uv| > 1, which
+    XYZtoFaceUV then resolves onto the adjacent face."""
+    return np.where(
+        s >= 0.5,
+        (1.0 / 3.0) * (4.0 * s * s - 1.0),
+        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)),
+    )
+
+
+def _wrap_encode(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
+    """Encode possibly-out-of-range leaf (face, i, j) points at ``level``:
+    in-range coordinates encode directly; out-of-range ones convert
+    st -> extended uv -> XYZ -> (new face, uv) and re-encode — landing
+    inside the adjacent cell across the face edge (cell edges align
+    across faces at every level)."""
+    s = (i.astype(np.float64) + 0.5) / float(_LIMIT_IJ)
+    t = (j.astype(np.float64) + 0.5) / float(_LIMIT_IJ)
+    u = _st_to_uv_unclamped(s)
+    v = _st_to_uv_unclamped(t)
+    x, y, z = _face_uv_to_xyz(face, u, v)
+    nface, nu, nv = _face_uv(x, y, z)
+    ni = _st_to_ij(_uv_to_st(nu))
+    nj = _st_to_ij(_uv_to_st(nv))
+    face_u = nface.astype(np.uint64)
+    orient = face_u & np.uint64(_SWAP)
+    pos = np.zeros(face_u.shape, dtype=np.uint64)
+    for k in range(MAX_LEVEL - 1, MAX_LEVEL - 1 - level, -1):
+        ku = np.uint64(k)
+        ij = (((ni >> ku) & np.uint64(1)) << np.uint64(1)) | ((nj >> ku) & np.uint64(1))
+        p = IJ_TO_POS[orient, ij]
+        pos = (pos << np.uint64(2)) | p
+        orient = orient ^ POS_TO_ORIENT[p]
+    shift = np.uint64(2 * (MAX_LEVEL - level) + 1)
+    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    return ((face_u << np.uint64(61)) | (pos << shift) | lsb).view(np.int64)
+
+
+def s2_all_neighbors_np(cell: np.ndarray, level: int) -> np.ndarray:
+    """The 8 surrounding cells (edge + corner, cross-face wrapped) of
+    each input cell at ``level`` — shape (n, 8); duplicates possible at
+    the 8 cube corners (7-neighbor cells), callers dedupe."""
+    face, i, j, lv = _cell_face_ij(cell)
+    if not (lv == level).all():
+        raise ValueError("cells must be at the requested level")
+    size = np.int64(1 << (MAX_LEVEL - level))
+    half = size // 2 if level < MAX_LEVEL else np.int64(0)
+    ic = i + half  # center leaf coords
+    jc = j + half
+    out = np.empty((np.asarray(cell).shape[0], 8), dtype=np.int64)
+    idx = 0
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            out[:, idx] = _wrap_encode(face, ic + di * size, jc + dj * size, level)
+            idx += 1
+    return out

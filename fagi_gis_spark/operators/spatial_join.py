@@ -598,3 +598,79 @@ def hex_parent_cols(cell, parent_res: int):
     q1 = F.when(q_fix, -r0 - s0).otherwise(q0).cast("long")
     r1 = F.when(r_fix, -q0 - s0).otherwise(r0).cast("long")
     return _hex_pack(q1, r1, parent_res)
+
+
+# --------------------------------------------------------------------------
+# S2-bucketed radius join (real S2 curve, index/s2.py)
+# --------------------------------------------------------------------------
+
+
+def s2_level_for_radius(radius_m: float) -> int:
+    """Finest S2 level whose minimum cell ground width still covers the
+    radius (published kMinWidth metric, quadratic projection): pairs
+    within the radius then sit in 3x3-adjacent cells — the same segment
+    argument as square tiles, but valid across face edges because S2
+    cell edges align between faces at every level."""
+    import math
+
+    from fagi_gis_spark.index.s2 import K_MIN_WIDTH_RAD, MAX_LEVEL
+
+    radius_rad = math.radians(radius_m / DEG_TO_M)
+    level = 0
+    while level < MAX_LEVEL and K_MIN_WIDTH_RAD / (1 << (level + 1)) >= radius_rad:
+        level += 1
+    return level
+
+
+def s2_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    left_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
+    right_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
+    level: int | None = None,
+) -> DataFrame:
+    """J5 over the real S2 curve: build rows key by their S2 cell, probe
+    rows explode their 9-cell neighborhood (8 neighbors cross-face
+    wrapped in the Arrow kernel).  Sphere-native: no antimeridian shift
+    frames and no polar special case — the cube covering has no seam.
+    Refine is the same planar-degree metric as ``radius_join``
+    (output-identical; planar-degree distance upper-bounds ground angle,
+    so the ground-width completeness level suffices)."""
+    from fagi_gis_spark.functions.geo_udfs import u_s2_cell_at, u_s2_disk_at
+
+    lk, llon, llat = left_cols
+    rk, rlon, rlat = right_cols
+    if level is None:
+        level = s2_level_for_radius(radius_m)
+
+    r = right.select(
+        F.col(rk).alias("r_key"), F.col(rlon).alias("r_lon"), F.col(rlat).alias("r_lat")
+    ).withColumn("cell", u_s2_cell_at(level)(F.col("r_lon"), F.col("r_lat")))
+
+    l = (
+        left.select(
+            F.col(lk).alias("l_key"),
+            F.col(llon).alias("l_lon"),
+            F.col(llat).alias("l_lat"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(
+                F.array_distinct(u_s2_disk_at(level)(F.col("l_lon"), F.col("l_lat")))
+            ),
+        )
+    )
+
+    joined = l.join(r, ["cell"], "inner")
+    dlon_abs = F.abs(F.col("l_lon") - F.col("r_lon"))
+    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
+    dist_deg = F.sqrt(
+        dlon * dlon
+        + (F.col("l_lat") - F.col("r_lat")) * (F.col("l_lat") - F.col("r_lat"))
+    )
+    return (
+        joined.withColumn("dist_m", dist_deg * F.lit(DEG_TO_M))
+        .filter(F.col("dist_m") <= F.lit(radius_m))
+        .select("l_key", "r_key", "dist_m", "l_lon", "l_lat", "r_lon", "r_lat")
+    )

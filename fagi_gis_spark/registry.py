@@ -365,6 +365,32 @@ def hex_radius_join_150m(spark, sf_dir):
 
 
 @register(
+    "s2_radius_join_150m",
+    _o(
+        "SELECT a.subject AS node_a, b.subject AS node_b,\n"
+        f"       round({_DIST}, 4) AS dist_m_r\n"
+        "FROM poi_a a, poi_b b\n"
+        f"WHERE {_DIST} <= 150.0"
+    ),
+)
+def s2_radius_join_150m(spark, sf_dir):
+    """J5 over the real S2 curve (spatial_join.s2_radius_join): build
+    keys by S2 cell at the kMinWidth-derived level, probes explode the
+    9-cell cross-face-wrapped neighborhood — sphere-native (no seam or
+    polar cases). Output-identical to radius_join_150m; same brute-force
+    DuckDB oracle."""
+    from fagi_gis_spark.operators.spatial_join import s2_radius_join
+
+    L = layers(spark, sf_dir)
+    out = s2_radius_join(L["poi_a"], L["poi_b"], 150.0)
+    return out.select(
+        F.col("l_key").alias("node_a"),
+        F.col("r_key").alias("node_b"),
+        F.round(F.col("dist_m"), 4).alias("dist_m_r"),
+    )
+
+
+@register(
     "knn_conflation",
     _o(
         "SELECT node_a, node_b, knn_rank FROM (\n"

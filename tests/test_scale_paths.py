@@ -462,3 +462,43 @@ def test_hex_res_auto_scales_with_density(spark):
         .itertuples(index=False)
     }
     assert got == expect
+
+
+def test_s2_radius_join_randomized_completeness(spark):
+    """The S2-bucketed radius join returns exactly the brute-force pair
+    set for random windows INCLUDING cube-face edges (lon 45), the
+    antimeridian, and high latitude — the cross-face neighbor wrap and
+    the kMinWidth level bound carry the completeness proof."""
+    import numpy as np
+
+    from fagi_gis_spark.operators.spatial_join import s2_radius_join
+
+    rng = np.random.default_rng(31)
+    windows = [
+        (rng.uniform(-170, 170), rng.uniform(-55, 55)),
+        (44.995, 10.0),     # face 0/1 edge
+        (179.99, -20.0),    # antimeridian (face 3 interior — no seam)
+        (-0.005, 83.0),     # near-polar, face 2 vicinity
+    ]
+    for trial, (lon0, lat0) in enumerate(windows):
+        n = 120
+        lons = lon0 + rng.uniform(0, 0.02, n)
+        lons = (lons + 180.0) % 360.0 - 180.0
+        lats = lat0 + rng.uniform(0, 0.02, n)
+        radius = float(rng.uniform(50, 800))
+        rows = [(f"p{i}", float(lons[i]), float(lats[i])) for i in range(n)]
+        df = spark.createDataFrame(rows, "subject string, lon double, lat double")
+        got = {
+            (a, b)
+            for a, b in s2_radius_join(df, df, radius)
+            .select("l_key", "r_key")
+            .toPandas()
+            .itertuples(index=False)
+        }
+        dx = np.abs(lons[:, None] - lons[None, :])
+        dx = np.minimum(dx, 360.0 - dx)
+        dy = lats[:, None] - lats[None, :]
+        d = np.sqrt(dx * dx + dy * dy) * 111195.0
+        ii, jj = np.nonzero(d <= radius)
+        expect = {(f"p{i}", f"p{j}") for i, j in zip(ii, jj)}
+        assert got == expect, f"trial {trial}: lon0={lon0} lat0={lat0} r={radius}"
