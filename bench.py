@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "radius_join_150m",
     "hex_radius_join_150m",
+    "s2_radius_join_150m",
     "s2_cells",
     "knn_conflation",
     "tile_assign",

@@ -177,3 +177,41 @@ def test_hex_distance_matches_disk_membership():
         )
         d = hex_distance_np(cells, np.repeat(center, len(members)))
         assert d.max() == k and (d >= 0).all()
+
+
+def test_s2_neighbors_perturbation_containment():
+    """Any ~11 m perturbation of a point stays within {own cell} union
+    its 8 wrapped neighbors at level 12 (cells are km-scale) — the
+    property the S2-bucketed join's completeness rests on."""
+    from fagi_gis_spark.index.s2 import s2_all_neighbors_np
+
+    level, eps = 12, 1e-4
+    cells = s2_cell_np(LON, LAT, level)
+    nb = s2_all_neighbors_np(cells, level)
+    assert nb.shape == (len(LON), 8)
+    for dlon, dlat in ((eps, 0), (-eps, 0), (0, eps), (0, -eps), (eps, eps), (-eps, -eps)):
+        c2 = s2_cell_np(LON + dlon, LAT + dlat, level)
+        inside = (c2 == cells) | (nb == c2[:, None]).any(axis=1)
+        assert inside.all()
+
+
+def test_s2_neighbors_cross_face_edge():
+    """Points straddling the lon=45 cube-face edge (faces 0/1): stepping
+    across the edge lands in the wrapped neighbor set, and the neighbor
+    ids really live on the other face."""
+    import numpy as np
+
+    from fagi_gis_spark.index.s2 import s2_all_neighbors_np
+
+    rng = np.random.RandomState(8)
+    lon = np.full(400, 45.0) + rng.uniform(-1e-3, 1e-3, 400)
+    lat = rng.uniform(-40.0, 40.0, 400)
+    c = s2_cell_np(lon, lat, 12)
+    nb = s2_all_neighbors_np(c, 12)
+    faces = set(
+        (np.concatenate([c, nb.ravel()]).view(np.uint64) >> np.uint64(61)).tolist()
+    )
+    assert {0, 1} <= faces
+    c_shift = s2_cell_np(lon + 2e-3, lat, 12)
+    inside = (c_shift == c) | (nb == c_shift[:, None]).any(axis=1)
+    assert inside.all()
