@@ -1,0 +1,77 @@
+"""Storage-level spatial pruning: bbox queries as partition filters.
+
+At 100 TB the bbox filter (J6) must not scan the table: with the layer
+written partitioned by a coarse tile cell, a viewport query reduces to
+an IN-filter over the covering tile set, which Spark resolves at
+PLANNING time against the partition directory values — only matching
+partitions' files are listed and read (PartitionFilters in the scan
+node, visible in ``df.inputFiles()``).
+
+The z-tile covering of an axis-aligned bbox is EXACT (tiles are
+axis-aligned rectangles): enumerate x in [x(min_lon), x(max_lon)],
+y in [y(max_lat), y(min_lat)] (y grows southward in WebMercator).
+The fine-grained residual filter still applies on top for rows inside
+boundary tiles.  Reference analog: the GiST index + CLUSTER physical
+ordering FAGI relies on for viewport fetches (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fagi_gis_spark.index.tiles import cell_id_np, tile_xy_np
+
+import numpy as np
+
+
+def covering_tiles(
+    min_lon: float, min_lat: float, max_lon: float, max_lat: float, z: int
+) -> list[int]:
+    """Exact tile-cell covering of a bbox at zoom z (packed cell ids)."""
+    from fagi_gis_spark.index.tiles import _X_MULT, _Z_MULT
+
+    x0, y0 = tile_xy_np(np.array([min_lon]), np.array([max_lat]), z)
+    x1, y1 = tile_xy_np(np.array([max_lon]), np.array([min_lat]), z)
+    return [
+        z * _Z_MULT + x * _X_MULT + y
+        for x in range(int(x0[0]), int(x1[0]) + 1)
+        for y in range(int(y0[0]), int(y1[0]) + 1)
+    ]
+
+
+def write_cell_partitioned(
+    df: DataFrame, path: str, z: int, lon_col: str = "lon", lat_col: str = "lat"
+) -> None:
+    """Write a layer partitioned by its coarse tile cell — the storage
+    layout that turns viewport queries into partition pruning."""
+    from fagi_gis_spark.index.tiles import cell_id_col
+
+    df.withColumn("cell_part", cell_id_col(F.col(lon_col), F.col(lat_col), z)).write.partitionBy(
+        "cell_part"
+    ).mode("overwrite").parquet(path)
+
+
+def bbox_scan_pruned(
+    spark,
+    path: str,
+    min_lon: float,
+    min_lat: float,
+    max_lon: float,
+    max_lat: float,
+    z: int,
+) -> DataFrame:
+    """Viewport read over a cell-partitioned layer: the covering-tile
+    IN-filter prunes partitions at planning time; the residual lon/lat
+    range predicates handle boundary tiles (and push down to parquet
+    row groups)."""
+    cells = covering_tiles(min_lon, min_lat, max_lon, max_lat, z)
+    df = spark.read.parquet(path)
+    return df.filter(F.col("cell_part").isin(cells)).filter(
+        (F.col("lon") >= min_lon)
+        & (F.col("lon") <= max_lon)
+        & (F.col("lat") >= min_lat)
+        & (F.col("lat") <= max_lat)
+    )

@@ -502,3 +502,47 @@ def test_s2_radius_join_randomized_completeness(spark):
         ii, jj = np.nonzero(d <= radius)
         expect = {(f"p{i}", f"p{j}") for i, j in zip(ii, jj)}
         assert got == expect, f"trial {trial}: lon0={lon0} lat0={lat0} r={radius}"
+
+
+def test_bbox_partition_pruning(spark, tmp_path):
+    """Viewport queries over a cell-partitioned layer must read ONLY the
+    covering partitions (planning-time pruning: inputFiles shrinks and
+    the scan shows PartitionFilters) and return exactly the plain bbox
+    filter's rows."""
+    from fagi_gis_spark.operators.pruning import (
+        bbox_scan_pruned,
+        covering_tiles,
+        write_cell_partitioned,
+    )
+    from fagi_gis_spark.registry import layers
+
+    L = layers(spark, SF)
+    path = str(tmp_path / "poi_a_cells")
+    write_cell_partitioned(L["poi_a"].select("subject", "lon", "lat"), path, z=7)
+
+    bbox = (-0.6, 50.2, -0.1, 50.9)
+    pruned = bbox_scan_pruned(spark, path, *bbox, z=7)
+    all_files = spark.read.parquet(path).inputFiles()
+    # inputFiles() lists the base relation pre-pruning; the files the
+    # pruned scan ACTUALLY touches come from input_file_name()
+    pruned_files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(pruned_files) < len(all_files)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_part" in plan
+
+    expect = (
+        L["poi_a"]
+        .filter(
+            (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+            & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+        )
+        .select("subject")
+    )
+    got = {r.subject for r in pruned.select("subject").collect()}
+    assert got == {r.subject for r in expect.collect()} and len(got) > 0
+    # the covering is exact: every selected row's cell is in the list
+    cells = set(covering_tiles(*bbox, z=7))
+    in_cells = {r.cell_part for r in pruned.select("cell_part").distinct().collect()}
+    assert in_cells <= cells
