@@ -546,3 +546,84 @@ def test_bbox_partition_pruning(spark, tmp_path):
     cells = set(covering_tiles(*bbox, z=7))
     in_cells = {r.cell_part for r in pruned.select("cell_part").distinct().collect()}
     assert in_cells <= cells
+
+
+def test_cell_bucketed_radius_join_build_side_no_exchange(spark, tmp_path):
+    """With the build layer bucketed BY CELL at the join resolution, the
+    radius join's build side reads shuffle-free (bucketing provides the
+    HashPartitioning): exactly one Exchange remains (probe side) in the
+    sort-merge plan — the storage layout a 100TB deployment would use."""
+    import shutil
+
+    from fagi_gis_spark.index.tiles import cell_id_col
+    from fagi_gis_spark.operators.spatial_join import join_res_for_radius
+    from fagi_gis_spark.registry import layers
+
+    L = layers(spark, SF)
+    z = join_res_for_radius(150.0)
+    spark.sql("DROP TABLE IF EXISTS poi_b_cellbkt")
+    shutil.rmtree("spark-warehouse/poi_b_cellbkt", ignore_errors=True)
+    (
+        L["poi_b"]
+        .select(
+            F.col("subject").alias("r_key"),
+            F.col("lon").alias("r_lon"),
+            F.col("lat").alias("r_lat"),
+        )
+        .withColumn("cell", cell_id_col(F.col("r_lon"), F.col("r_lat"), z))
+        .write.bucketBy(8, "cell")
+        .sortBy("cell")
+        .mode("overwrite")
+        .saveAsTable("poi_b_cellbkt")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        r = spark.table("poi_b_cellbkt")
+        from fagi_gis_spark.index.tiles import _X_MULT, _Z_MULT, tile_x_col, tile_y_col
+
+        l = L["poi_a"].select(
+            F.col("subject").alias("l_key"),
+            F.col("lon").alias("l_lon"),
+            F.col("lat").alias("l_lat"),
+        )
+        neigh = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+        tx = tile_x_col(F.col("l_lon"), z)
+        ty = tile_y_col(F.col("l_lat"), z)
+        l = (
+            l.withColumn("__o", F.explode(neigh))
+            .withColumn(
+                "cell",
+                F.lit(z * _Z_MULT).cast("long")
+                + F.pmod(tx + F.col("__o.dx"), F.lit(2**z).cast("long"))
+                * F.lit(_X_MULT).cast("long")
+                + (ty + F.col("__o.dy")),
+            )
+            .drop("__o")
+        )
+        j = l.join(r, ["cell"], "inner").filter(
+            F.sqrt(
+                (F.col("l_lon") - F.col("r_lon")) * (F.col("l_lon") - F.col("r_lon"))
+                + (F.col("l_lat") - F.col("r_lat")) * (F.col("l_lat") - F.col("r_lat"))
+            )
+            * 111195.0
+            <= 150.0
+        )
+        assert len(j.collect()) > 0  # executes THIS queryExecution (AQE final)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SelectedBucketsCount" in plan  # build side read via buckets
+        # exactly ONE shuffle keyed on cell: the probe side aligning to
+        # the bucket partitioning. The bucketed build side contributes
+        # none (a second cell exchange would mean bucketing was ignored).
+        # (The probe chain also holds the layer-dedup window exchange on
+        # subject — unrelated to the join key.)
+        final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+        assert final.count("Exchange hashpartitioning(cell") == 1, final[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
