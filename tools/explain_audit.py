@@ -17,6 +17,7 @@ sys.path.insert(0, "/root/repo")
 AUDIT = [
     ("radius_join_150m", "cell-bucketed radius join (ring-1 + plan-internal auto salting)"),
     ("hex_radius_join_150m", "hex-bucketed radius join (7-cell gridDisk, all-JVM assignment)"),
+    ("s2_radius_join_150m", "S2-bucketed radius join (9-cell wrap neighborhood, Arrow encode)"),
     ("s2_cells", "S2 cell encode (Arrow batch) + level-7 ancestor (JVM bit ops)"),
     ("knn_conflation", "kNN conflation (radius join + per-probe window)"),
     ("fuse_keep_a", "Keep-A fusion (links ⋈ A, J1)"),
