@@ -106,6 +106,8 @@ def hex_parent_np(cell: np.ndarray, parent_res: int | None = None) -> np.ndarray
     rotated) lattice, hex-rounded.  Default: one res up."""
     q, r, res = unpack_hex(cell)
     res_scalar = int(res.flat[0]) if res.size else 0
+    if res.size and not (res == res_scalar).all():
+        raise ValueError("hex_parent_np requires uniform-resolution cells")
     if parent_res is None:
         parent_res = res_scalar - 1
     if parent_res < 0 or parent_res > res_scalar:
@@ -126,6 +128,8 @@ def hex_center_np(cell: np.ndarray):
     """Cell center (lon, lat) in degrees: plane = M0 . Ainv^res . axial."""
     q, r, res = unpack_hex(cell)
     res_scalar = int(res.flat[0]) if res.size else 0
+    if res.size and not (res == res_scalar).all():
+        raise ValueError("hex_center_np requires uniform-resolution cells")
     m = _M0.copy()
     for _ in range(res_scalar):
         m = m @ _AINV

@@ -104,7 +104,16 @@ def s2_cell_np(
     face, u, v = _face_uv(x, y, z)
     i = _st_to_ij(_uv_to_st(u))
     j = _st_to_ij(_uv_to_st(v))
-    face_u = face.astype(np.uint64)
+    return _encode_face_ij(face, i, j, level)
+
+
+def _encode_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
+    """Forward Hilbert walk: in-range leaf (face, i, j) -> cell id at
+    ``level`` (the single shared encode loop — s2_cell_np and the
+    neighbor wrap both delegate here)."""
+    face_u = np.asarray(face).astype(np.uint64)
+    i = np.asarray(i).astype(np.uint64)
+    j = np.asarray(j).astype(np.uint64)
     orient = face_u & np.uint64(_SWAP)
     pos = np.zeros(face_u.shape, dtype=np.uint64)
     for k in range(MAX_LEVEL - 1, MAX_LEVEL - 1 - level, -1):
@@ -115,8 +124,7 @@ def s2_cell_np(
         orient = orient ^ POS_TO_ORIENT[p]
     shift = np.uint64(2 * (MAX_LEVEL - level) + 1)
     lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
-    cell = (face_u << np.uint64(61)) | (pos << shift) | lsb
-    return cell.view(np.int64)
+    return ((face_u << np.uint64(61)) | (pos << shift) | lsb).view(np.int64)
 
 
 def s2_level_np(cell: np.ndarray) -> np.ndarray:
@@ -142,30 +150,12 @@ def s2_parent_np(cell: np.ndarray, level: int) -> np.ndarray:
 
 
 def s2_cell_center_np(cell: np.ndarray):
-    """Decode a cell id to its center (lon_deg, lat_deg) — the inverse
-    walk (pos -> ij via POS_TO_IJ, ST center, inverse quadratic, face
-    frame), used by the round-trip tests."""
-    c = np.asarray(cell).view(np.uint64)
-    level = s2_level_np(c.view(np.int64))
-    face = (c >> np.uint64(61)).astype(np.int64)
-    orient = (face.astype(np.uint64)) & np.uint64(_SWAP)
-    i = np.zeros(c.shape, dtype=np.uint64)
-    j = np.zeros(c.shape, dtype=np.uint64)
-    maxlev = int(level.max()) if level.size else 0
-    for step in range(maxlev):
-        k = MAX_LEVEL - 1 - step
-        active = step < level
-        shift = np.where(active, 2 * (MAX_LEVEL - level) + 1 + 2 * (level - 1 - step), 0)
-        p = (c >> shift.astype(np.uint64)) & np.uint64(3)
-        ij = POS_TO_IJ[orient, p]
-        ku = np.uint64(k)
-        i = np.where(active, i | ((ij >> np.uint64(1)) << ku), i)
-        j = np.where(active, j | ((ij & np.uint64(1)) << ku), j)
-        orient = np.where(active, orient ^ POS_TO_ORIENT[p], orient)
+    """Decode a cell id to its center (lon_deg, lat_deg) — inverse walk
+    via _cell_face_ij, ST center, inverse quadratic, face frame; used by
+    the round-trip tests."""
+    face, i, j, level = _cell_face_ij(cell)
     # center of the cell in ST: midpoint of the level-truncated ij range
-    half = (np.uint64(1) << (np.uint64(2) * (np.uint64(MAX_LEVEL) - level.astype(np.uint64)) // np.uint64(2))).astype(
-        np.float64
-    ) * 0.5
+    half = (np.float64(2.0) ** (MAX_LEVEL - level.astype(np.float64))) * 0.5
     si = (i.astype(np.float64) + half) / float(_LIMIT_IJ)
     tj = (j.astype(np.float64) + half) / float(_LIMIT_IJ)
     u = _st_to_uv(si)
@@ -389,43 +379,22 @@ def _cell_face_ij(cell: np.ndarray):
     return face, i.astype(np.int64), j.astype(np.int64), level
 
 
-def _st_to_uv_unclamped(s: np.ndarray) -> np.ndarray:
-    """The quadratic ST->UV extended beyond [0,1] — the wrap device
-    FromFaceIJWrap uses: out-of-face st maps to |uv| > 1, which
-    XYZtoFaceUV then resolves onto the adjacent face."""
-    return np.where(
-        s >= 0.5,
-        (1.0 / 3.0) * (4.0 * s * s - 1.0),
-        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)),
-    )
-
-
 def _wrap_encode(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
     """Encode possibly-out-of-range leaf (face, i, j) points at ``level``:
-    in-range coordinates encode directly; out-of-range ones convert
-    st -> extended uv -> XYZ -> (new face, uv) and re-encode — landing
+    convert st -> uv (the quadratic _st_to_uv is piecewise-unclamped, so
+    out-of-face st maps to |uv| > 1 — the FromFaceIJWrap device) -> XYZ
+    -> (new face, uv), then the shared forward-Hilbert encode — landing
     inside the adjacent cell across the face edge (cell edges align
     across faces at every level)."""
     s = (i.astype(np.float64) + 0.5) / float(_LIMIT_IJ)
     t = (j.astype(np.float64) + 0.5) / float(_LIMIT_IJ)
-    u = _st_to_uv_unclamped(s)
-    v = _st_to_uv_unclamped(t)
+    u = _st_to_uv(s)
+    v = _st_to_uv(t)
     x, y, z = _face_uv_to_xyz(face, u, v)
     nface, nu, nv = _face_uv(x, y, z)
     ni = _st_to_ij(_uv_to_st(nu))
     nj = _st_to_ij(_uv_to_st(nv))
-    face_u = nface.astype(np.uint64)
-    orient = face_u & np.uint64(_SWAP)
-    pos = np.zeros(face_u.shape, dtype=np.uint64)
-    for k in range(MAX_LEVEL - 1, MAX_LEVEL - 1 - level, -1):
-        ku = np.uint64(k)
-        ij = (((ni >> ku) & np.uint64(1)) << np.uint64(1)) | ((nj >> ku) & np.uint64(1))
-        p = IJ_TO_POS[orient, ij]
-        pos = (pos << np.uint64(2)) | p
-        orient = orient ^ POS_TO_ORIENT[p]
-    shift = np.uint64(2 * (MAX_LEVEL - level) + 1)
-    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
-    return ((face_u << np.uint64(61)) | (pos << shift) | lsb).view(np.int64)
+    return _encode_face_ij(nface, ni, nj, level)
 
 
 def s2_all_neighbors_np(cell: np.ndarray, level: int) -> np.ndarray:

@@ -74,6 +74,13 @@ def tile_xy_np(lon: np.ndarray, lat: np.ndarray, z: int) -> tuple[np.ndarray, np
     return x, y
 
 
+def pack_cell_zxy(z: int, x: int, y: int) -> int:
+    """Pack an explicit (z, x, y) triple into the cell id — the single
+    owner of the packing formula for callers that enumerate tiles
+    (e.g. bbox coverings) rather than derive them from coordinates."""
+    return z * _Z_MULT + x * _X_MULT + y
+
+
 def cell_id_np(lon: np.ndarray, lat: np.ndarray, z: int) -> np.ndarray:
     x, y = tile_xy_np(lon, lat, z)
     return z * _Z_MULT + x * _X_MULT + y

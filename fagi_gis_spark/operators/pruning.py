@@ -17,12 +17,10 @@ ordering FAGI relies on for viewport fetches (SURVEY.md §4).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fagi_gis_spark.index.tiles import cell_id_np, tile_xy_np
+from fagi_gis_spark.index.tiles import pack_cell_zxy, tile_xy_np
 
 import numpy as np
 
@@ -30,14 +28,23 @@ import numpy as np
 def covering_tiles(
     min_lon: float, min_lat: float, max_lon: float, max_lat: float, z: int
 ) -> list[int]:
-    """Exact tile-cell covering of a bbox at zoom z (packed cell ids)."""
-    from fagi_gis_spark.index.tiles import _X_MULT, _Z_MULT
+    """Exact tile-cell covering of a bbox at zoom z (packed cell ids).
 
+    Tile coordinates are CLAMPED to [0, 2^z - 1] rather than wrapped:
+    tile_xy_np pmod-wraps lon=180 to x=0, which would make the x range
+    empty and silently prune every partition for a bbox touching the
+    antimeridian (min_lon <= max_lon is assumed, standard J6 semantics;
+    a seam-crossing viewport is two bboxes)."""
+    n = 1 << z
     x0, y0 = tile_xy_np(np.array([min_lon]), np.array([max_lat]), z)
     x1, y1 = tile_xy_np(np.array([max_lon]), np.array([min_lat]), z)
+    xa, xb = int(x0[0]), int(x1[0])
+    if max_lon >= 180.0:  # pmod wrapped the right edge to column 0
+        xb = n - 1
+    xa, xb = max(0, min(xa, n - 1)), max(0, min(xb, n - 1))
     return [
-        z * _Z_MULT + x * _X_MULT + y
-        for x in range(int(x0[0]), int(x1[0]) + 1)
+        pack_cell_zxy(z, x, y)
+        for x in range(xa, xb + 1)
         for y in range(int(y0[0]), int(y1[0]) + 1)
     ]
 

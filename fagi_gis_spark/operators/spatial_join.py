@@ -68,6 +68,26 @@ def _ring1_offsets():
     return [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
+
+
+def _refine_and_select(joined: DataFrame, radius_m: float) -> DataFrame:
+    """Shared exact-distance refine + output projection of all three
+    radius-join strategies (square tile / hex / S2): wrapped-dlon
+    planar-degree metric x DEG_TO_M, <= radius filter, canonical output
+    columns. The strategies' output-identical contract lives here."""
+    dlon_abs = F.abs(F.col("l_lon") - F.col("r_lon"))
+    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
+    dist_deg = F.sqrt(
+        dlon * dlon
+        + (F.col("l_lat") - F.col("r_lat")) * (F.col("l_lat") - F.col("r_lat"))
+    )
+    return (
+        joined.withColumn("dist_m", dist_deg * F.lit(DEG_TO_M))
+        .filter(F.col("dist_m") <= F.lit(radius_m))
+        .select("l_key", "r_key", "dist_m", "l_lon", "l_lat", "r_lon", "r_lat")
+    )
+
+
 def radius_join(
     left: DataFrame,
     right: DataFrame,
@@ -196,17 +216,7 @@ def radius_join(
     # lon delta wraps at the antimeridian (|dlon| <= 180); identical to the
     # reference's planar formula everywhere away from the seam, where the
     # reference (degree-space FILTER) silently finds nothing.
-    dlon_abs = F.abs(F.col("l_lon") - F.col("r_lon"))
-    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
-    dist_deg = F.sqrt(
-        dlon * dlon
-        + (F.col("l_lat") - F.col("r_lat")) * (F.col("l_lat") - F.col("r_lat"))
-    )
-    return (
-        joined.withColumn("dist_m", dist_deg * F.lit(DEG_TO_M))
-        .filter(F.col("dist_m") <= F.lit(radius_m))
-        .select("l_key", "r_key", "dist_m", "l_lon", "l_lat", "r_lon", "r_lat")
-    )
+    return _refine_and_select(joined, radius_m)
 
 
 def knn_join(
@@ -508,8 +518,11 @@ def hex_radius_join(
             F.min(rlon).alias("lo1"), F.max(rlon).alias("lo2"),
             F.min(rlat).alias("la1"), F.max(rlat).alias("la2"),
         ).first()
-        area = max((stats.lo2 - stats.lo1) * (stats.la2 - stats.la1), 1e-9)
-        res = hex_res_auto(radius_m, stats.n / area)
+        if stats.n == 0 or stats.lo1 is None:
+            res = None  # empty build side: any complete res joins to nothing
+        else:
+            area = max((stats.lo2 - stats.lo1) * (stats.la2 - stats.la1), 1e-9)
+            res = hex_res_auto(radius_m, stats.n / area)
     if res is None:
         res = hex_res_for_radius(radius_m)
     k = hex_disk_k_for(radius_m, res)
@@ -564,17 +577,7 @@ def hex_radius_join(
     l = l.withColumn("cell", F.explode(cells)).drop("__q", "__r", "__sq", "__sr")
 
     joined = l.join(r, ["cell"], "inner")
-    dlon_abs = F.abs(F.col("l_lon") - F.col("r_lon"))
-    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
-    dist_deg = F.sqrt(
-        dlon * dlon
-        + (F.col("l_lat") - F.col("r_lat")) * (F.col("l_lat") - F.col("r_lat"))
-    )
-    return (
-        joined.withColumn("dist_m", dist_deg * F.lit(DEG_TO_M))
-        .filter(F.col("dist_m") <= F.lit(radius_m))
-        .select("l_key", "r_key", "dist_m", "l_lon", "l_lat", "r_lon", "r_lat")
-    )
+    return _refine_and_select(joined, radius_m)
 
 
 def hex_parent_cols(cell, parent_res: int):
@@ -616,6 +619,15 @@ def s2_level_for_radius(radius_m: float) -> int:
     from fagi_gis_spark.index.s2 import K_MIN_WIDTH_RAD, MAX_LEVEL
 
     radius_rad = math.radians(radius_m / DEG_TO_M)
+    if K_MIN_WIDTH_RAD < radius_rad:
+        # even level-0 cells are narrower than the radius: the fixed
+        # 9-cell neighborhood cannot be complete — refuse loudly rather
+        # than silently dropping pairs (use radius_join/hex_radius_join,
+        # whose ring/disk widths scale, for continental radii)
+        raise ValueError(
+            f"radius {radius_m} m exceeds the level-0 S2 min cell width; "
+            "s2_radius_join's 3x3 neighborhood cannot be complete"
+        )
     level = 0
     while level < MAX_LEVEL and K_MIN_WIDTH_RAD / (1 << (level + 1)) >= radius_rad:
         level += 1
@@ -663,14 +675,4 @@ def s2_radius_join(
     )
 
     joined = l.join(r, ["cell"], "inner")
-    dlon_abs = F.abs(F.col("l_lon") - F.col("r_lon"))
-    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
-    dist_deg = F.sqrt(
-        dlon * dlon
-        + (F.col("l_lat") - F.col("r_lat")) * (F.col("l_lat") - F.col("r_lat"))
-    )
-    return (
-        joined.withColumn("dist_m", dist_deg * F.lit(DEG_TO_M))
-        .filter(F.col("dist_m") <= F.lit(radius_m))
-        .select("l_key", "r_key", "dist_m", "l_lon", "l_lat", "r_lon", "r_lat")
-    )
+    return _refine_and_select(joined, radius_m)

@@ -351,8 +351,10 @@ def hex_radius_join_150m(spark, sf_dir):
     """J5 via the aperture-7 hex grid (operators/spatial_join.py
     hex_radius_join): 7-cell gridDisk(1) candidates instead of 9 square
     ring-1 tiles, hex assignment entirely in whole-stage codegen
-    (bround == numpy banker's rounding). Output-identical to
-    radius_join_150m — same brute-force DuckDB oracle."""
+    (floor(x+0.5) half-up rounding — intentionally NOT hex_cell_np's
+    banker's rounding; the join only needs one consistent rule on both
+    sides). Output-identical to radius_join_150m — same brute-force
+    DuckDB oracle."""
     from fagi_gis_spark.operators.spatial_join import hex_radius_join
 
     L = layers(spark, sf_dir)
@@ -757,13 +759,19 @@ WITH norm AS (
   FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents)
 ),
 sh AS (
+  -- 5-BYTE shingle windows over the normalized doc's UTF-8 bytes
+  -- (hex(encode()) extraction — the engine shingles raw bytes, which
+  -- may split multibyte characters; ascii() per CHARACTER would differ)
   SELECT doc_id,
     list_reduce(
       list_prepend(CAST(1469598103934665603 AS UBIGINT),
-                   list_transform(range(i.i, i.i + 5), j -> CAST(ascii(s[j]) AS UBIGINT))),
+                   list_transform(range(i.i, i.i + 5),
+                     k -> CAST(16 * (strpos('0123456789abcdef', bh[2*k-1]) - 1)
+                               + (strpos('0123456789abcdef', bh[2*k]) - 1) AS UBIGINT))),
       (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
     ) AS h
-  FROM norm, LATERAL (SELECT unnest(range(1, length(s) - 3)) AS i) i
+  FROM (SELECT doc_id, lower(hex(encode(s))) AS bh, octet_length(encode(s)) AS blen FROM norm),
+       LATERAL (SELECT unnest(range(1, blen - 3)) AS i) i
 ),
 perms(perm_id, pa, pb) AS (VALUES {perm_rows}),
 minh AS (
@@ -806,14 +814,18 @@ WITH toks AS (
 ),
 n_tok AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
 tok_hash AS (
-  -- FNV-1a per token, the engine's exact constants, mod-2^64 in HUGEINT
+  -- FNV-1a per token over its UTF-8 BYTES (extracted via hex(encode());
+  -- ascii() would hash code points and diverge from the engine on any
+  -- non-ASCII character), the engine's exact constants, mod-2^64
   SELECT doc_id,
     list_reduce(
       list_prepend(CAST(1469598103934665603 AS UBIGINT),
-                   list_transform(range(1, length(tok) + 1), i -> CAST(ascii(tok[i]) AS UBIGINT))),
+                   list_transform(range(1, length(th) // 2 + 1),
+                     i -> CAST(16 * (strpos('0123456789abcdef', th[2*i-1]) - 1)
+                               + (strpos('0123456789abcdef', th[2*i]) - 1) AS UBIGINT))),
       (acc, b) -> CAST((CAST(xor(acc, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
     ) AS h
-  FROM toks
+  FROM (SELECT doc_id, lower(hex(encode(tok))) AS th FROM toks)
 ),
 bit_cnt AS (
   -- hp = hash bit position (0 = LSB); the engine's uint8 view is

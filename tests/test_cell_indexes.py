@@ -215,3 +215,81 @@ def test_s2_neighbors_cross_face_edge():
     c_shift = s2_cell_np(lon + 2e-3, lat, 12)
     inside = (c_shift == c) | (nb == c_shift[:, None]).any(axis=1)
     assert inside.all()
+
+
+def test_hash_oracles_byte_faithful_on_non_ascii():
+    """The SimHash/MinHash DuckDB oracles hash UTF-8 BYTES (via
+    hex(encode())), matching the engine kernels on non-ASCII text —
+    ascii()-based extraction would hash code points and diverge."""
+    import duckdb
+    import pandas as pd
+
+    from fagi_gis_spark.functions.dedup import _fnv64_tokens, _shingle_hashes
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["café crème tokyo 東京 data", "naïve œuvre data café"],
+        }
+    )
+    con = duckdb.connect()
+    con.register("docs_nonascii", docs)
+    # token FNV over bytes (the simhash oracle's tok_hash stage)
+    got = con.execute(
+        """
+        SELECT tok, list_reduce(
+          list_prepend(CAST(1469598103934665603 AS UBIGINT),
+                       list_transform(range(1, length(th) // 2 + 1),
+                         i -> CAST(16 * (strpos('0123456789abcdef', th[2*i-1]) - 1)
+                                   + (strpos('0123456789abcdef', th[2*i]) - 1) AS UBIGINT))),
+          (acc, b) -> CAST((CAST(xor(acc, b) AS HUGEINT) * 1099511628211)
+                           % 18446744073709551616 AS UBIGINT)) AS h
+        FROM (
+          SELECT DISTINCT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                             x -> x <> '')) AS tok,
+                 NULL
+          FROM docs_nonascii
+        ) t(tok), LATERAL (SELECT lower(hex(encode(tok))) AS th) x
+        ORDER BY tok
+        """
+    ).df()
+    toks = got.tok.tolist()
+    expect = _fnv64_tokens(toks)
+    assert (got.h.to_numpy(np.uint64) == expect).all()
+    # byte-window shingles (the minhash oracle's sh stage) on one doc
+    s = " ".join(docs.text[0].lower().split())
+    got_sh = con.execute(
+        """
+        SELECT list_reduce(
+          list_prepend(CAST(1469598103934665603 AS UBIGINT),
+                       list_transform(range(i.i, i.i + 5),
+                         k -> CAST(16 * (strpos('0123456789abcdef', bh[2*k-1]) - 1)
+                                   + (strpos('0123456789abcdef', bh[2*k]) - 1) AS UBIGINT))),
+          (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
+                           % 18446744073709551616 AS UBIGINT)) AS h
+        FROM (SELECT lower(hex(encode(?))) AS bh, octet_length(encode(?)) AS blen),
+             LATERAL (SELECT unnest(range(1, blen - 3)) AS i) i
+        ORDER BY h
+        """,
+        [s, s],
+    ).df()
+    expect_sh = np.sort(_shingle_hashes(docs.text[0], 5))
+    got_u = np.unique(got_sh.h.to_numpy(np.uint64))
+    assert (got_u == expect_sh).all()
+
+
+def test_covering_tiles_antimeridian_and_world():
+    """covering_tiles must not wrap lon=180 to column 0 (which would
+    empty the x range and silently prune every partition): a bbox
+    touching +180 covers through the last column, and the whole-world
+    bbox at z=3 covers all 8x(y-range) tiles."""
+    from fagi_gis_spark.index.tiles import unpack_cell
+    from fagi_gis_spark.operators.pruning import covering_tiles
+
+    cells = covering_tiles(179.0, 10.0, 180.0, 11.0, 7)
+    assert len(cells) > 0
+    xs = {unpack_cell(c)[1] for c in cells}
+    assert max(xs) == (1 << 7) - 1  # includes the last column
+    world = covering_tiles(-180.0, -85.0, 180.0, 85.0, 3)
+    xs = {unpack_cell(c)[1] for c in world}
+    assert xs == set(range(8))
