@@ -163,3 +163,110 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     return simhash_near_pairs(renamed, max_hamming=max_hamming).withColumnsRenamed(
         {"doc_a": "image_a", "doc_b": "image_b"}
     )
+
+
+def _label_components(mask: np.ndarray) -> np.ndarray:
+    """4-connectivity connected-component labels for a small boolean
+    raster (two-pass union-find, numpy row ops; images here are <=64x64
+    so the label table stays tiny)."""
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent = [0]  # union-find; 0 = background
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    nxt = 1
+    for y in range(h):
+        for x in range(w):
+            if not mask[y, x]:
+                continue
+            up = labels[y - 1, x] if y else 0
+            left = labels[y, x - 1] if x else 0
+            if up == 0 and left == 0:
+                parent.append(nxt)
+                labels[y, x] = nxt
+                nxt += 1
+            elif up and left and up != left:
+                ru, rl = find(up), find(left)
+                if ru != rl:
+                    parent[max(ru, rl)] = min(ru, rl)
+                labels[y, x] = min(ru, rl)
+            else:
+                labels[y, x] = up or left
+    # flatten label equivalences
+    remap = np.zeros(nxt, dtype=np.int32)
+    for a in range(1, nxt):
+        remap[a] = find(a)
+    return remap[labels]
+
+
+def raster_to_vector(
+    images: DataFrame,
+    threshold: int = 128,
+    min_pixels: int = 4,
+    cell_size_deg: float = 1e-6,
+) -> DataFrame:
+    """Raster -> vector (the north star's missing direction): decode each
+    image, threshold to a bright-pixel mask, label 4-connected
+    components, and emit each component as a POLYGON (its pixel bbox)
+    georeferenced in the image's pHash-geotag frame (pixel (0,0) at the
+    geotag, ``cell_size_deg`` per pixel).  Output rows
+    (image_id, component_id, n_pixels, geom_wkt, lon, lat) feed straight
+    into the vector operators (PIP, tiling, radius joins).  One
+    mapInPandas pass, Arrow in/out."""
+    import pandas as pd
+
+    from fagi_gis_spark.operators.geotag import geotag_cols
+
+    g = images.withColumns(
+        dict(zip(("g_lon", "g_lat"), geotag_cols(F.col("phash"))))
+    ).select("image_id", "bytes", "g_lon", "g_lat")
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for img_id, data, g_lon, g_lat in zip(
+                pdf["image_id"], pdf["bytes"], pdf["g_lon"], pdf["g_lat"]
+            ):
+                px = decode_pixels(bytes(data))
+                if px is None:
+                    continue
+                labels = _label_components(px >= threshold)
+                for comp in np.unique(labels):
+                    if comp == 0:
+                        continue
+                    ys, xs = np.nonzero(labels == comp)
+                    if len(ys) < min_pixels:
+                        continue
+                    x0 = g_lon + float(xs.min()) * cell_size_deg
+                    x1 = g_lon + float(xs.max() + 1) * cell_size_deg
+                    y0 = g_lat + float(ys.min()) * cell_size_deg
+                    y1 = g_lat + float(ys.max() + 1) * cell_size_deg
+                    wkt = (
+                        f"POLYGON (({x0:.9f} {y0:.9f}, {x1:.9f} {y0:.9f}, "
+                        f"{x1:.9f} {y1:.9f}, {x0:.9f} {y1:.9f}, {x0:.9f} {y0:.9f}))"
+                    )
+                    rows.append(
+                        (
+                            img_id,
+                            int(comp),
+                            int(len(ys)),
+                            wkt,
+                            (x0 + x1) / 2.0,
+                            (y0 + y1) / 2.0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "component_id", "n_pixels", "geom_wkt", "lon", "lat"],
+            )
+
+    return g.mapInPandas(
+        op,
+        schema="image_id string, component_id int, n_pixels int, "
+        "geom_wkt string, lon double, lat double",
+    )

@@ -1204,6 +1204,30 @@ def image_caption_fusion(spark, sf_dir):
     )
 
 
+@register("raster_vector_tiles")  # codec-side raster decode: rows-only
+def raster_vector_tiles(spark, sf_dir):
+    """Raster -> vector -> tiles, the north star's full arrow: decode
+    each image, threshold + 4-connected component labeling, emit each
+    component as a georeferenced POLYGON in the geotag frame
+    (operators/multimodal.raster_to_vector), then assign the component
+    centroids to WebMercator z/x/y tiles (JVM column math). Rows-only
+    (the decode step has no SQL oracle); the pytest twin checks the
+    labeling against a flood-fill reference."""
+    from fagi_gis_spark.operators.multimodal import raster_to_vector
+    from fagi_gis_spark.sources.images import generate_images
+
+    vec = raster_to_vector(generate_images(spark, 600, partitions=8))
+    z = 12
+    return vec.select(
+        "image_id",
+        "component_id",
+        "n_pixels",
+        F.lit(z).alias("z"),
+        tiles.tile_x_col(F.col("lon"), z).alias("x"),
+        tiles.tile_y_col(F.col("lat"), z).alias("y"),
+    )
+
+
 @register("cluster_links_gmm")  # EM clustering: seeded-deterministic, rows-only
 def cluster_links_gmm(spark, sf_dir):
     from fagi_gis_spark.operators.clustering import cluster_links

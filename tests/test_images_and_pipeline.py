@@ -181,3 +181,61 @@ def test_image_phash_neardup_banding_and_variant_recall(spark):
     # hamming(orig, variant) <= 4 measured; banding may miss >3 spread
     # across all 4 blocks only if hamming >= 4 in 4 distinct blocks
     assert len(missing) <= 10
+
+
+def test_raster_to_vector_components(spark):
+    """raster_to_vector: per-image component count and pixel totals match
+    a slow flood-fill reference on the decoded rasters; polygons are
+    placed in the geotag frame (pixel (0,0) at the geotag)."""
+    import numpy as np
+
+    from fagi_gis_spark.operators.geotag import geotag_cols
+    from fagi_gis_spark.operators.multimodal import raster_to_vector
+    from fagi_gis_spark.sources.images import decode_pixels, generate_images
+
+    imgs = generate_images(spark, 60, partitions=2)
+    out = raster_to_vector(imgs, threshold=128, min_pixels=4).toPandas()
+    assert len(out) > 0
+    raw = imgs.select("image_id", "bytes", "phash").toPandas()
+
+    def slow_components(mask):
+        seen = np.zeros_like(mask, dtype=bool)
+        comps = []
+        h, w = mask.shape
+        for sy in range(h):
+            for sx in range(w):
+                if mask[sy, sx] and not seen[sy, sx]:
+                    stack, pix = [(sy, sx)], []
+                    seen[sy, sx] = True
+                    while stack:
+                        y, x = stack.pop()
+                        pix.append((y, x))
+                        for ny, nx in ((y-1,x),(y+1,x),(y,x-1),(y,x+1)):
+                            if 0 <= ny < h and 0 <= nx < w and mask[ny, nx] and not seen[ny, nx]:
+                                seen[ny, nx] = True
+                                stack.append((ny, nx))
+                    comps.append(pix)
+        return comps
+
+    by_img = dict(tuple(out.groupby("image_id")))
+    for _, row in raw.iterrows():
+        px = decode_pixels(bytes(row["bytes"]))
+        comps = [c for c in slow_components(px >= 128) if len(c) >= 4]
+        got = by_img.get(row["image_id"])
+        n_got = 0 if got is None else len(got)
+        assert n_got == len(comps), row["image_id"]
+        if comps:
+            assert sorted(got.n_pixels) == sorted(len(c) for c in comps)
+    # geotag placement: component lon/lat within the image footprint
+    from pyspark.sql import functions as F
+
+    g = imgs.withColumns(
+        dict(zip(("g_lon", "g_lat"), geotag_cols(F.col("phash"))))
+    ).select("image_id", "g_lon", "g_lat", "w", "h").toPandas()
+    merged = out.merge(g, on="image_id")
+    assert (
+        (merged.lon >= merged.g_lon)
+        & (merged.lon <= merged.g_lon + merged.w * 1e-6)
+        & (merged.lat >= merged.g_lat)
+        & (merged.lat <= merged.g_lat + merged.h * 1e-6)
+    ).all()
