@@ -166,12 +166,13 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
 
 
 def _label_components(mask: np.ndarray) -> np.ndarray:
-    """4-connectivity connected-component labels for a small boolean
-    raster (two-pass union-find, numpy row ops; images here are <=64x64
-    so the label table stays tiny)."""
+    """4-connectivity connected-component labels for a boolean raster:
+    run-length union-find — rows decompose into horizontal runs (one
+    vectorized np.diff per row), runs union with the previous row's
+    column-overlapping runs.  The Python loop iterates RUNS, not pixels
+    (orders of magnitude fewer on blobby masks)."""
     h, w = mask.shape
-    labels = np.zeros((h, w), dtype=np.int32)
-    parent = [0]  # union-find; 0 = background
+    parent: list[int] = []
 
     def find(a: int) -> int:
         while parent[a] != a:
@@ -179,29 +180,33 @@ def _label_components(mask: np.ndarray) -> np.ndarray:
             a = parent[a]
         return a
 
-    nxt = 1
+    row_runs: list[list[tuple[int, int, int]]] = []
     for y in range(h):
-        for x in range(w):
-            if not mask[y, x]:
-                continue
-            up = labels[y - 1, x] if y else 0
-            left = labels[y, x - 1] if x else 0
-            if up == 0 and left == 0:
-                parent.append(nxt)
-                labels[y, x] = nxt
-                nxt += 1
-            elif up and left and up != left:
-                ru, rl = find(up), find(left)
-                if ru != rl:
-                    parent[max(ru, rl)] = min(ru, rl)
-                labels[y, x] = min(ru, rl)
-            else:
-                labels[y, x] = up or left
-    # flatten label equivalences
-    remap = np.zeros(nxt, dtype=np.int32)
-    for a in range(1, nxt):
-        remap[a] = find(a)
-    return remap[labels]
+        r = mask[y]
+        diff = np.diff(r.astype(np.int8))
+        starts = (np.nonzero(diff == 1)[0] + 1).tolist()
+        ends = (np.nonzero(diff == -1)[0] + 1).tolist()
+        if r[0]:
+            starts = [0] + starts
+        if r[-1]:
+            ends = ends + [w]
+        ids = []
+        for s0, e0 in zip(starts, ends):
+            parent.append(len(parent))
+            ids.append((len(parent) - 1, s0, e0))
+        if y and ids and row_runs[-1]:
+            for rid, s0, e0 in ids:
+                for pid, ps, pe in row_runs[-1]:
+                    if ps < e0 and s0 < pe:  # column ranges overlap
+                        ra, rb = find(rid), find(pid)
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+        row_runs.append(ids)
+    labels = np.zeros((h, w), dtype=np.int32)
+    for y, ids in enumerate(row_runs):
+        for rid, s0, e0 in ids:
+            labels[y, s0:e0] = find(rid) + 1
+    return labels
 
 
 def raster_to_vector(
@@ -232,16 +237,21 @@ def raster_to_vector(
             for img_id, data, g_lon, g_lat in zip(
                 pdf["image_id"], pdf["bytes"], pdf["g_lon"], pdf["g_lat"]
             ):
-                px = decode_pixels(bytes(data))
-                if px is None:
-                    continue
+                data = bytes(data)
+                if data[:8] != _PNG_SIG:
+                    continue  # non-PNG codecs are stubbed (decode_stats idiom)
+                px = decode_pixels(data)
                 labels = _label_components(px >= threshold)
-                for comp in np.unique(labels):
-                    if comp == 0:
-                        continue
-                    ys, xs = np.nonzero(labels == comp)
+                # single pass: group foreground pixels by label via argsort
+                fys, fxs = np.nonzero(labels)
+                lab = labels[fys, fxs]
+                order = np.argsort(lab, kind="stable")
+                lab, fys, fxs = lab[order], fys[order], fxs[order]
+                bounds = np.nonzero(np.diff(lab))[0] + 1
+                for ys, xs in zip(np.split(fys, bounds), np.split(fxs, bounds)):
                     if len(ys) < min_pixels:
                         continue
+                    comp = int(labels[ys[0], xs[0]])
                     x0 = g_lon + float(xs.min()) * cell_size_deg
                     x1 = g_lon + float(xs.max() + 1) * cell_size_deg
                     y0 = g_lat + float(ys.min()) * cell_size_deg

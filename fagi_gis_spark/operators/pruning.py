@@ -39,12 +39,18 @@ def covering_tiles(
     x0, y0 = tile_xy_np(np.array([min_lon]), np.array([max_lat]), z)
     x1, y1 = tile_xy_np(np.array([max_lon]), np.array([min_lat]), z)
     xa, xb = int(x0[0]), int(x1[0])
-    if max_lon >= 180.0:  # pmod wrapped the right edge to column 0
-        xb = n - 1
-    xa, xb = max(0, min(xa, n - 1)), max(0, min(xb, n - 1))
+    xcols: list[int]
+    if max_lon >= 180.0:
+        # the right edge wrapped to column 0 AND rows at exactly lon=180
+        # are STORED in column 0 (tile_xy_np pmod) — cover through the
+        # last column plus the wrap-target column itself
+        xcols = list(range(max(0, min(xa, n - 1)), n)) + [0]
+    else:
+        xa, xb = max(0, min(xa, n - 1)), max(0, min(xb, n - 1))
+        xcols = list(range(xa, xb + 1))
     return [
         pack_cell_zxy(z, x, y)
-        for x in range(xa, xb + 1)
+        for x in sorted(set(xcols))
         for y in range(int(y0[0]), int(y1[0]) + 1)
     ]
 

@@ -290,6 +290,7 @@ def test_covering_tiles_antimeridian_and_world():
     assert len(cells) > 0
     xs = {unpack_cell(c)[1] for c in cells}
     assert max(xs) == (1 << 7) - 1  # includes the last column
+    assert 0 in xs  # rows at exactly lon=180 are STORED in column 0
     world = covering_tiles(-180.0, -85.0, 180.0, 85.0, 3)
     xs = {unpack_cell(c)[1] for c in world}
     assert xs == set(range(8))
