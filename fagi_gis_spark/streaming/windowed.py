@@ -120,3 +120,64 @@ def stream_hex_cell_counts(
         .groupBy(F.window(ts_col, window), "cell_hex")
         .agg(F.count("*").alias("n"))
     )
+
+
+def stream_poi_enrich(
+    stream: DataFrame,
+    poi: DataFrame,
+    radius_m: float = 150.0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Stream-static geo-enrichment: each event (with coordinates) joins
+    the nearest-cell POIs of a STATIC layer — the classic streaming
+    dimension join.  The static side keys by its tile cell and is
+    broadcast (Spark re-resolves static relations per micro-batch, so a
+    slowly-refreshed POI snapshot is picked up on restart); the stream
+    side explodes its ring-1 cells with the same JVM column math as the
+    batch radius join, then refines by exact distance.  No stream state
+    at all — the join is per-row against the dimension."""
+    from fagi_gis_spark.geometry.measures import DEG_TO_M
+    from fagi_gis_spark.index.tiles import _X_MULT, _Z_MULT, cell_id_col, tile_x_col, tile_y_col
+    from fagi_gis_spark.operators.spatial_join import join_res_for_radius
+
+    z = join_res_for_radius(radius_m)
+    dim = poi.select(
+        F.col("subject").alias("poi_id"),
+        F.col("lon").alias("p_lon"),
+        F.col("lat").alias("p_lat"),
+    ).withColumn("cell", cell_id_col(F.col("p_lon"), F.col("p_lat"), z))
+
+    neigh = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    tx = tile_x_col(F.col(lon_col), z)
+    ty = tile_y_col(F.col(lat_col), z)
+    s = (
+        stream.withColumn("__o", F.explode(neigh))
+        .withColumn(
+            "cell",
+            F.lit(z * _Z_MULT).cast("long")
+            + F.pmod(tx + F.col("__o.dx"), F.lit(2**z).cast("long"))
+            * F.lit(_X_MULT).cast("long")
+            + (ty + F.col("__o.dy")),
+        )
+        .drop("__o")
+    )
+    joined = s.join(F.broadcast(dim), "cell", "inner")
+    dist = (
+        F.sqrt(
+            (F.col(lon_col) - F.col("p_lon")) * (F.col(lon_col) - F.col("p_lon"))
+            + (F.col(lat_col) - F.col("p_lat")) * (F.col(lat_col) - F.col("p_lat"))
+        )
+        * F.lit(DEG_TO_M)
+    )
+    return (
+        joined.withColumn("poi_dist_m", dist)
+        .filter(F.col("poi_dist_m") <= radius_m)
+        .drop("cell", "p_lon", "p_lat")
+    )

@@ -282,3 +282,42 @@ def test_stream_hex_cell_counts_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expect and len(expect) > 10
+
+
+def test_stream_poi_enrich_matches_batch(spark, tmp_path):
+    """Stream-static geo-enrichment: per-event POI matches from the
+    streaming join equal the batch radius join on the same rows."""
+    from fagi_gis_spark.operators.spatial_join import radius_join
+    from fagi_gis_spark.registry import layers
+    from fagi_gis_spark.streaming.windowed import start_memory_sink, stream_poi_enrich
+
+    L = layers(spark, SF)
+    poi = L["poi_a"].select("subject", "lon", "lat")
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id",
+        ((F.col("event_id") * 2654435761 % 2000000 - 1000000) / 1e6).alias("lon"),
+        (F.lit(50.0) + (F.col("event_id") * 2246822519 % 2000000) / 1e6).alias("lat"),
+    )
+    src = str(tmp_path / "events_enrich_src")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = start_memory_sink(
+        stream_poi_enrich(stream, poi, radius_m=500.0), "enrich_out", output_mode="append"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.event_id, r.poi_id)
+        for r in spark.sql("SELECT event_id, poi_id FROM enrich_out").collect()
+    }
+    expect = {
+        (r.l_key, r.r_key)
+        for r in radius_join(
+            events, poi, 500.0, left_cols=("event_id", "lon", "lat")
+        )
+        .select("l_key", "r_key")
+        .collect()
+    }
+    assert got == expect and len(expect) > 0
