@@ -225,15 +225,21 @@ def knn_join(
     k: int,
     radius_m: float,
     exclude_self: bool = False,
+    strategy: str = "tile",
     **kwargs,
 ) -> DataFrame:
     """kNN conflation (bounded by a search radius, like the reference's
     discovery loop): radius join -> per-probe top-k by distance. Ties are
     broken by the neighbor key for determinism. ``exclude_self`` drops
-    same-key pairs for self-joins (kNN of a layer against itself)."""
+    same-key pairs for self-joins (kNN of a layer against itself).
+    ``strategy`` selects the candidate-generation physical plan —
+    "tile" (square z-tiles + auto salting, the default), "hex"
+    (aperture-7 gridDisk), or "s2" (real S2 cells, sphere-native) — all
+    output-identical, so the choice is purely a cost decision."""
     from pyspark.sql import Window
 
-    cand = radius_join(left, right, radius_m, **kwargs)
+    join_fn = {"tile": radius_join, "hex": hex_radius_join, "s2": s2_radius_join}[strategy]
+    cand = join_fn(left, right, radius_m, **kwargs)
     if exclude_self:
         cand = cand.filter(F.col("l_key") != F.col("r_key"))
     w = Window.partitionBy("l_key").orderBy(F.col("dist_m").asc(), F.col("r_key").asc())

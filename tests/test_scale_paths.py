@@ -627,3 +627,28 @@ def test_cell_bucketed_radius_join_build_side_no_exchange(spark, tmp_path):
         assert final.count("Exchange hashpartitioning(cell") == 1, final[:3000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_knn_join_strategy_equivalence(spark):
+    """kNN over any of the three candidate strategies (tile / hex / S2)
+    returns identical (probe, neighbor, rank) sets — the strategies'
+    output-identical contract carried through the top-k consumer."""
+    import numpy as np
+
+    from fagi_gis_spark.operators.spatial_join import knn_join
+
+    rng = np.random.default_rng(41)
+    n = 200
+    rows = [
+        (f"p{i}", float(12.0 + rng.uniform(0, 0.04)), float(47.0 + rng.uniform(0, 0.04)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "subject string, lon double, lat double")
+    results = {}
+    for strat in ("tile", "hex", "s2"):
+        out = knn_join(df, df, k=3, radius_m=400.0, exclude_self=True, strategy=strat)
+        results[strat] = {
+            (r.l_key, r.r_key, r.knn_rank) for r in out.collect()
+        }
+    assert results["tile"] == results["hex"] == results["s2"]
+    assert len(results["tile"]) > 0
