@@ -307,42 +307,26 @@ def u_shift_pre(
     return pd.DataFrame({"wkt": out_w, "cx": out_x, "cy": out_y})
 
 
-@F.pandas_udf(T.LongType())
-def u_s2_cell12(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    """Real S2 cell id at level 12 (index/s2.py: face/uv/quadratic-ST/
-    Hilbert per the published s2geometry scheme), Arrow-batched."""
-    from fagi_gis_spark.index.s2 import s2_cell_np
+def u_hex_cell_at(res: int):
+    """Factory: aperture-7 hex cell encode at ``res`` (index/hexgrid.py,
+    banker's-rounding kernel — the oracle-parity path)."""
 
-    return pd.Series(s2_cell_np(lon.to_numpy("float64"), lat.to_numpy("float64"), 12))
+    @F.pandas_udf(T.LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        from fagi_gis_spark.index.hexgrid import hex_cell_np
 
+        return pd.Series(
+            hex_cell_np(lon.to_numpy("float64"), lat.to_numpy("float64"), res)
+        )
 
-@F.pandas_udf(T.LongType())
-def u_s2_cell30(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    """S2 leaf cell id (level 30)."""
-    from fagi_gis_spark.index.s2 import s2_cell_np
-
-    return pd.Series(s2_cell_np(lon.to_numpy("float64"), lat.to_numpy("float64"), 30))
-
-
-@F.pandas_udf(T.LongType())
-def u_hex_cell9(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    """Aperture-7 hex cell at res 9 (index/hexgrid.py)."""
-    from fagi_gis_spark.index.hexgrid import hex_cell_np
-
-    return pd.Series(hex_cell_np(lon.to_numpy("float64"), lat.to_numpy("float64"), 9))
-
-
-@F.pandas_udf(T.LongType())
-def u_hex_cell8(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    """Aperture-7 hex cell at res 8."""
-    from fagi_gis_spark.index.hexgrid import hex_cell_np
-
-    return pd.Series(hex_cell_np(lon.to_numpy("float64"), lat.to_numpy("float64"), 8))
+    return _enc
 
 
 def u_s2_cell_at(level: int):
-    """Factory: S2 cell encode at an arbitrary level (join resolutions
-    are radius-derived, so the level is a closure constant)."""
+    """Factory: S2 cell encode at an arbitrary level (index/s2.py:
+    face/uv/quadratic-ST/Hilbert per the published s2geometry scheme),
+    Arrow-batched; join resolutions are radius-derived, so the level is
+    a closure constant."""
 
     @F.pandas_udf(T.LongType())
     def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -372,3 +356,9 @@ def u_s2_disk_at(level: int):
         return pd.Series(list(full))
 
     return _disk
+
+
+#: fixed-level instances used by the registry queries
+u_s2_cell12 = u_s2_cell_at(12)
+u_hex_cell9 = u_hex_cell_at(9)
+u_hex_cell8 = u_hex_cell_at(8)

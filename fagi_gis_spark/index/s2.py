@@ -332,11 +332,15 @@ __s2_h AS (
   )
 ),
 __s2_out AS (
+  -- id assembly in HUGEINT: face << 61 overflows DuckDB's checked
+  -- UBIGINT shift for faces 4/5 (western hemisphere / south pole), so
+  -- every term is a HUGEINT multiply; positions never collide with the
+  -- face/center terms, so + == | here
   SELECT {key_cols},
          CAST(
-           CAST((CAST(face AS UBIGINT) << 61)
-                | (pos << {2 * (MAX_LEVEL - level) + 1})
-                | (1::UBIGINT << {2 * (MAX_LEVEL - level)}) AS HUGEINT)
+           CAST(face AS HUGEINT) * 2305843009213693952
+           + CAST(pos AS HUGEINT) * {1 << (2 * (MAX_LEVEL - level) + 1)}
+           + {1 << (2 * (MAX_LEVEL - level))}
            - CASE WHEN face >= 4 THEN CAST(18446744073709551616 AS HUGEINT)
                   ELSE 0 END
          AS BIGINT) AS cell_id

@@ -137,9 +137,10 @@ def phash_variants(images: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
-                px = decode_pixels(bytes(data))
-                if px is None:
-                    continue
+                data = bytes(data)
+                if data[:8] != _PNG_SIG:
+                    continue  # non-PNG codecs are stubbed (decode_stats idiom)
+                px = decode_pixels(data)
                 q = ((px.astype(np.int32) // 4) * 4 + 2).clip(0, 255).astype(np.uint8)
                 rows.append(("v:" + img_id, phash64(q)))
             yield pd.DataFrame(rows, columns=["image_id", "phash"])

@@ -238,8 +238,10 @@ def knn_join(
     output-identical, so the choice is purely a cost decision."""
     from pyspark.sql import Window
 
-    join_fn = {"tile": radius_join, "hex": hex_radius_join, "s2": s2_radius_join}[strategy]
-    cand = join_fn(left, right, radius_m, **kwargs)
+    strategies = {"tile": radius_join, "hex": hex_radius_join, "s2": s2_radius_join}
+    if strategy not in strategies:
+        raise ValueError(f"strategy must be one of {sorted(strategies)}, got {strategy!r}")
+    cand = strategies[strategy](left, right, radius_m, **kwargs)
     if exclude_self:
         cand = cand.filter(F.col("l_key") != F.col("r_key"))
     w = Window.partitionBy("l_key").orderBy(F.col("dist_m").asc(), F.col("r_key").asc())
@@ -378,8 +380,24 @@ def knn_join_adaptive(
 # Hex-bucketed radius join (aperture-7 grid, index/hexgrid.py)
 # --------------------------------------------------------------------------
 
-_HEX_RING1 = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]
+from fagi_gis_spark.index.hexgrid import grid_disk as _hex_grid_disk
+
+_HEX_RING1 = tuple(_hex_grid_disk(0, 0, 1))  # the 7-cell gridDisk(1)
 _HEX_OFF = 1 << 27
+
+
+def _cube_round_cols(qf, rf):
+    """Shared floor(x+0.5) cube rounding as JVM columns — the single
+    owner of the join-side rounding rule (see _hex_qr_cols for why it
+    intentionally differs from hex_cell_np's banker's rounding)."""
+    sf = -qf - rf
+    q0, r0, s0 = (F.floor(c + F.lit(0.5)).cast("double") for c in (qf, rf, sf))
+    dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sf)
+    q_fix = (dq > dr) & (dq > ds)
+    r_fix = (~q_fix) & (dr > ds)
+    q1 = F.when(q_fix, -r0 - s0).otherwise(q0).cast("long")
+    r1 = F.when(r_fix, -q0 - s0).otherwise(r0).cast("long")
+    return q1, r1
 
 
 def hex_res_for_radius(radius_m: float) -> int:
@@ -462,14 +480,7 @@ def _hex_qr_cols(lon, lat, res: int):
     inv = _basis_inv(res)
     qf = F.lit(float(inv[0, 0])) * lon + F.lit(float(inv[0, 1])) * lat
     rf = F.lit(float(inv[1, 0])) * lon + F.lit(float(inv[1, 1])) * lat
-    sf = -qf - rf
-    q0, r0, s0 = (F.floor(c + F.lit(0.5)).cast("double") for c in (qf, rf, sf))
-    dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sf)
-    q_fix = (dq > dr) & (dq > ds)
-    r_fix = (~q_fix) & (dr > ds)
-    q1 = F.when(q_fix, -r0 - s0).otherwise(q0)
-    r1 = F.when(r_fix, -q0 - s0).otherwise(r0)
-    return q1.cast("long"), r1.cast("long")
+    return _cube_round_cols(qf, rf)
 
 
 def _hex_pack(q, r, res: int):
@@ -599,13 +610,7 @@ def hex_parent_cols(cell, parent_res: int):
     r = cell.bitwiseAND(mask) - F.lit(_HEX_OFF)
     qf = (F.lit(2.0) * q - r) / F.lit(7.0)
     rf = (q + F.lit(3.0) * r) / F.lit(7.0)
-    sf = -qf - rf
-    q0, r0, s0 = (F.floor(c + F.lit(0.5)).cast("double") for c in (qf, rf, sf))
-    dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sf)
-    q_fix = (dq > dr) & (dq > ds)
-    r_fix = (~q_fix) & (dr > ds)
-    q1 = F.when(q_fix, -r0 - s0).otherwise(q0).cast("long")
-    r1 = F.when(r_fix, -q0 - s0).otherwise(r0).cast("long")
+    q1, r1 = _cube_round_cols(qf, rf)
     return _hex_pack(q1, r1, parent_res)
 
 
@@ -659,8 +664,18 @@ def s2_radius_join(
 
     lk, llon, llat = left_cols
     rk, rlon, rlat = right_cols
+    max_level = s2_level_for_radius(radius_m)
     if level is None:
-        level = s2_level_for_radius(radius_m)
+        level = max_level
+    elif level > max_level:
+        # a finer level than the kMinWidth bound cannot be covered by
+        # the fixed 3x3 neighborhood — refuse instead of silently
+        # dropping pairs (hex_radius_join widens its disk instead; the
+        # S2 neighborhood is fixed by design)
+        raise ValueError(
+            f"level {level} is finer than the completeness bound "
+            f"{max_level} for radius {radius_m} m"
+        )
 
     r = right.select(
         F.col(rk).alias("r_key"), F.col(rlon).alias("r_lon"), F.col(rlat).alias("r_lat")

@@ -169,9 +169,14 @@ def stream_poi_enrich(
         .drop("__o")
     )
     joined = s.join(F.broadcast(dim), "cell", "inner")
+    # wrapped dlon — same refine contract as the batch radius join's
+    # _refine_and_select, so cross-seam pairs found by the x-wrapped
+    # cells survive the distance filter
+    dlon_abs = F.abs(F.col(lon_col) - F.col("p_lon"))
+    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
     dist = (
         F.sqrt(
-            (F.col(lon_col) - F.col("p_lon")) * (F.col(lon_col) - F.col("p_lon"))
+            dlon * dlon
             + (F.col(lat_col) - F.col("p_lat")) * (F.col(lat_col) - F.col("p_lat"))
         )
         * F.lit(DEG_TO_M)

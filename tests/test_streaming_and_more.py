@@ -298,6 +298,17 @@ def test_stream_poi_enrich_matches_batch(spark, tmp_path):
         ((F.col("event_id") * 2654435761 % 2000000 - 1000000) / 1e6).alias("lon"),
         (F.lit(50.0) + (F.col("event_id") * 2246822519 % 2000000) / 1e6).alias("lat"),
     )
+    # cross-seam pair: event just west of +180, POI just east of -180 —
+    # the wrapped refine must keep it (the batch join does)
+    seam_event = spark.createDataFrame(
+        [(999999999, 179.9995, 50.5)], "event_id long, lon double, lat double"
+    )
+    events = events.unionByName(seam_event)
+    poi = poi.unionByName(
+        spark.createDataFrame(
+            [("seam_poi", -179.9995, 50.5)], "subject string, lon double, lat double"
+        )
+    )
     src = str(tmp_path / "events_enrich_src")
     events.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
