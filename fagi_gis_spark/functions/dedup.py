@@ -264,17 +264,47 @@ def simhash_signatures(
     return docs.select(F.col(id_col).alias("doc_id"), u_simhash(F.col(text_col)).alias("simhash"))
 
 
+def simhash_band_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) of each banding block for a given threshold.
+
+    ``max_hamming + 1`` contiguous blocks over the 64 bits: by
+    pigeonhole, a pair within ``hamming <= max_hamming`` has at least
+    one block with ZERO differing bits, i.e. an exactly-equal band key
+    — so the banded candidate join is COMPLETE at the advertised
+    threshold (not just a heuristic).  Widths are as even as 64/b
+    allows (the first ``64 % b`` blocks get one extra bit)."""
+    bands = min(max_hamming + 1, 64)
+    base, rem = divmod(64, bands)
+    widths = [base + 1 if i < rem else base for i in range(bands)]
+    offs = [sum(widths[:i]) for i in range(bands)]
+    return list(zip(offs, widths))
+
+
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates via 4-block SimHash banding (pigeonhole: any
-    pair within hamming<=3 shares at least one of 4 16-bit blocks),
-    verified by exact popcount."""
+    """Near-dup candidates via banded SimHash blocking with GUARANTEED
+    recall at the advertised threshold: the 64-bit signature splits into
+    ``max_hamming + 1`` contiguous blocks (simhash_band_layout), so any
+    pair within ``hamming <= max_hamming`` shares at least one band key;
+    candidates pass an exact popcount refine.  ``max_hamming=3``
+    reproduces the classic 4x16-bit layout.  Cost model: more bands =
+    shorter keys = more candidate pairs, so the completeness guarantee
+    is paid in shuffle volume — large thresholds are exact but
+    expensive, by design (the r3 contract bug was the opposite: a fixed
+    4-band layout silently dropping hamming-4..6 pairs)."""
+
+    def band_key(off: int, width: int):
+        shifted = F.shiftrightunsigned(F.col("simhash"), off)
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     blocks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("blk"),
-                F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                band_key(off, width).alias("key"),
             )
-            for i in range(4)
+            for i, (off, width) in enumerate(simhash_band_layout(max_hamming))
         ]
     )
     b = sigs.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(

@@ -851,17 +851,27 @@ sigs AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.vu, b.vu)) AS BIGINT) AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-WHERE ((a.vu >> 0) % 65536 = (b.vu >> 0) % 65536
-    OR (a.vu >> 16) % 65536 = (b.vu >> 16) % 65536
-    OR (a.vu >> 32) % 65536 = (b.vu >> 32) % 65536
-    OR (a.vu >> 48) % 65536 = (b.vu >> 48) % 65536)
-  AND bit_count(xor(a.vu, b.vu)) <= 8
+WHERE ({BANDS})
+  AND bit_count(xor(a.vu, b.vu)) <= {MAXH}
 """
 
 
-@register("dedup_simhash", _SIMHASH_ORACLE)
+def _simhash_oracle(max_hamming: int) -> str:
+    # band predicates generated from the SAME layout as the engine's
+    # simhash_near_pairs (bands = max_hamming + 1 -> complete recall)
+    from fagi_gis_spark.functions.dedup import simhash_band_layout
+
+    conds = " OR ".join(
+        f"(a.vu >> {off}) % {1 << width} = (b.vu >> {off}) % {1 << width}"
+        for off, width in simhash_band_layout(max_hamming)
+    )
+    return _SIMHASH_ORACLE.replace("{BANDS}", conds).replace("{MAXH}", str(max_hamming))
+
+
+@register("dedup_simhash", _simhash_oracle(8))
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (4-block banding, hamming <= 8).  The
+    """SimHash near-dup pairs (9-block banding -> complete recall at
+    hamming <= 8, see simhash_band_layout).  The
     DuckDB oracle replays the FULL pipeline closed-form: per-token
     FNV-1a (list_reduce mod-2^64 in HUGEINT), majority bits with the
     kernel's byte-swapped bit layout, banded candidates, popcount —
