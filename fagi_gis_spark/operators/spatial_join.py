@@ -149,22 +149,45 @@ def radius_join(
         .drop("__o")
     )
 
+    joined = _salted_cell_join(l, r, salt_threshold, n_salt)
+
+    # lon delta wraps at the antimeridian (|dlon| <= 180); identical to the
+    # reference's planar formula everywhere away from the seam, where the
+    # reference (degree-space FILTER) silently finds nothing.
+    return _refine_and_select(joined, radius_m)
+
+
+def _salted_cell_join(
+    l: DataFrame, r: DataFrame, salt_threshold: int | str | None, n_salt: int
+) -> DataFrame:
+    """Hot-cell salting for the cell-equi-join step, shared by ALL
+    radius-join strategies (square tile, hex, S2): ``l`` is the probe
+    side already exploded to its candidate ``cell`` ids, ``r`` the
+    build side keyed by its single ``cell``.
+
+    Build-side cells above the threshold split into ``n_salt`` sub-keys;
+    probe rows replicate only for those hot cells.  ``"auto"`` derives
+    the threshold (max(256, 8x mean)) from one materialized cell-count
+    pass; an empty hot set short-circuits to the plain cell join.
+
+    The counts pass is an eager ``localCheckpoint`` — it runs two Spark
+    jobs at DataFrame-CONSTRUCTION time (checkpoint + isEmpty), so
+    composing the join into a larger lazy plan triggers that scan
+    early, and the checkpoint blocks are unreplicated: an executor loss
+    after materialization makes the counts unrecoverable (lineage is
+    truncated) and the query must be resubmitted.  Accepted tradeoff:
+    without materialization every downstream branch re-runs the
+    build-side scan (measured ~40% steady-state overhead at sf0.1), and
+    a resubmit-on-loss matches what AQE skew stats cost anyway.  Pass
+    ``salt_threshold=None`` for a fully lazy plan (AQE skew-join then
+    remains the only protection)."""
     hot = None
     if salt_threshold is not None:
-        # The cell-count aggregation needs a full build-side scan, and its
-        # result is consumed by BOTH join sides' broadcasts (and, in auto
-        # mode, by the threshold agg as well) — without materialization
-        # each consumer re-runs that scan (measured ~40% steady-state
-        # overhead on uniform sf0.1 data). One eager localCheckpoint of
-        # the tiny per-cell count table (one row per occupied cell, stored
-        # distributed on the executors — no driver collect) makes every
-        # downstream branch read the materialized counts instead.
+        # tiny table: one row per occupied cell, no driver collect
         counts = r.groupBy("cell").count().localCheckpoint()
         if salt_threshold == "auto":
-            # auto threshold = max(256, 8x mean cell count), computed from
-            # the checkpointed counts: uniform data pays one cheap
-            # aggregation and zero fan-out, skewed data is protected
-            # without tuning
+            # uniform data pays one cheap aggregation and zero fan-out,
+            # skewed data is protected without tuning
             thr_df = counts.agg(
                 F.greatest(F.lit(256.0), F.avg("count") * F.lit(8.0)).alias("__thr")
             )
@@ -186,37 +209,31 @@ def radius_join(
         if hot.isEmpty():
             hot = None
 
-    if hot is not None:
-        r = (
-            r.join(F.broadcast(hot), "cell", "left")
-            .withColumn(
-                "salt",
-                F.when(F.col("__hot"), F.pmod(F.crc32(F.col("r_key").cast("string")), n_salt))
-                .otherwise(F.lit(0))
-                .cast("int"),
-            )
-            .drop("__hot")
+    if hot is None:
+        return l.join(r, ["cell"], "inner")
+    r = (
+        r.join(F.broadcast(hot), "cell", "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("__hot"), F.pmod(F.crc32(F.col("r_key").cast("string")), n_salt))
+            .otherwise(F.lit(0))
+            .cast("int"),
         )
-        l = (
-            l.join(F.broadcast(hot), "cell", "left")
-            .withColumn(
-                "salt",
-                F.explode(
-                    F.when(
-                        F.col("__hot"), F.sequence(F.lit(0), F.lit(n_salt - 1))
-                    ).otherwise(F.array(F.lit(0)))
-                ),
-            )
-            .drop("__hot")
+        .drop("__hot")
+    )
+    l = (
+        l.join(F.broadcast(hot), "cell", "left")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.when(
+                    F.col("__hot"), F.sequence(F.lit(0), F.lit(n_salt - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ),
         )
-        joined = l.join(r, ["cell", "salt"], "inner")
-    else:
-        joined = l.join(r, ["cell"], "inner")
-
-    # lon delta wraps at the antimeridian (|dlon| <= 180); identical to the
-    # reference's planar formula everywhere away from the seam, where the
-    # reference (degree-space FILTER) silently finds nothing.
-    return _refine_and_select(joined, radius_m)
+        .drop("__hot")
+    )
+    return l.join(r, ["cell", "salt"], "inner")
 
 
 def knn_join(
@@ -233,15 +250,29 @@ def knn_join(
     broken by the neighbor key for determinism. ``exclude_self`` drops
     same-key pairs for self-joins (kNN of a layer against itself).
     ``strategy`` selects the candidate-generation physical plan —
-    "tile" (square z-tiles + auto salting, the default), "hex"
-    (aperture-7 gridDisk), or "s2" (real S2 cells, sphere-native) — all
-    output-identical, so the choice is purely a cost decision."""
+    "tile" (square z-tiles, the default), "hex" (aperture-7 gridDisk),
+    or "s2" (real S2 cells, sphere-native) — all output-identical with
+    shared auto hot-cell salting, so the choice is purely a cost
+    decision.  Tuning kwargs that belong to a DIFFERENT strategy's
+    resolution knob (``z``/``res``/``level``) are dropped when
+    switching strategies, so e.g. ``z=12, strategy="s2"`` is legal and
+    simply ignores ``z``; kwargs no strategy accepts still raise."""
+    import inspect
+
     from pyspark.sql import Window
 
     strategies = {"tile": radius_join, "hex": hex_radius_join, "s2": s2_radius_join}
     if strategy not in strategies:
         raise ValueError(f"strategy must be one of {sorted(strategies)}, got {strategy!r}")
-    cand = strategies[strategy](left, right, radius_m, **kwargs)
+    fn = strategies[strategy]
+    accepted = set(inspect.signature(fn).parameters)
+    all_accepted = {
+        p for f in strategies.values() for p in inspect.signature(f).parameters
+    }
+    unknown = set(kwargs) - all_accepted
+    if unknown:
+        raise TypeError(f"knn_join got kwargs no strategy accepts: {sorted(unknown)}")
+    cand = fn(left, right, radius_m, **{k: v for k, v in kwargs.items() if k in accepted})
     if exclude_self:
         cand = cand.filter(F.col("l_key") != F.col("r_key"))
     w = Window.partitionBy("l_key").orderBy(F.col("dist_m").asc(), F.col("r_key").asc())
@@ -498,6 +529,8 @@ def hex_radius_join(
     left_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
     right_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
     res: int | str | None = None,
+    salt_threshold: int | str | None = "auto",
+    n_salt: int = 8,
 ) -> DataFrame:
     """J5 over the aperture-7 hex grid: build rows key by their single
     hex cell, probe rows explode gridDisk(1) — 7 candidate cells per
@@ -521,9 +554,10 @@ def hex_radius_join(
 
     Antimeridian: probes within 2x the radius of the +-180 seam also
     emit their cells in the lon-+360-shifted frame (array_union keeps
-    ids distinct, so no pair can double-match). Skew salting is not
-    wired here — this is the alternative physical strategy; compose the
-    counts/salt machinery from ``radius_join`` if a workload needs both.
+    ids distinct, so no pair can double-match). Hot-cell salting is the
+    same shared machinery as ``radius_join`` (``_salted_cell_join``) —
+    see its docstring for the auto threshold and the eager-counts
+    tradeoff.
     """
     lk, llon, llat = left_cols
     rk, rlon, rlat = right_cols
@@ -593,7 +627,7 @@ def hex_radius_join(
     ).otherwise(base)
     l = l.withColumn("cell", F.explode(cells)).drop("__q", "__r", "__sq", "__sr")
 
-    joined = l.join(r, ["cell"], "inner")
+    joined = _salted_cell_join(l, r, salt_threshold, n_salt)
     return _refine_and_select(joined, radius_m)
 
 
@@ -652,6 +686,8 @@ def s2_radius_join(
     left_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
     right_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
     level: int | None = None,
+    salt_threshold: int | str | None = "auto",
+    n_salt: int = 8,
 ) -> DataFrame:
     """J5 over the real S2 curve: build rows key by their S2 cell, probe
     rows explode their 9-cell neighborhood (8 neighbors cross-face
@@ -659,7 +695,9 @@ def s2_radius_join(
     frames and no polar special case — the cube covering has no seam.
     Refine is the same planar-degree metric as ``radius_join``
     (output-identical; planar-degree distance upper-bounds ground angle,
-    so the ground-width completeness level suffices)."""
+    so the ground-width completeness level suffices).  Hot-cell salting
+    is the shared ``_salted_cell_join`` machinery — see its docstring
+    for the auto threshold and the eager-counts tradeoff."""
     from fagi_gis_spark.functions.geo_udfs import u_s2_cell_at, u_s2_disk_at
 
     lk, llon, llat = left_cols
@@ -695,5 +733,5 @@ def s2_radius_join(
         )
     )
 
-    joined = l.join(r, ["cell"], "inner")
+    joined = _salted_cell_join(l, r, salt_threshold, n_salt)
     return _refine_and_select(joined, radius_m)

@@ -73,6 +73,63 @@ def test_auto_salting_is_adaptive(spark):
     assert "salt" in join_plan(skewed)
 
 
+@pytest.mark.parametrize("strategy", ["tile", "hex", "s2"])
+def test_salting_shared_across_strategies(spark, strategy):
+    """Hot-cell salting is wired into ALL three radius-join strategies
+    (r3 gap: hex/S2 had none): on a skewed fixture (one cell >10x the
+    mean) each strategy's salted join equals its unsalted join row-for-
+    row, and the executed plan really contains the salt key."""
+    from fagi_gis_spark.operators.spatial_join import (
+        hex_radius_join,
+        radius_join,
+        s2_radius_join,
+    )
+
+    fn = {"tile": radius_join, "hex": hex_radius_join, "s2": s2_radius_join}[strategy]
+    # hot pile in one cell + singleton-cell tail so mean << max
+    left = spark.range(2000).select(
+        F.concat(F.lit("h"), F.col("id")).alias("subject"),
+        (F.lit(0.1) + (F.col("id") % 50).cast("double") / 1e6).alias("lon"),
+        (F.lit(50.5) + ((F.col("id") * 7) % 50).cast("double") / 1e6).alias("lat"),
+    ).unionByName(
+        spark.range(500).select(
+            F.concat(F.lit("t"), F.col("id")).alias("subject"),
+            (F.lit(-0.9) + F.col("id").cast("double") * 31 / 1e6).alias("lon"),
+            (F.lit(51.0) + F.col("id").cast("double") * 17 / 1e6).alias("lat"),
+        )
+    )
+    right = left.withColumn("lon", F.col("lon") + 0.00002)
+
+    plain = fn(left, right, 50.0, salt_threshold=None)
+    salted = fn(left, right, 50.0, salt_threshold=100, n_salt=8)
+    assert "salt" in salted._jdf.queryExecution().executedPlan().toString()
+    a = set(map(tuple, plain.select("l_key", "r_key").toPandas().itertuples(index=False)))
+    b = set(map(tuple, salted.select("l_key", "r_key").toPandas().itertuples(index=False)))
+    assert len(a) > 2000  # the hot cell really collides
+    assert a == b
+
+
+def test_knn_join_strategy_kwarg_routing(spark):
+    """knn_join drops resolution kwargs that belong to a different
+    strategy (z/res/level) instead of raising, and still rejects kwargs
+    no strategy accepts."""
+    from fagi_gis_spark.operators.spatial_join import knn_join
+
+    pts = spark.range(50).select(
+        F.concat(F.lit("p"), F.col("id")).alias("subject"),
+        (F.lit(0.1) + F.col("id").cast("double") * 13 / 1e6).alias("lon"),
+        (F.lit(50.5) + F.col("id").cast("double") * 7 / 1e6).alias("lat"),
+    )
+    base = knn_join(pts, pts, k=2, radius_m=100.0, exclude_self=True)
+    routed = knn_join(
+        pts, pts, k=2, radius_m=100.0, exclude_self=True, strategy="s2",
+        z=12, salt_threshold=None,  # z is tile-only: dropped for s2
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, routed.collect()))
+    with pytest.raises(TypeError, match="no strategy accepts"):
+        knn_join(pts, pts, k=2, radius_m=100.0, bogus_knob=1)
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Bucketing by the join key co-locates both sides: the join plan must
     contain no Exchange — the storage-level answer to the reference's
