@@ -13,13 +13,19 @@ over Arrow batches.
 
 Bit-parity caveat (documented sandbox boundary): the s2geometry library
 is not installed here, so parity with Google's binaries cannot be
-asserted in-repo.  What the tests DO pin down: a second, independent
-scalar implementation agrees bit-for-bit with the vectorized kernel
-(``tests/test_cell_indexes.py``), the curve is a bijection with prefix-
-containment (parent id == truncated child id), level-0 ids equal the
-hand-computable ``face << 61 | 1 << 60``, decode(encode(p)) stays inside
-the cell, and the DuckDB oracle (a recursive-CTE replay of the same
-published recursion, ``s2_cell_sql``) matches over the full test layers.
+asserted against the binary itself.  What the tests DO pin down: a
+second, independent scalar implementation agrees bit-for-bit with the
+vectorized kernel (``tests/test_cell_indexes.py``), the curve is a
+bijection with prefix-containment (parent id == truncated child id),
+level-0 ids equal the hand-computable ``face << 61 | 1 << 60``,
+decode(encode(p)) stays inside the cell, the DuckDB oracle (a
+recursive-CTE replay of the same published recursion, ``s2_cell_sql``)
+matches over the full test layers, and — strongest — LEAF-level anchor
+ids hand-derived on paper from the published kPosToIJ/kPosToOrientation
+tables (face centers -> ``face<<61 | 2^60 | 1``, curve-origin corner ->
+``1``, far corner -> ``0x1555555555555555``) match exactly at level 30
+(``test_s2_leaf_anchor_values_from_published_tables``), pinning the
+full 30-level Hilbert recursion to the published scheme.
 
 Ids are returned as *signed* int64 (two's-complement view of the
 unsigned S2 id) because Spark and Parquet have no unsigned 64-bit type;

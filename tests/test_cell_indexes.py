@@ -55,6 +55,54 @@ def test_s2_level0_hand_values():
     assert got == expect
 
 
+def test_s2_leaf_anchor_values_from_published_tables():
+    """Leaf-level (level 30) anchors derived BY HAND from the published
+    s2geometry scheme — working the kPosToIJ/kPosToOrientation tables,
+    the quadratic UV->ST transform, and the FromFaceIJ recursion on
+    paper, independent of BOTH in-repo implementations:
+
+    - Face-center points (u=v=0 -> i=j=2^29): the top base-4 digit is
+      ij=3 -> pos digit 2 with unchanged orientation, every remaining
+      digit is ij=0 -> pos 0, so pos = 2*4^29 = 2^59 and
+      id = face<<61 | 2^59<<1 | 1 = face<<61 | 2^60 | 1 on EVERY face
+      (faces 0 and 1 start in different Hilbert states, but both map
+      their ij=3 top digit to pos 2 and their ij=0 tail to pos 0).
+    - Curve-origin corner cell of face 0 (covers u,v in [-1,-1+4.9e-9)):
+      s=t=0 -> i=j=0 -> every digit pos 0 -> id = 1, the first leaf of
+      the whole curve.  Probed a hair INSIDE the corner (u=v=-1+1e-10,
+      20x margin from the cell edge) because the exact cube corner
+      xyz=(1,-1,-1)/sqrt(3) is a three-way |component| tie that IEEE
+      trig resolves by 1-ulp accidents, not by the spec.
+    - Opposite corner cell (u=v=1-1e-10): i=j=2^30-1, every digit ij=3
+      -> pos 2 in state 0 with orientation unchanged, so
+      pos = 2*(4^30-1)/3 and id = 0x1555555555555555.
+
+    The face-3 center (0, 180) is deliberately NOT an anchor: sin(pi)
+    leaks 1.22e-16 into y, so the point lands one leaf off the ideal
+    center — any spec-faithful implementation (including Google's,
+    which builds xyz with the same trig) sees that leak, making the
+    idealized value wrong and the leaked one tie-rounding-fragile.
+
+    The s2geometry binary is not installable in this sandbox; these
+    hand derivations are the strongest library-independent
+    bit-compatibility anchors available (index/s2.py header)."""
+    # lon/lat literals = degrees(atan2(u, 1)), degrees(atan2(v, hypot(1, u)))
+    # for u = v = +-(1 - 1e-10) on face 0 (documented derivation above)
+    lon = np.array([0.0, 90.0, 0.0, -90.0, 0.0, -44.99999999713521, 44.99999999713521])
+    lat = np.array([0.0, 0.0, 90.0, 0.0, -90.0, -35.26438968140418, 35.26438968140418])
+    got = s2_cell_np(lon, lat, 30).tolist()
+
+    def signed(u):
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    centers = [signed((f << 61) | (1 << 60) | 1) for f in (0, 1, 2, 4, 5)]
+    expect = centers + [1, 0x1555555555555555]
+    assert got == expect
+    # and the scalar twin agrees on the same anchors
+    slow = [s2_cell_slow(a, b, 30) for a, b in zip(lon, lat)]
+    assert slow == expect
+
+
 def test_s2_prefix_containment_and_levels():
     """parent(leaf, l) == direct encode at l for every l — the Hilbert
     position is prefix-consistent, so coarse cells contain their
