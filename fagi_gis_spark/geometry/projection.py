@@ -160,19 +160,99 @@ class LambertAzimuthalEqualArea:
         return x, y
 
 
+class EllipsoidalLAEA:
+    """Ellipsoidal oblique Lambert Azimuthal Equal-Area (Snyder 1987,
+    PP 1395 §24): authalic-latitude q-series (eqs. 3-11/3-12) on the
+    GRS80 ellipsoid, forward eqs. 24-17..24-20, inverse eqs.
+    24-26..24-27 with the latitude iteration of eq. 3-16.  This is the
+    REAL EPSG 3035 (ETRS89-extended / LAEA Europe) formulation — the
+    frame KeepMostPointsAndTranslateTransformation.java:80 transforms
+    to — replacing the r3 authalic-sphere stand-in (kept as
+    ``EPSG_3035_SPHERICAL``; grids differ by up to ~0.3%)."""
+
+    def __init__(self, lat0_deg: float, lon0_deg: float,
+                 false_easting: float = 0.0, false_northing: float = 0.0):
+        self.lam0 = np.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+        self.a = _A_M
+        phi0 = np.radians(lat0_deg)
+        self.qp = float(self._q(np.array(np.pi / 2.0)))
+        q0 = float(self._q(np.array(phi0)))
+        self.beta1 = np.arcsin(q0 / self.qp)
+        self.rq = self.a * np.sqrt(self.qp / 2.0)  # eq. 3-13
+        m1 = float(_m(phi0))
+        self.d = self.a * m1 / (self.rq * np.cos(self.beta1))  # eq. 24-20
+
+    @staticmethod
+    def _q(phi):
+        # eq. 3-12: q = (1-e^2)[sin(phi)/(1-e^2 sin^2 phi)
+        #                       - (1/2e) ln((1-e sin phi)/(1+e sin phi))]
+        s = np.sin(phi)
+        return (1.0 - _E2) * (
+            s / (1.0 - _E2 * s * s)
+            - (1.0 / (2.0 * _E)) * np.log((1.0 - _E * s) / (1.0 + _E * s))
+        )
+
+    def forward(self, lon_deg: np.ndarray, lat_deg: np.ndarray):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        beta = np.arcsin(np.clip(self._q(phi) / self.qp, -1.0, 1.0))  # eq. 3-11
+        dl = lam - self.lam0
+        sb1, cb1 = np.sin(self.beta1), np.cos(self.beta1)
+        b = self.rq * np.sqrt(
+            2.0 / (1.0 + sb1 * np.sin(beta) + cb1 * np.cos(beta) * np.cos(dl))
+        )  # eq. 24-19
+        x = b * self.d * np.cos(beta) * np.sin(dl) + self.fe  # eq. 24-17
+        y = (b / self.d) * (cb1 * np.sin(beta) - sb1 * np.cos(beta) * np.cos(dl)) + self.fn  # eq. 24-18
+        return x, y
+
+    def inverse(self, x: np.ndarray, y: np.ndarray):
+        xp = (np.asarray(x, dtype=np.float64) - self.fe) / self.d
+        yp = (np.asarray(y, dtype=np.float64) - self.fn) * self.d
+        rho = np.sqrt(xp * xp + yp * yp)
+        # the projection center itself has rho = 0 — guard the division
+        safe_rho = np.where(rho == 0.0, 1.0, rho)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.rq), -1.0, 1.0))  # eq. 24-29
+        sb1, cb1 = np.sin(self.beta1), np.cos(self.beta1)
+        q = self.qp * (
+            np.cos(ce) * sb1 + yp * np.sin(ce) * cb1 / safe_rho
+        )  # eq. 24-27
+        q = np.where(rho == 0.0, self.qp * sb1, q)
+        lam = self.lam0 + np.arctan2(
+            xp * np.sin(ce),
+            safe_rho * cb1 * np.cos(ce) - yp * sb1 * np.sin(ce),
+        )  # eq. 24-26
+        # latitude from q: eq. 3-16 iteration (quadratic convergence)
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(10):
+            s = np.sin(phi)
+            denom = 1.0 - _E2 * s * s
+            phi = phi + (denom * denom / (2.0 * np.cos(phi))) * (
+                q / (1.0 - _E2)
+                - s / denom
+                + (1.0 / (2.0 * _E)) * np.log((1.0 - _E * s) / (1.0 + _E * s))
+            )
+        return np.degrees(lam), np.degrees(phi)
+
+
 #: EPSG 900913 — spherical Web Mercator (ShiftAToB.score's ST_Transform target)
 EPSG_900913 = WebMercator()
 
 #: EPSG 2163 — US National Atlas Equal Area (GeoClusterer's ST_Transform target)
 EPSG_2163 = LambertAzimuthalEqualArea(lat0_deg=45.0, lon0_deg=-100.0, radius_m=6370997.0)
 
-#: EPSG 3035-like — ETRS89-LAEA Europe on the GRS80 AUTHALIC sphere.
-#: The real 3035 is ellipsoidal (Snyder's q-series on GRS80); this
-#: spherical stand-in preserves the equal-area property and the
-#: (52N, 10E) center / false origin but deviates from the ellipsoidal
-#: grid by up to ~0.2%% in position — a documented sandbox boundary
-#: (no proj library), same approximation class the reference's own
-#: sphere-datum 2163 uses exactly.
+#: EPSG 3035 — ETRS89-extended / LAEA Europe, the REAL ellipsoidal
+#: formulation (Snyder q-series on GRS80), center (52N, 10E), false
+#: origin (4321000, 3210000).
+EPSG_3035 = EllipsoidalLAEA(
+    lat0_deg=52.0, lon0_deg=10.0,
+    false_easting=4321000.0, false_northing=3210000.0,
+)
+
+#: The r3 authalic-sphere stand-in for 3035, kept for comparability and
+#: as the cheap spherical option (deviates from the ellipsoidal grid by
+#: up to ~0.3% in position; equal-area property holds on its sphere).
 EPSG_3035_SPHERICAL = LambertAzimuthalEqualArea(
     lat0_deg=52.0, lon0_deg=10.0, radius_m=6371007.1809,
     false_easting=4321000.0, false_northing=3210000.0,
@@ -181,14 +261,15 @@ EPSG_3035_SPHERICAL = LambertAzimuthalEqualArea(
 
 def projection_for_srid(srid: int):
     """The metric frames the reference hard-codes (900913 scoring, 2163
-    clustering, 2249 rotation), plus the spherical 3035 stand-in for
-    Europe-LAEA workloads."""
+    clustering, 2249 rotation), plus ellipsoidal 3035 for Europe-LAEA
+    workloads (the spherical stand-in stays reachable as
+    ``EPSG_3035_SPHERICAL`` for callers that want the r3 grid)."""
     if srid == 900913 or srid == 3857:
         return EPSG_900913
     if srid == 2163:
         return EPSG_2163
     if srid == 3035:
-        return EPSG_3035_SPHERICAL
+        return EPSG_3035
     if srid == 2249:
         return EPSG_2249
     raise ValueError(f"no projection parameter set for SRID {srid}")

@@ -207,9 +207,8 @@ def test_epsg3035_spherical_frame_properties():
     defining equal-area property)."""
     import numpy as np
 
-    from fagi_gis_spark.geometry.projection import projection_for_srid
+    from fagi_gis_spark.geometry.projection import EPSG_3035_SPHERICAL as p
 
-    p = projection_for_srid(3035)
     x0, y0 = p.forward(np.array([10.0]), np.array([52.0]))
     assert abs(x0[0] - 4321000.0) < 1e-6 and abs(y0[0] - 3210000.0) < 1e-6
     x1, y1 = p.forward(np.array([10.0]), np.array([53.0]))
@@ -239,3 +238,55 @@ def test_epsg3035_spherical_frame_properties():
         * R
     )
     assert abs(area - sphere_area) / sphere_area < 1e-3
+
+
+def test_epsg3035_ellipsoidal_published_sample_and_roundtrip():
+    """The real (ellipsoidal, GRS80 q-series) EPSG 3035: the published
+    EPSG Guidance Note 7-2 LAEA worked example — (50N, 5E) ->
+    E 3962799.45, N 2999718.85 — reproduces to the centimeter; the
+    false origin maps to the (52N, 10E) center both ways; forward ->
+    inverse round-trips to ~1e-9 degrees across Europe; and the
+    ellipsoidal grid diverges from the r3 spherical stand-in by ~1 km
+    at the sample point (why the stand-in was only a stand-in).
+    ``projection_for_srid(3035)`` now routes here."""
+    import numpy as np
+
+    from fagi_gis_spark.geometry.projection import (
+        EPSG_3035,
+        EPSG_3035_SPHERICAL,
+        projection_for_srid,
+    )
+
+    assert projection_for_srid(3035) is EPSG_3035
+    x, y = EPSG_3035.forward(np.array([5.0]), np.array([50.0]))
+    assert abs(x[0] - 3962799.45) < 0.01 and abs(y[0] - 2999718.85) < 0.01
+    x0, y0 = EPSG_3035.forward(np.array([10.0]), np.array([52.0]))
+    assert abs(x0[0] - 4321000.0) < 1e-6 and abs(y0[0] - 3210000.0) < 1e-6
+    lo0, la0 = EPSG_3035.inverse(np.array([4321000.0]), np.array([3210000.0]))
+    assert abs(lo0[0] - 10.0) < 1e-9 and abs(la0[0] - 52.0) < 1e-9
+    # round-trip across a Europe-wide lattice
+    lons = np.linspace(-10.0, 30.0, 9)
+    lats = np.linspace(35.0, 70.0, 8)
+    glon, glat = np.meshgrid(lons, lats)
+    fx, fy = EPSG_3035.forward(glon.ravel(), glat.ravel())
+    rlon, rlat = EPSG_3035.inverse(fx, fy)
+    assert np.abs(rlon - glon.ravel()).max() < 1e-8
+    assert np.abs(rlat - glat.ravel()).max() < 1e-8
+    # ellipsoid-vs-sphere divergence is real (~1.1 km at the sample)
+    xs, ys = EPSG_3035_SPHERICAL.forward(np.array([5.0]), np.array([50.0]))
+    assert 500.0 < np.hypot(xs[0] - x[0], ys[0] - y[0]) < 2000.0
+    # equal-area property on the ellipsoid: a small quad's projected
+    # area matches the ellipsoidal surface area (authalic sphere area)
+    eps = 0.01
+    qlon = np.array([10.0, 10.0 + eps, 10.0 + eps, 10.0])
+    qlat = np.array([52.0, 52.0, 52.0 + eps, 52.0 + eps])
+    px, py = EPSG_3035.forward(qlon, qlat)
+    area = 0.5 * abs(
+        sum(px[i] * py[(i + 1) % 4] - px[(i + 1) % 4] * py[i] for i in range(4))
+    )
+    # ellipsoidal zone area via the q-series: A = a^2 * dlam * (q2-q1)/2
+    a = 6378137.0
+    q1 = EPSG_3035._q(np.radians(np.array([52.0])))[0]
+    q2 = EPSG_3035._q(np.radians(np.array([52.0 + eps])))[0]
+    ell_area = a * a * np.radians(eps) * (q2 - q1) / 2.0
+    assert abs(area - ell_area) / ell_area < 1e-3
