@@ -335,27 +335,84 @@ def lsh_topk(
     emb: DataFrame,
     k: int = 5,
     n_tables: int = 16,
-    bits_per_table: int = 6,
+    bits_per_table: int | str = "auto",
     dim: int = 64,
     quantize: int = 1000,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates from any shared LSH bucket across
     tables, exact integer re-rank in-bucket. Shuffle is bounded by bucket
-    width x table count — no cross join."""
-    sig = hyperplane_signatures(emb, n_tables=n_tables, bits_per_table=bits_per_table, dim=dim)
-    base = sig.withColumn(
-        "v", F.transform("embedding", lambda x: F.round(x.cast("double") * quantize).cast("long"))
-    ).withColumn("n", _dot(F.col("v"), F.col("v")))
+    width x table count — no cross join.
 
-    l = base.select("bucket", F.col("vec_id"), F.col("v").alias("va"), F.col("n").alias("na"))
-    r = base.select(
-        "bucket", F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("vb"), F.col("n").alias("nb"),
-    )
+    ``multiprobe=1`` (default) also probes, for each query and table,
+    the ``bits_per_table`` buckets at hamming distance 1 from the
+    query's signature — pure JVM bit-flips on the bucket key, no extra
+    signature pass.  On near-uniform embeddings (this repo's synthetic
+    corpus: top-5 neighbors at cos ~0.29, per-bit collision ~0.59)
+    multi-probe lifts per-table recall ~5x (0.04 -> 0.22) and aggregate
+    16-table recall to >0.9 where single-probe sat near 0.4 — the
+    published multi-probe LSH result (Lv et al., VLDB'07: perturbed
+    buckets stand in for extra tables).  Candidate volume grows by
+    ~(1 + bits) probes/table.
+
+    ``bits_per_table="auto"`` (default) holds per-bucket width roughly
+    constant as the corpus grows: bits = clamp(ceil(log2(n/24)), 4, 16)
+    from one planning count (the AQE-statistics analog, like hex
+    auto-res) — candidate volume then scales ~linearly in n instead of
+    quadratically, which is the 100x scale path.  Measured honestly at
+    the test scales, though: the blocked brute-force matmul
+    (``cosine_topk``) still wins sf0.1 (n=2000: 2.0s exact vs 7.7s
+    LSH at recall 0.96) — a few megabytes of integer matmul beat any
+    shuffle-join candidate machinery; LSH's crossover sits where the
+    n^2 pair volume stops fitting per-task working sets (n in the
+    millions), exactly where brute force stops being runnable.  So LSH
+    is the *scale escape hatch*, not the small-n fast path — which is
+    why the headline bench keeps ``ann_cosine_topk`` and this stays
+    recall-gated in pytest.  ``multiprobe=0`` restores single-probe."""
+    if bits_per_table == "auto":
+        import math
+
+        n_rows = emb.count()
+        bits_per_table = min(16, max(4, math.ceil(math.log2(max(n_rows, 2) / 24.0))))
+    sig = hyperplane_signatures(emb, n_tables=n_tables, bits_per_table=bits_per_table, dim=dim)
+
+    # candidate generation carries IDS ONLY — the dim-length quantized
+    # vectors join back after the pair dedup (carrying 64-long arrays
+    # through the exploded bucket join was the dominant cost: measured
+    # 39s -> ~8s at sf0.1)
+    if multiprobe:
+        # bucket = table * 2^bits + sig: flipping signature bit i is a
+        # XOR on the packed key (the table prefix is untouched)
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(bits_per_table)
+            ],
+        )
+        l = sig.select(F.explode(probes).alias("bucket"), F.col("vec_id"))
+    else:
+        l = sig.select("bucket", "vec_id")
+    r = sig.select("bucket", F.col("vec_id").alias("neighbor_id"))
     pairs = (
         l.join(r, "bucket")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
         .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("__vid"),
+        F.transform("embedding", lambda x: F.round(x.cast("double") * quantize).cast("long")).alias("__v"),
+    ).withColumn("__n", _dot(F.col("__v"), F.col("__v")))
+    pairs = (
+        pairs.join(
+            vecs.select(F.col("__vid").alias("vec_id"), F.col("__v").alias("va"), F.col("__n").alias("na")),
+            "vec_id",
+        )
+        .join(
+            vecs.select(F.col("__vid").alias("neighbor_id"), F.col("__v").alias("vb"), F.col("__n").alias("nb")),
+            "neighbor_id",
+        )
     )
     cos = _dot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
         F.col("na").cast("double") * F.col("nb").cast("double")

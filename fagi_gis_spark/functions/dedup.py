@@ -382,6 +382,102 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("component_id"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 50,
+    return_rounds: bool = False,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the diameter-robust escape hatch documented in
+    ``connected_components``: min-label propagation needs diameter
+    rounds (a 10k-node chain = 10k shuffles), star contraction
+    converges in O(log n) rounds on ANY topology.
+
+    large-star: every node u points its larger neighbors at
+    m = min(neighbors(u) + {u}); small-star: every node points its
+    smaller-or-equal neighbors (and itself) at the minimum of that set.
+    The edge set converges to per-component stars centered at the
+    component minimum.  Convergence is detected by an order-insensitive
+    (count, xor-of-hashes) fingerprint of the edge set — one tiny agg
+    per round; each round's edges are localCheckpoint-ed so the plan
+    doesn't deepen (same per-round materialization rule as the label-
+    propagation variant).  Output schema matches
+    ``connected_components``: (doc_id, component_id = min member);
+    ``return_rounds=True`` returns ``(labels, rounds)`` so callers and
+    tests can assert the O(log n) round bound."""
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("u").alias("id")).unionByName(
+        e.select(F.col("v").alias("id"))
+    ).distinct().localCheckpoint()
+
+    def fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.hash("u", "v")), F.lit(0)).alias("x"),
+        ).first()
+        return (row.n, row.x)
+
+    def large_star(df: DataFrame) -> DataFrame:
+        nbrs = df.unionByName(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.withColumn("m", F.least(F.col("mn"), F.col("u"))).drop("mn")
+        return (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # orient toward the smaller endpoint: u is the larger one
+        oriented = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        pointed = oriented.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        selfed = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            pointed.unionByName(selfed)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    fp = fingerprint(e)
+    rounds = 0
+    for _ in range(max_iter):
+        new_e = small_star(large_star(e)).localCheckpoint()
+        new_fp = fingerprint(new_e)
+        e = new_e
+        rounds += 1
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # converged edge set is a star u -> component min; isolated centers
+    # (and any node appearing only as a center) label themselves
+    labels = e.groupBy("u").agg(F.min("v").alias("component_id"))
+    out = (
+        nodes.join(labels, nodes.id == labels.u, "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("component_id"), F.col("id")).alias("component_id"),
+        )
+    )
+    if return_rounds:
+        return out, rounds
+    return out
+
+
 def dedup_survivors(docs: DataFrame, components: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Keep one document per component (the min-id canonical survivor);
     documents with no duplicate edges survive untouched."""

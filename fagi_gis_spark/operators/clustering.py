@@ -112,11 +112,21 @@ def cluster_links(
     algo: str = "gmm",
     seed: int = 42,
     max_iter: int = 100,
+    tol: float = 0.01,
     metric_srid: int | None = None,
 ) -> DataFrame:
     """Assign each link a cluster id. Output:
     (node_a, node_b, cluster_id) — the reference's ``cluster`` relation
-    (schema.sql:92-95) that fuseCluster consumes."""
+    (schema.sql:92-95) that fuseCluster consumes.
+
+    Fit cost is bounded explicitly (the r3 replay spent 34s here): the
+    assembled feature table is PERSISTED before the EM loop — without
+    it every EM iteration re-executes the feature lineage (two layer
+    joins + the displacement/coverage kernels) — and compacted to a few
+    partitions so per-iteration task-scheduling overhead doesn't
+    dominate the tiny (~10k-row) feature table; ``max_iter=100`` +
+    ``tol`` mirror Weka EM's -I 100 / minLogLikelihoodImprovement stop
+    (GeoClusterer.java:100-253)."""
     from pyspark.ml.clustering import GaussianMixture, KMeans
     from pyspark.ml.feature import VectorAssembler
 
@@ -128,18 +138,22 @@ def cluster_links(
     va = VectorAssembler(
         inputCols=["dist_m", "dir_x", "dir_y", "coverage"], outputCol="features"
     )
-    vec = va.transform(feats)
-    if algo == "gmm":  # Weka EM analogue, -I 100
-        model = GaussianMixture(k=k, maxIter=max_iter, seed=seed).fit(vec)
-    elif algo == "kmeans":  # the commented-out reference option
-        model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(vec)
-    else:
-        raise ValueError(algo)
-    return (
-        model.transform(vec)
-        .select(
-            F.col("subject_a").alias("node_a"),
-            F.col("subject_b").alias("node_b"),
-            F.col("prediction").cast("int").alias("cluster_id"),
+    vec = va.transform(feats).coalesce(8).persist()
+    try:
+        if algo == "gmm":  # Weka EM analogue, -I 100
+            model = GaussianMixture(k=k, maxIter=max_iter, tol=tol, seed=seed).fit(vec)
+        elif algo == "kmeans":  # the commented-out reference option
+            model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(vec)
+        else:
+            raise ValueError(algo)
+        return (
+            model.transform(vec)
+            .select(
+                F.col("subject_a").alias("node_a"),
+                F.col("subject_b").alias("node_b"),
+                F.col("prediction").cast("int").alias("cluster_id"),
+            )
+            .localCheckpoint()
         )
-    )
+    finally:
+        vec.unpersist()

@@ -48,12 +48,31 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Long-stable oracle-backed queries rotated OUT of the driver's 50-slot
+# gate window for round 4 (r3 VERDICT ask #9): these r1-era fusion/
+# metadata queries have been gate-green since round 1 and are unchanged,
+# so their slots go to the 14 oracle-backed queries that sat past the
+# window (late_fetch_metadata, knn_adaptive, clean_corpus, ...) and were
+# only replay-verified.  Demoted queries stay fully oracle-backed —
+# tools/driver_sim.py replays the complete set every round.
+_GATE_DEMOTED = [
+    "fuse_keep_a", "fuse_keep_b", "fuse_keep_both", "fuse_most_points",
+    "fuse_concatenation", "fuse_shift_a_to_b", "fuse_shift_b_to_a",
+    "fuse_avg_points", "fuse_shift_poly_avg_dist", "fuse_shift_poly_to_point",
+    "fuse_most_points_translate", "fuse_scale_b", "fuse_keep_a_offset",
+    "metadata_keep_a",
+]
+
+
 def queries() -> dict[str, QueryFn]:
     # Oracle-backed queries first (registration order preserved within each
     # group): the grading driver gates only the first 50 entries, so the
     # rows-only hash/ML/codec queries must not occupy gated slots while
-    # oracle-exact queries sit past the window.
-    ordered = {n: f for n, f in _QUERIES.items() if n in _ORACLES}
+    # oracle-exact queries sit past the window.  Within the oracle-backed
+    # group, _GATE_DEMOTED rotates to the back (coverage rotation).
+    demoted = set(_GATE_DEMOTED)
+    ordered = {n: f for n, f in _QUERIES.items() if n in _ORACLES and n not in demoted}
+    ordered.update({n: _QUERIES[n] for n in _GATE_DEMOTED if n in _QUERIES})
     ordered.update({n: f for n, f in _QUERIES.items() if n not in _ORACLES})
     return ordered
 

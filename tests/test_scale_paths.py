@@ -323,6 +323,38 @@ def test_connected_components_chains_cycles_isolated(spark):
     assert sorted(kept.doc_id) == [1, 10, 20, 99]  # min per comp + untouched 99
 
 
+def test_connected_components_star_contraction(spark):
+    """Star contraction (large-star/small-star) is the diameter-robust
+    CC variant: a 10k-node path graph — the adversarial topology where
+    min-label propagation needs 10k rounds — converges in O(log n)
+    rounds with the correct single component, and on a mixed
+    chain/cycle/pair graph it matches label propagation exactly."""
+    from fagi_gis_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 10_000
+    path = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    labels, rounds = connected_components_star(path, return_rounds=True)
+    out = labels.toPandas()
+    assert len(out) == n
+    assert (out.component_id == 0).all()
+    # diameter 10k, rounds logarithmic (log2(10k) ~ 13.3; alternating
+    # stars need a small multiple of that)
+    assert rounds <= 30, f"star contraction took {rounds} rounds"
+
+    mixed = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    star = connected_components_star(mixed).toPandas()
+    prop = connected_components(mixed).toPandas()
+    assert dict(zip(star.doc_id, star.component_id)) == dict(
+        zip(prop.doc_id, prop.component_id)
+    )
+
+
 def test_knn_adaptive_equals_bruteforce(spark):
     """Adaptive ring-doubling kNN must equal the unbounded brute-force
     top-k wherever probes reach k neighbors — including probes whose k-th

@@ -91,7 +91,9 @@ def test_ann_lsh_recall_vs_exact(spark):
     e = set(map(tuple, exact[["vec_id", "neighbor_id"]].itertuples(index=False)))
     a = set(map(tuple, approx[["vec_id", "neighbor_id"]].itertuples(index=False)))
     recall = len(e & a) / len(e)
-    assert recall > 0.3, f"LSH recall too low: {recall}"  # approximate, bounded shuffle
+    # multi-probe (hamming-1 buckets) holds recall >= 0.8 on this
+    # near-uniform corpus where single-probe 16x6 sat near 0.4
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
 
 
 def test_cluster_links_assigns_all(spark):
