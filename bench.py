@@ -90,30 +90,88 @@ def run(sf_dir: str | None = None, cores: str | None = None, names=None) -> dict
     # numbers can't give. Disable with SPARK_GRAFT_SCALE_PROBE=0.
     scale_probe = None
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        from fagi_gis_spark.index import tiles as tiling
         from fagi_gis_spark.operators.spatial_join import radius_join
 
-        n_probe = int(os.environ.get("SPARK_GRAFT_SCALE_PROBE_N", "4000000"))
-        pts = spark.range(0, n_probe, 1, int(cores)).select(
-            F.col("id").cast("string").alias("subject"),
-            # hash-scattered over a ~333x166 km window at lat 50-51.5
-            # (a multiplicative lattice would leave points collinear and
-            # ~10x the true neighbour count): ~3-5 neighbours per probe at
-            # 150 m, so output stays O(input) and the probe measures join
-            # machinery, not pair materialization volume
-            (F.lit(-1.5) + F.pmod(F.xxhash64(F.col("id")), F.lit(3000000)) / 1e6).alias("lon"),
-            (F.lit(50.0) + F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(1500000)) / 1e6).alias("lat"),
-        )
+        # 20M rows (r3 ask #8: push past the 4M probe): the flagship
+        # salted radius join PLUS the z/x/y tile assignment on its
+        # output — the headline join+tile path end to end
+        n_probe = int(os.environ.get("SPARK_GRAFT_SCALE_PROBE_N", "20000000"))
+
+        def layer(n):
+            return spark.range(0, n, 1, int(cores)).select(
+                F.col("id").cast("string").alias("subject"),
+                # hash-scattered over a ~333x166 km window at lat 50-51.5
+                # (a multiplicative lattice would leave points collinear
+                # and ~10x the true neighbour count): ~3-5 neighbours per
+                # probe at 150 m, so output stays O(input) and the probe
+                # measures join machinery, not pair materialization volume
+                (F.lit(-1.5) + F.pmod(F.xxhash64(F.col("id")), F.lit(3000000)) / 1e6).alias("lon"),
+                (F.lit(50.0) + F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(1500000)) / 1e6).alias("lat"),
+            )
+
+        pts = layer(n_probe)
         other = pts.withColumn("lon", F.col("lon") + 0.0005).withColumn(
             "subject", F.concat(F.lit("b"), F.col("subject"))
         )
         t0 = time.time()
-        radius_join(pts, other, 150.0).write.format("noop").mode("overwrite").save()
+        joined = radius_join(pts, other, 150.0)
+        joined.withColumn(
+            "tile", tiling.cell_id_col((F.col("l_lon") + F.col("r_lon")) / 2,
+                                       (F.col("l_lat") + F.col("r_lat")) / 2, 15)
+        ).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         scale_probe = {
             "rows": n_probe,
             "sec": round(dt, 3),
             "rows_per_sec": round(n_probe / dt, 1),
+            "path": "salted radius_join + z15 tile assignment",
         }
+
+        # bucketed-build variant: build side persisted bucketed by cell
+        # (the 100 TB storage layout), probe join reads it with no
+        # build-side exchange; write cost reported separately from join
+        n_b = int(os.environ.get("SPARK_GRAFT_SCALE_PROBE_BUCKETED_N", "4000000"))
+        if n_b > 0:
+            from fagi_gis_spark.index.tiles import cell_id_col
+            from fagi_gis_spark.operators.spatial_join import (
+                join_res_for_radius,
+                radius_join_bucketed,
+            )
+
+            z = join_res_for_radius(150.0)
+            tbl = "bench_bucketed_build"
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            try:
+                t_write = time.time()
+                (
+                    layer(n_b)
+                    .withColumn("lon", F.col("lon") + 0.0005)
+                    .select(
+                        F.col("subject").alias("r_key"),
+                        F.col("lon").alias("r_lon"),
+                        F.col("lat").alias("r_lat"),
+                    )
+                    .withColumn("cell", cell_id_col(F.col("r_lon"), F.col("r_lat"), z))
+                    .write.bucketBy(64, "cell")
+                    .sortBy("cell")
+                    .mode("overwrite")
+                    .saveAsTable(tbl)
+                )
+                write_sec = time.time() - t_write
+                t_join = time.time()
+                radius_join_bucketed(layer(n_b), spark.table(tbl), 150.0).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                join_sec = time.time() - t_join
+                scale_probe["bucketed"] = {
+                    "rows": n_b,
+                    "build_write_sec": round(write_sec, 3),
+                    "join_sec": round(join_sec, 3),
+                    "join_rows_per_sec": round(n_b / join_sec, 1),
+                }
+            finally:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {

@@ -543,7 +543,10 @@ def pair_feature_matrix(
         (maxxa < minxb) | (maxxb < minxa) | (maxya < minyb) | (maxyb < minya)
     )
     for i in np.nonzero(env_overlap & valid)[0]:
-        ga, gb = parse_wkt(wkt_a.iat[i]), parse_wkt(wkt_b.iat[i])
+        try:
+            ga, gb = parse_wkt(wkt_a.iat[i]), parse_wkt(wkt_b.iat[i])
+        except ValueError:
+            continue  # malformed WKT -> no topology bits (primitives_of idiom)
         if ga is None or gb is None:
             continue
         try:
@@ -597,10 +600,14 @@ def with_side_primitives(pairs: DataFrame, side: str) -> DataFrame:
     linked_pairs' summary join)."""
     subj, wkt, out_col = f"subject_{side}", f"wkt_{side}", f"__p{side}"
     n_shuffle = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # join back on BOTH (subject, wkt): a subject carrying two distinct
+    # WKTs (possible in a malformed or multi-version layer) must not fan
+    # out the pair table or attach one geometry's primitives to the
+    # other's wkt column
     prim = (
         pairs.select(subj, wkt)
         .distinct()
-        .repartition(n_shuffle, subj)
-        .select(subj, u_feat_primitives(F.col(wkt)).alias(out_col))
+        .repartition(n_shuffle, subj, wkt)
+        .select(subj, wkt, u_feat_primitives(F.col(wkt)).alias(out_col))
     )
-    return pairs.join(prim, subj)
+    return pairs.join(prim, [subj, wkt])

@@ -118,17 +118,32 @@ def radius_join(
     if z is None:
         z = join_res_for_radius(radius_m)
 
-    l = left.select(
-        F.col(lk).alias("l_key"), F.col(llon).alias("l_lon"), F.col(llat).alias("l_lat")
-    )
     r = right.select(
         F.col(rk).alias("r_key"), F.col(rlon).alias("r_lon"), F.col(rlat).alias("r_lat")
     ).withColumn("cell", cell_id_col(F.col("r_lon"), F.col("r_lat"), z))
 
-    # probe side: ring-1 neighborhood. x wraps modulo 2^z so probes in the
-    # first/last tile column still see build rows across the antimeridian;
-    # y never wraps (the poles are not adjacent — out-of-range y cells
-    # simply match nothing). 9 rows per probe point.
+    l = _ring1_probe(left, left_cols, z)
+
+    joined = _salted_cell_join(l, r, salt_threshold, n_salt)
+
+    # lon delta wraps at the antimeridian (|dlon| <= 180); identical to the
+    # reference's planar formula everywhere away from the seam, where the
+    # reference (degree-space FILTER) silently finds nothing.
+    return _refine_and_select(joined, radius_m)
+
+
+def _ring1_probe(
+    left: DataFrame, left_cols: tuple[str, str, str], z: int
+) -> DataFrame:
+    """Probe side of the square-tile strategies: each point explodes to
+    its ring-1 (3x3) cell neighborhood.  x wraps modulo 2^z so probes in
+    the first/last tile column still see build rows across the
+    antimeridian; y never wraps (the poles are not adjacent —
+    out-of-range y cells simply match nothing). 9 rows per probe point."""
+    lk, llon, llat = left_cols
+    l = left.select(
+        F.col(lk).alias("l_key"), F.col(llon).alias("l_lon"), F.col(llat).alias("l_lat")
+    )
     neigh = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -138,7 +153,7 @@ def radius_join(
     n_x = 2**z
     tx = tile_x_col(F.col("l_lon"), z)
     ty = tile_y_col(F.col("l_lat"), z)
-    l = (
+    return (
         l.withColumn("__o", F.explode(neigh))
         .withColumn(
             "cell",
@@ -149,11 +164,30 @@ def radius_join(
         .drop("__o")
     )
 
-    joined = _salted_cell_join(l, r, salt_threshold, n_salt)
 
-    # lon delta wraps at the antimeridian (|dlon| <= 180); identical to the
-    # reference's planar formula everywhere away from the seam, where the
-    # reference (degree-space FILTER) silently finds nothing.
+def radius_join_bucketed(
+    probe: DataFrame,
+    build_table: DataFrame,
+    radius_m: float,
+    left_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
+    z: int | None = None,
+) -> DataFrame:
+    """J5 against a PRE-BUCKETED build table — the 100 TB storage-aware
+    variant: ``build_table`` must already carry
+    (r_key, r_lon, r_lat, cell) with ``cell`` the tile id at
+    ``join_res_for_radius(radius_m)`` (written via
+    ``.write.bucketBy(n, "cell").sortBy("cell").saveAsTable(...)``).
+    Joining on the STORED cell column lets Spark use the bucket
+    HashPartitioning directly: the build side reads shuffle-free
+    (SelectedBucketsCount in the plan, zero build-side Exchange —
+    asserted in test_cell_bucketed_radius_join_build_side_no_exchange);
+    only the exploded probe side shuffles to align.  No salting here:
+    the bucket layout already fixes the build-side placement, so hot
+    cells should be handled at WRITE time (finer z or more buckets)."""
+    if z is None:
+        z = join_res_for_radius(radius_m)
+    l = _ring1_probe(probe, left_cols, z)
+    joined = l.join(build_table, ["cell"], "inner")
     return _refine_and_select(joined, radius_m)
 
 

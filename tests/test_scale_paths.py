@@ -667,43 +667,17 @@ def test_cell_bucketed_radius_join_build_side_no_exchange(spark, tmp_path):
     )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        r = spark.table("poi_b_cellbkt")
-        from fagi_gis_spark.index.tiles import _X_MULT, _Z_MULT, tile_x_col, tile_y_col
+        from fagi_gis_spark.operators.spatial_join import radius_join, radius_join_bucketed
 
-        l = L["poi_a"].select(
-            F.col("subject").alias("l_key"),
-            F.col("lon").alias("l_lon"),
-            F.col("lat").alias("l_lat"),
-        )
-        neigh = F.array(
-            *[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ]
-        )
-        tx = tile_x_col(F.col("l_lon"), z)
-        ty = tile_y_col(F.col("l_lat"), z)
-        l = (
-            l.withColumn("__o", F.explode(neigh))
-            .withColumn(
-                "cell",
-                F.lit(z * _Z_MULT).cast("long")
-                + F.pmod(tx + F.col("__o.dx"), F.lit(2**z).cast("long"))
-                * F.lit(_X_MULT).cast("long")
-                + (ty + F.col("__o.dy")),
-            )
-            .drop("__o")
-        )
-        j = l.join(r, ["cell"], "inner").filter(
-            F.sqrt(
-                (F.col("l_lon") - F.col("r_lon")) * (F.col("l_lon") - F.col("r_lon"))
-                + (F.col("l_lat") - F.col("r_lat")) * (F.col("l_lat") - F.col("r_lat"))
-            )
-            * 111195.0
-            <= 150.0
-        )
-        assert len(j.collect()) > 0  # executes THIS queryExecution (AQE final)
+        j = radius_join_bucketed(
+            L["poi_a"], spark.table("poi_b_cellbkt"), 150.0
+        ).select("l_key", "r_key")
+        rows = j.collect()
+        assert len(rows) > 0  # executes THIS queryExecution (AQE final)
+        # and the storage-aware variant is output-identical to the
+        # in-memory strategy
+        plain = radius_join(L["poi_a"], L["poi_b"], 150.0).select("l_key", "r_key")
+        assert set(map(tuple, rows)) == set(map(tuple, plain.collect()))
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan
         assert "SelectedBucketsCount" in plan  # build side read via buckets
