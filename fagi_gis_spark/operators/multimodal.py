@@ -4,11 +4,12 @@ frame-sample over opaque binary payloads.
 Image/audio/video bytes stay an opaque ``binary`` column with typed
 metadata (the input_hint shape); the operators below are Arrow-batched
 ``mapInPandas`` stages, so the Spark-side plumbing — schema, batching,
-partition flow — is identical for any codec. In this sandbox only the PNG
-container decodes for real (sources/png.py); JPEG/WebP/audio/video decode
-is a deliberate stub (`NotImplementedError` / deterministic fake) per the
-driver instruction — swapping in a real codec library changes only the
-kernel body, not the plan.
+partition flow — is identical for any codec. PNG (sources/png.py) and
+baseline JPEG (sources/jpeg.py) decode for real — both from-scratch
+codecs; WebP/audio/video decode remains a deliberate stub
+(`NotImplementedError` / deterministic fake) per the driver instruction —
+swapping in a real codec library changes only the kernel body, not the
+plan.
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fagi_gis_spark.sources.images import decode_pixels, phash64
+from fagi_gis_spark.sources.images import decode_pixels, phash64, try_decode_pixels
 from fagi_gis_spark.sources.png import encode_png_gray
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -26,16 +27,16 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def decode_stats(images: DataFrame) -> DataFrame:
     """Decode every payload and emit pixel statistics + a pHash
-    verification bit (decoded pHash == stored pHash). Real decode for PNG;
-    non-PNG rows emit decode_ok = false (stubbed codec)."""
+    verification bit (decoded pHash == stored pHash). Real decode for
+    PNG and baseline JPEG (both from-scratch codecs); containers beyond
+    those emit decode_ok = false (stubbed)."""
 
     def op(batches):
         for pdf in batches:
             rows = []
             for img_id, data, ph in zip(pdf["image_id"], pdf["bytes"], pdf["phash"]):
-                data = bytes(data)
-                if data[:8] == _PNG_SIG:
-                    px = decode_pixels(data)
+                px = try_decode_pixels(bytes(data))
+                if px is not None:
                     rows.append(
                         (
                             img_id,
@@ -83,10 +84,10 @@ def resize_images(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFr
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                data = bytes(r.bytes)
-                if data[:8] != _PNG_SIG:
-                    continue  # stubbed codec: skip (documented)
-                px = _block_mean_resize(decode_pixels(data), out_w, out_h)
+                raw = try_decode_pixels(bytes(r.bytes))
+                if raw is None:
+                    continue  # still-stubbed codecs: skip (documented)
+                px = _block_mean_resize(raw, out_w, out_h)
                 rows.append(
                     (r.image_id, encode_png_gray(px), out_w, out_h, "png", r.caption, phash64(px))
                 )
@@ -126,8 +127,8 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def phash_variants(images: DataFrame) -> DataFrame:
-    """Decode each image, apply the 4-level quantization (the simulated
-    lossy re-encode), and re-hash — emits (image_id 'v:'+id, phash) for
+    """Decode each image (PNG or real baseline JPEG), apply the 4-level
+    quantization (a second simulated lossy re-encode), and re-hash — emits (image_id 'v:'+id, phash) for
     the perturbed copy. The full decode -> transform -> perceptual-hash
     loop runs inside one mapInPandas batch (Arrow in, Arrow out)."""
     import numpy as np
@@ -137,10 +138,9 @@ def phash_variants(images: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
-                data = bytes(data)
-                if data[:8] != _PNG_SIG:
-                    continue  # non-PNG codecs are stubbed (decode_stats idiom)
-                px = decode_pixels(data)
+                px = try_decode_pixels(bytes(data))
+                if px is None:
+                    continue  # still-stubbed codecs (decode_stats idiom)
                 q = ((px.astype(np.int32) // 4) * 4 + 2).clip(0, 255).astype(np.uint8)
                 rows.append(("v:" + img_id, phash64(q)))
             yield pd.DataFrame(rows, columns=["image_id", "phash"])
@@ -153,8 +153,9 @@ def phash_variants(images: DataFrame) -> DataFrame:
 def phash_neardup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Perceptual near-duplicate pairs over an image corpus: original
     pHashes unioned with their decoded-and-requantized variants, then
-    the banded 64-bit hamming join (4x16-bit blocks, exact popcount
-    refine) — the image-payload twin of SimHash text dedup."""
+    the banded 64-bit hamming join (``max_hamming + 1`` blocks ->
+    pigeonhole-complete recall at the advertised threshold, exact
+    popcount refine) — the image-payload twin of SimHash text dedup."""
     from fagi_gis_spark.functions.dedup import simhash_near_pairs
 
     sigs = images.select("image_id", "phash").unionByName(phash_variants(images))
@@ -238,10 +239,9 @@ def raster_to_vector(
             for img_id, data, g_lon, g_lat in zip(
                 pdf["image_id"], pdf["bytes"], pdf["g_lon"], pdf["g_lat"]
             ):
-                data = bytes(data)
-                if data[:8] != _PNG_SIG:
-                    continue  # non-PNG codecs are stubbed (decode_stats idiom)
-                px = decode_pixels(data)
+                px = try_decode_pixels(bytes(data))
+                if px is None:
+                    continue  # still-stubbed codecs (decode_stats idiom)
                 labels = _label_components(px >= threshold)
                 # single pass: group foreground pixels by label via argsort
                 fys, fxs = np.nonzero(labels)

@@ -1194,7 +1194,7 @@ def image_phash_neardup(spark, sf_dir):
     table (operators/multimodal.phash_neardup_pairs): originals unioned
     with decoded-and-requantized variants (hamming 0-4 from their
     source, verified), then the banded 64-bit hamming join. No SQL
-    oracle (pHash needs the PNG decode + DCT); the pytest twin checks
+    oracle (pHash needs the PNG/JPEG decode + DCT); the pytest twin checks
     banding == brute-force hamming pairs and variant recall."""
     from fagi_gis_spark.operators.multimodal import phash_neardup_pairs
     from fagi_gis_spark.sources.images import generate_images
@@ -1429,7 +1429,7 @@ def events_topk_users(spark, sf_dir):
     )
 
 
-@register("multimodal_decode_stats")  # PNG decode: pytest oracle only
+@register("multimodal_decode_stats")  # PNG/JPEG decode: pytest oracle only
 def multimodal_decode_stats(spark, sf_dir):
     """Decode + pixel stats + pHash verification over a deterministic
     synthesized images table (the input_hint shape; sf-independent)."""

@@ -3,11 +3,13 @@ shape: (image_id string, bytes binary, w int, h int, fmt string,
 caption string, phash int64).
 
 Seed-pinned (FIXTURES.md §1): pixel content is a solid tone + seeded
-noise tile; "png" rows are lossless; "jpeg" rows simulate a lossy codec by
-deterministic 4-level quantization before PNG-encoding (decoded pixels
-differ from the pristine ones but stay PSNR >= 40dB, exercising the lossy
-allclose gate). pHash is a real 8x8-DCT perceptual hash over the decoded
-pixels, computed in a vectorized pandas UDF — it seeds the synthetic
+noise tile; "png" rows are lossless; "jpeg" rows carry REAL baseline
+JPEG bytes (sources/jpeg.py, from-scratch T.81 codec, quality 95 —
+decoded pixels differ from the pristine ones but stay PSNR >= 40dB,
+the north rule's lossy allclose gate; the r1-r3 quantize-then-PNG
+simulation is gone). pHash is a real 8x8-DCT perceptual hash over the
+DECODED pixels (so the stored hash always matches a re-decode, lossy or
+not), computed in a vectorized pandas UDF — it seeds the synthetic
 lon/lat geotag (operators/geotag).
 """
 
@@ -109,9 +111,7 @@ def generate_images_pdf(n: int) -> pd.DataFrame:
         h = _H_CYCLE[i % 3]
         fmt = "png" if i % 2 == 0 else "jpeg"
         px = _pixels_for(i, w, h)
-        if fmt == "jpeg":  # simulated lossy codec: quantize to 4-level steps
-            px = ((px.astype(np.int32) // 4) * 4 + 2).clip(0, 255).astype(np.uint8)
-        data = encode_png_gray(px)
+        data, px_dec = _encode_row(px, fmt)
         rows.append(
             {
                 "image_id": f"img_{i:08d}",
@@ -120,10 +120,21 @@ def generate_images_pdf(n: int) -> pd.DataFrame:
                 "h": h,
                 "fmt": fmt,
                 "caption": caption_for(i),
-                "phash": phash64(px),
+                "phash": phash64(px_dec),
             }
         )
     return pd.DataFrame(rows)
+
+
+def _encode_row(px: np.ndarray, fmt: str) -> tuple[bytes, np.ndarray]:
+    """(payload bytes, decoded pixels) for one generated row — the phash
+    is always computed on the DECODED pixels so a re-decode reproduces
+    it bit-for-bit even through the lossy codec."""
+    if fmt == "jpeg":
+        from fagi_gis_spark.sources.jpeg import encode_jpeg_gray
+
+        return encode_jpeg_gray(px, quality=95, return_decoded=True)
+    return encode_png_gray(px), px
 
 
 def generate_images(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
@@ -139,10 +150,9 @@ def generate_images(spark: SparkSession, n: int, partitions: int = 8) -> DataFra
                 w, h = _W_CYCLE[i % 3], _H_CYCLE[i % 3]
                 fmt = "png" if i % 2 == 0 else "jpeg"
                 px = _pixels_for(i, w, h)
-                if fmt == "jpeg":
-                    px = ((px.astype(np.int32) // 4) * 4 + 2).clip(0, 255).astype(np.uint8)
+                data, px_dec = _encode_row(px, fmt)
                 out.append(
-                    (f"img_{i:08d}", encode_png_gray(px), w, h, fmt, caption_for(i), phash64(px))
+                    (f"img_{i:08d}", data, w, h, fmt, caption_for(i), phash64(px_dec))
                 )
             yield pd.DataFrame(
                 out, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
@@ -153,10 +163,26 @@ def generate_images(spark: SparkSession, n: int, partitions: int = 8) -> DataFra
 
 
 def decode_pixels(data: bytes) -> np.ndarray:
-    """Decode an image payload. Only the PNG container is implemented in
-    this sandbox (no image libs); real JPEG/WebP decode is a deliberate
-    stub — the Spark-side plumbing (binary column, Arrow batching,
+    """Decode an image payload, dispatching on the container magic:
+    PNG (sources/png.py, lossless) and baseline JPEG (sources/jpeg.py,
+    real from-scratch T.81 decoder — the r4 de-stub) are implemented;
+    WebP/audio/video remain deliberate stubs (no codec libs in this
+    sandbox) — the Spark-side plumbing (binary column, Arrow batching,
     schema) is identical for any codec."""
+    data = bytes(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
-        return decode_png_gray(bytes(data))
-    raise NotImplementedError("non-PNG codecs are stubbed in this sandbox")
+        return decode_png_gray(data)
+    if data[:2] == b"\xff\xd8":
+        from fagi_gis_spark.sources.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(data)
+    raise NotImplementedError("codecs beyond PNG/JPEG are stubbed in this sandbox")
+
+
+def try_decode_pixels(data: bytes) -> np.ndarray | None:
+    """decode_pixels, but None for still-stubbed containers — the skip
+    idiom the multimodal operators use."""
+    try:
+        return decode_pixels(data)
+    except NotImplementedError:
+        return None

@@ -1,0 +1,424 @@
+"""Baseline JPEG codec (grayscale, ITU-T T.81 sequential DCT) — real
+lossy bytes for the `fmt="jpeg"` rows of the images table, replacing the
+r1-r3 "quantize-then-PNG" simulation (the largest documented codec stub;
+VERDICT r3 "What's missing" #4).
+
+Implemented from the published specification only (ITU-T Recommendation
+T.81 / ISO 10918-1): 8x8 FDCT (orthonormal DCT-II matrix), Annex-K
+luminance quantization table with IJG quality scaling, zigzag, DC
+difference + magnitude categories, AC run/size coding with ZRL/EOB,
+canonical Huffman coding, 0xFF00 byte stuffing, and the SOI/APP0/DQT/
+SOF0/DHT/SOS/EOI marker sequence.  The decoder reads DQT/DHT from the
+stream (any spec-valid tables), so the pair round-trips and the encoder
+output is a conforming JPEG any standard decoder can read.
+
+Simplifications (documented sandbox scope, all spec-conforming):
+- grayscale only (one component, no subsampling) — the corpus is gray;
+- FIXED-LENGTH canonical Huffman tables (all 12 DC symbols at 4 bits,
+  all 162 AC symbols at 8 bits, written into DHT): valid prefix codes
+  with no 16-bit all-ones pathology, chosen over the Annex-K default
+  tables so no table values need to be recalled from anything but the
+  symbol alphabet itself (bit-parity with libjpeg's entropy layer is
+  not a goal; pixel fidelity is, and that is PSNR-gated in tests);
+- no restart markers, no progressive mode.
+
+Default quality 95 keeps PSNR >= 40 dB even on the synthetic noise
+tiles (the north rule's lossy allclose gate), verified in
+tests/test_images_and_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+JPEG_SOI = b"\xff\xd8"
+
+# Annex K.1 luminance quantization table (ITU-T T.81 Table K.1)
+_QTABLE_K1 = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# zigzag scan order (T.81 Figure 5): _ZIGZAG[k] = flat index of the k-th
+# coefficient in scan order, built from the standard diagonal walk
+def _zigzag_order() -> np.ndarray:
+    order = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(s + 1) if 0 <= s - j < 8 and 0 <= j < 8]
+        if s % 2 == 0:
+            diag = diag[::-1]  # even diagonals run bottom-left -> top-right
+        order.extend(diag)
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+
+def _dct8() -> np.ndarray:
+    k = np.arange(8)
+    m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 16.0)
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * 0.5  # sqrt(2/8)
+
+
+_C8 = _dct8()
+
+
+def _quality_scaled_qtable(quality: int) -> np.ndarray:
+    """IJG quality scaling: scale = 5000/q (q<50) else 200-2q;
+    Tq = clip((T*scale + 50) // 100, 1, 255)."""
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (_QTABLE_K1 * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+# --- fixed canonical Huffman tables (see module docstring) -----------------
+
+_DC_SYMBOLS = list(range(12))  # magnitude categories 0..11
+_AC_SYMBOLS = [0x00] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+] + [0xF0]
+# canonical order = sorted by (length, symbol); all DC at 4 bits, all AC
+# at 8 bits -> canonical code of symbol i (in sorted order) is just i
+_DC_SORTED = sorted(_DC_SYMBOLS)
+_AC_SORTED = sorted(_AC_SYMBOLS)
+
+
+def _dht_payload(table_class: int, table_id: int, sorted_symbols: list[int], length: int) -> bytes:
+    bits = [0] * 16
+    bits[length - 1] = len(sorted_symbols)
+    return bytes([(table_class << 4) | table_id] + bits + sorted_symbols)
+
+
+# symbol -> canonical code index (fixed 8-bit AC codes; see docstring)
+_AC_SYM2CODE = np.full(256, -1, dtype=np.int64)
+for _i, _sym in enumerate(_AC_SORTED):
+    _AC_SYM2CODE[_sym] = _i
+
+_POW2 = (2 ** np.arange(13)).astype(np.int64)
+
+
+def _bit_sizes(v: np.ndarray) -> np.ndarray:
+    """Magnitude category (bit length of |v|) per T.81 F.1.2.1 —
+    exact integer searchsorted, no float log."""
+    return np.searchsorted(_POW2, np.abs(v.astype(np.int64)), side="right")
+
+
+def _entropy_encode(zz: np.ndarray) -> bytes:
+    """Fully vectorized entropy coder: builds (code value, bit length)
+    token arrays for the whole image — DC diffs, ZRL runs, AC
+    run/size + appended magnitude bits, EOBs — orders them with one
+    stable argsort, expands to a bit vector with repeat/cumsum
+    arithmetic, packbits, then 0xFF00 byte stuffing.  No per-symbol
+    Python loop: the r4 first cut encoded ~1 ms/image and became the
+    ingest bottleneck of the scaling bench; this path is ~all numpy."""
+    n_blocks = zz.shape[0]
+    # token sort key: (block * 70 + position) * 300 + sub
+    def key(block, pos, sub):
+        return (block * 70 + pos) * 300 + sub
+
+    vals: list[np.ndarray] = []
+    lens: list[np.ndarray] = []
+    keys: list[np.ndarray] = []
+
+    def emit(v, ln, k):
+        vals.append(v.astype(np.int64))
+        lens.append(ln.astype(np.int64))
+        keys.append(k.astype(np.int64))
+
+    blk_idx = np.arange(n_blocks, dtype=np.int64)
+    # --- DC: diff category (4-bit canonical code == the category) + bits
+    dc = zz[:, 0].astype(np.int64)
+    diff = dc - np.concatenate([[0], dc[:-1]])
+    dsize = _bit_sizes(diff)
+    emit(dsize, np.full(n_blocks, 4), key(blk_idx, 0, 0))
+    dbits = np.where(diff >= 0, diff, diff + _POW2[dsize] - 1)
+    emit(dbits, dsize, key(blk_idx, 0, 1))  # zero-length where dsize==0
+
+    # --- AC nonzeros in scan order (np.nonzero is row-major: block, pos)
+    ac = zz[:, 1:]
+    bi, pj = np.nonzero(ac)
+    if len(bi):
+        pos = pj + 1  # zigzag position 1..63
+        first = np.empty(len(bi), dtype=bool)
+        first[0] = True
+        first[1:] = bi[1:] != bi[:-1]
+        prev = np.where(first, 0, np.concatenate([[0], pos[:-1]]))
+        gap = pos - prev - 1
+        zrl_n = gap // 16
+        run = gap % 16
+        v = ac[bi, pj].astype(np.int64)
+        size = _bit_sizes(v)
+        sym = run * 16 + size
+        emit(_AC_SYM2CODE[sym], np.full(len(bi), 8), key(bi, pos, 100))
+        vbits = np.where(v >= 0, v, v + _POW2[size] - 1)
+        emit(vbits, size, key(bi, pos, 101))
+        # ZRL fills: zrl_n[i] copies keyed just before their symbol
+        nz_rep = np.nonzero(zrl_n)[0]
+        if len(nz_rep):
+            counts = zrl_n[nz_rep]
+            rep = np.repeat(nz_rep, counts)
+            sub = np.arange(len(rep)) - np.repeat(
+                np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+            )
+            emit(
+                np.full(len(rep), _AC_SYM2CODE[0xF0]),
+                np.full(len(rep), 8),
+                key(bi[rep], pos[rep], sub),
+            )
+        # EOB where the last nonzero sits before position 63
+        last_pos = np.zeros(n_blocks, dtype=np.int64)
+        last_pos[bi] = pos  # row-major order: final write per block wins
+        eob_blocks = np.nonzero(last_pos < 63)[0]
+    else:
+        eob_blocks = blk_idx
+    if len(eob_blocks):
+        emit(
+            np.full(len(eob_blocks), _AC_SYM2CODE[0x00]),
+            np.full(len(eob_blocks), 8),
+            key(eob_blocks, 69, 0),
+        )
+
+    tok_val = np.concatenate(vals)
+    tok_len = np.concatenate(lens)
+    order = np.argsort(np.concatenate(keys), kind="stable")
+    tok_val, tok_len = tok_val[order], tok_len[order]
+
+    total = int(tok_len.sum())
+    pad = (8 - total % 8) % 8
+    if pad:
+        tok_val = np.concatenate([tok_val, [(1 << pad) - 1]])
+        tok_len = np.concatenate([tok_len, [pad]])
+        total += pad
+    starts = np.concatenate([[0], np.cumsum(tok_len)[:-1]])
+    owner = np.repeat(np.arange(len(tok_len)), tok_len)
+    off = np.arange(total) - np.repeat(starts, tok_len)
+    bits = (tok_val[owner] >> (tok_len[owner] - 1 - off)) & 1
+    packed = np.packbits(bits.astype(np.uint8))
+    stuff_at = np.nonzero(packed == 0xFF)[0]
+    if len(stuff_at):
+        packed = np.insert(packed, stuff_at + 1, 0)  # T.81 F.1.2.3
+    return packed.tobytes()
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def encode_jpeg_gray(
+    pixels: np.ndarray, quality: int = 95, return_decoded: bool = False
+):
+    """Encode a (h, w) uint8 grayscale array as baseline sequential JPEG.
+
+    ``return_decoded=True`` returns ``(bytes, decoded_pixels)`` where
+    ``decoded_pixels`` is what any conforming decoder reconstructs
+    (dequantize + IDCT of the exact coefficients just written) — the
+    generator uses it to hash decoded content without paying a decode
+    pass."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    qt = _quality_scaled_qtable(quality)
+
+    # pad to 8x8 multiples with edge replication (standard practice; the
+    # decoder crops back to the SOF dimensions)
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[-1:, :]
+    padded[:h, w:] = padded[:h, w - 1 : w]
+    padded[h:, w:] = padded[h - 1, w - 1]
+
+    # all blocks at once: (n_blocks, 8, 8) FDCT + quantize
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coef = np.einsum("ij,njk,lk->nil", _C8, blocks, _C8)
+    qcoef = np.round(coef / qt).astype(np.int32)
+    zz = qcoef.reshape(-1, 64)[:, _ZIGZAG]
+
+    out = bytearray()
+    out += JPEG_SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += _seg(0xDB, bytes([0x00]) + bytes(qt.reshape(-1)[_ZIGZAG].astype(np.uint8)))  # DQT
+    out += _seg(
+        0xC0,  # SOF0: 8-bit, h, w, 1 component (id 1, 1x1 sampling, qtable 0)
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]),
+    )
+    out += _seg(0xC4, _dht_payload(0, 0, _DC_SORTED, 4))  # DHT DC
+    out += _seg(0xC4, _dht_payload(1, 0, _AC_SORTED, 8))  # DHT AC
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += _entropy_encode(zz)
+    out += b"\xff\xd9"  # EOI
+    data = bytes(out)
+    if not return_decoded:
+        return data
+    rec = np.einsum("ji,njk,kl->nil", _C8, qcoef.astype(np.float64) * qt, _C8) + 128.0
+    img = (
+        rec.reshape(ph // 8, pw // 8, 8, 8).transpose(0, 2, 1, 3).reshape(ph, pw)
+    )
+    decoded = np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+    return data, decoded
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("unexpected marker in entropy stream")
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+
+def _build_huff(bits: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol from a DHT (BITS, HUFFVAL) pair — the
+    canonical code construction of T.81 Annex C."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of _magnitude (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JPEG produced by any conforming encoder
+    (tables are read from the stream). Returns (h, w) uint8."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_q = 0
+    scan_data = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(data[pos : pos + 2], "big")
+        payload = data[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                z = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
+                qtables[tq] = z[_UNZIGZAG].reshape(8, 8)
+                p += 65
+        elif marker == 0xC0:  # SOF0
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            if payload[0] != 8 or payload[5] != 1:
+                raise ValueError("only 8-bit single-component baseline supported")
+            comp_q = payload[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                syms = list(payload[p + 17 : p + 17 + n])
+                htables[(tc, th)] = _build_huff(bits, syms)
+                p += 17 + n
+        elif marker == 0xDA:  # SOS: entropy data follows until EOI
+            dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
+            scan_data = data[pos + seg_len :]
+            dc_table = htables[(0, dc_id)]
+            ac_table = htables[(1, ac_id)]
+            break
+        pos += seg_len
+    if h is None or scan_data is None:
+        raise ValueError("missing SOF/SOS")
+    qt = qtables[comp_q]
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    n_blocks = (ph // 8) * (pw // 8)
+    zz = np.zeros((n_blocks, 64), dtype=np.int32)
+    br = _BitReader(scan_data)
+    prev_dc = 0
+    for b in range(n_blocks):
+        size = _huff_decode(br, dc_table)
+        prev_dc += _extend(br.read(size), size)
+        zz[b, 0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _huff_decode(br, ac_table)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            k += run
+            if k >= 64:
+                raise ValueError("AC run past block end")
+            zz[b, k] = _extend(br.read(size), size)
+            k += 1
+
+    coef = np.zeros((n_blocks, 64), dtype=np.float64)
+    coef[:, _ZIGZAG] = zz
+    coef = coef.reshape(-1, 8, 8) * qt
+    blocks = np.einsum("ji,njk,kl->nil", _C8, coef, _C8) + 128.0
+    img = (
+        blocks.reshape(ph // 8, pw // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(ph, pw)
+    )
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]

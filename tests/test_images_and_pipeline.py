@@ -22,6 +22,43 @@ def test_png_roundtrip():
     assert decode_png_gray(encode_png_gray(px)).tolist() == px.tolist()
 
 
+def test_jpeg_codec_roundtrip_psnr_and_conformance():
+    """The from-scratch baseline JPEG codec (sources/jpeg.py): encode ->
+    decode round-trips worst-case noise tiles at PSNR >= 40 dB (the
+    north rule's lossy gate) across shapes incl. non-multiples of 8;
+    smooth content is near-exact; the byte stream is structurally
+    conforming (SOI/DQT/SOF0/DHT/SOS/EOI marker walk)."""
+    import numpy as np
+
+    from fagi_gis_spark.sources.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from fagi_gis_spark.sources.png import psnr
+
+    rng = np.random.default_rng(7)
+    for shape in [(8, 8), (16, 24), (64, 64), (17, 23), (33, 1)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        data = encode_jpeg_gray(px, quality=95)
+        dec = decode_jpeg_gray(data)
+        assert dec.shape == px.shape
+        assert psnr(px, dec) >= 40.0
+    flat = np.full((24, 24), 130, np.uint8)
+    assert psnr(flat, decode_jpeg_gray(encode_jpeg_gray(flat))) == float("inf")
+    # marker walk: every segment well-formed, expected sequence present
+    data = encode_jpeg_gray(rng.integers(0, 256, size=(16, 16)).astype(np.uint8))
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    pos, seen = 2, []
+    while pos < len(data) - 2:
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        seen.append(marker)
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        pos += 2 + seg_len
+        if marker == 0xDA:
+            break
+    assert seen == [0xE0, 0xDB, 0xC0, 0xC4, 0xC4, 0xDA]
+    # determinism (the generator's phash depends on it)
+    assert encode_jpeg_gray(flat) == encode_jpeg_gray(flat)
+
+
 def test_images_schema_and_psnr():
     pdf = generate_images_pdf(20)
     assert list(pdf.columns) == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]

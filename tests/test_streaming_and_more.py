@@ -65,18 +65,18 @@ def test_literal_typing_classes():
 
 def test_multimodal_decode_and_resize(spark):
     from fagi_gis_spark.operators.multimodal import decode_stats, resize_images
-    from fagi_gis_spark.sources.images import generate_images, generate_images_pdf, _pixels_for
+    from fagi_gis_spark.sources.images import decode_pixels, generate_images, generate_images_pdf
     from fagi_gis_spark.sources.png import decode_png_gray
-    import numpy as np
 
     images = generate_images(spark, 30, partitions=2)
     stats = decode_stats(images).toPandas().set_index("image_id")
-    assert stats.decode_ok.all()
+    assert stats.decode_ok.all()  # PNG and real-JPEG rows all decode
     assert stats.phash_ok.all()
     # differential: px_mean equals local numpy mean of the same pixels
+    # (decode_pixels dispatches on the container: PNG or baseline JPEG)
     pdf = generate_images_pdf(30)
     for _, r in pdf.head(5).iterrows():
-        local = decode_png_gray(bytes(r.bytes)).mean()
+        local = decode_pixels(bytes(r.bytes)).mean()
         assert stats.loc[r.image_id, "px_mean"] == pytest.approx(local, abs=1e-9)
 
     resized = resize_images(images, 8, 8).toPandas()
