@@ -60,7 +60,7 @@ _GATE_DEMOTED = [
     "fuse_concatenation", "fuse_shift_a_to_b", "fuse_shift_b_to_a",
     "fuse_avg_points", "fuse_shift_poly_avg_dist", "fuse_shift_poly_to_point",
     "fuse_most_points_translate", "fuse_scale_b", "fuse_keep_a_offset",
-    "metadata_keep_a",
+    "metadata_keep_a", "metadata_concatenation",
 ]
 
 
@@ -1954,8 +1954,7 @@ def link_name_jw(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_components",
+_COMPONENTS_ORACLE = (
     "WITH RECURSIVE t AS (\n"
     "  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks\n"
     "  FROM documents),\n"
@@ -1971,8 +1970,11 @@ def link_name_jw(spark, sf_dir):
     "  UNION\n"
     "  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u\n"
     ")\n"
-    "SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u",
+    "SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u"
 )
+
+
+@register("dedup_components", _COMPONENTS_ORACLE)
 def dedup_components(spark, sf_dir):
     """Duplicate-component clustering: pairwise near-dup hits -> dedup
     groups via distributed min-label propagation
@@ -1985,6 +1987,22 @@ def dedup_components(spark, sf_dir):
 
     edges = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, blocking="lenband")
     return connected_components(edges)
+
+
+@register("dedup_components_star", _COMPONENTS_ORACLE)
+def dedup_components_star(spark, sf_dir):
+    """Same dedup components via large-star/small-star contraction
+    (functions.dedup.connected_components_star, the O(log n)-round
+    diameter-robust variant) against the SAME recursive-CTE oracle —
+    the two CC physical strategies are output-identical through the
+    driver gate, mirroring the three-strategy J5 equivalence."""
+    from fagi_gis_spark.functions.dedup import (
+        connected_components_star,
+        ngram_jaccard_pairs,
+    )
+
+    edges = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, blocking="lenband")
+    return connected_components_star(edges)
 
 
 _QUALITY_SQL = (

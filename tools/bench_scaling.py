@@ -96,8 +96,9 @@ North rule: run the identical job at N and 4N executors with throughput
 scaling efficiency >= 0.8. Sandbox protocol (no real cluster): same job,
 same deterministic input, `local[8]` vs `local[32]`.
 
-**Job**: synthesize {n:,} input_hint images (PNG encode + DCT pHash,
-Arrow-batched) -> pHash geotag (JVM columns) -> two POI-image layers ->
+**Job**: synthesize {n:,} input_hint images (real from-scratch codecs:
+PNG for even rows, baseline-JPEG T.81 encode at q95 for odd rows, + DCT
+pHash on decoded pixels, Arrow-batched) -> pHash geotag (JVM columns) -> two POI-image layers ->
 cell-bucketed radius join (150 m, ring-1 expansion, salted hot cells) ->
 WebMercator tile assignment (z7-11) -> noop sink.
 
