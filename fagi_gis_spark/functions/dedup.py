@@ -340,8 +340,10 @@ def connected_components(
     round is one shuffle join + one aggregation; labels persist per round
     so the fixpoint check does not re-execute the lineage. This is the
     simple variant of the large-star/small-star map-reduce CC algorithm —
-    adequate because dedup components are small and shallow; swap in
-    star-contraction if diameters grow."""
+    adequate because dedup components are small and shallow; for
+    adversarial diameters use ``connected_components_star`` (same output
+    contract, O(log n) rounds, oracle-verified in
+    ``dedup_components_star``)."""
     # persist the input first: the undirected union reads the edge lineage
     # twice (once per direction), and edge generation is usually the
     # expensive part (a near-dup join)

@@ -122,11 +122,13 @@ def cluster_links(
     Fit cost is bounded explicitly (the r3 replay spent 34s here): the
     assembled feature table is PERSISTED before the EM loop — without
     it every EM iteration re-executes the feature lineage (two layer
-    joins + the displacement/coverage kernels) — and compacted to a few
-    partitions so per-iteration task-scheduling overhead doesn't
-    dominate the tiny (~10k-row) feature table; ``max_iter=100`` +
+    joins + the displacement/coverage kernels); ``max_iter=100`` +
     ``tol`` mirror Weka EM's -I 100 / minLogLikelihoodImprovement stop
-    (GeoClusterer.java:100-253)."""
+    (GeoClusterer.java:100-253).  Deliberately NOT repartitioned: GMM's
+    initialization is partition-layout-dependent, and an r4 coalesce(8)
+    produced a near-singular component whose dsyev eigensolve spun for
+    half an hour in LAPACK dlascl — keep the natural layout the fit has
+    been stable on since r1."""
     from pyspark.ml.clustering import GaussianMixture, KMeans
     from pyspark.ml.feature import VectorAssembler
 
@@ -138,7 +140,7 @@ def cluster_links(
     va = VectorAssembler(
         inputCols=["dist_m", "dir_x", "dir_y", "coverage"], outputCol="features"
     )
-    vec = va.transform(feats).coalesce(8).persist()
+    vec = va.transform(feats).persist()
     try:
         if algo == "gmm":  # Weka EM analogue, -I 100
             model = GaussianMixture(k=k, maxIter=max_iter, tol=tol, seed=seed).fit(vec)
