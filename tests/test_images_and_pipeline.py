@@ -59,6 +59,37 @@ def test_jpeg_codec_roundtrip_psnr_and_conformance():
     assert encode_jpeg_gray(flat) == encode_jpeg_gray(flat)
 
 
+def test_jpeg_codec_property_roundtrip():
+    """Property test (hypothesis): for ANY shape and quality, the
+    decoder reconstructs EXACTLY what the encoder's internal
+    dequantize+IDCT predicts (the strong bit-level invariant that makes
+    the stored pHash stable), the shape is preserved, and q=95 holds
+    the PSNR >= 40 dB gate."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from fagi_gis_spark.sources.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from fagi_gis_spark.sources.png import psnr
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 80),
+        w=st.integers(1, 80),
+        quality=st.integers(30, 98),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, quality, seed):
+        px = np.random.default_rng(seed).integers(0, 256, size=(h, w)).astype(np.uint8)
+        data, internal = encode_jpeg_gray(px, quality, return_decoded=True)
+        dec = decode_jpeg_gray(data)
+        assert dec.shape == (h, w)
+        assert (dec == internal).all()
+        if quality >= 95:
+            assert psnr(px, dec) >= 40.0
+
+    check()
+
+
 def test_images_schema_and_psnr():
     pdf = generate_images_pdf(20)
     assert list(pdf.columns) == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
