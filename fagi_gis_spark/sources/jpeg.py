@@ -273,7 +273,22 @@ def encode_jpeg_gray(
     return data, decoded
 
 
+def _destuff(data: bytes) -> bytes:
+    """Strip 0xFF00 byte stuffing and truncate at the first real marker
+    (e.g. EOI) — one numpy pass, so the bit reader needs no per-byte
+    stuffing checks."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = np.nonzero(arr[:-1] == 0xFF)[0]
+    marker = ff[arr[ff + 1] != 0x00]
+    if len(marker):
+        arr = arr[: marker[0]]
+        ff = ff[ff < marker[0]]
+    return np.delete(arr, ff + 1).tobytes()  # drop the stuffed 0x00s
+
+
 class _BitReader:
+    """Reads big-endian bit fields from a DESTUFFED entropy stream."""
+
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
@@ -284,23 +299,25 @@ class _BitReader:
         while self.nbits < n:
             if self.pos >= len(self.data):
                 raise ValueError("truncated JPEG entropy stream")
-            b = self.data[self.pos]
+            self.acc = (self.acc << 8) | self.data[self.pos]
             self.pos += 1
-            if b == 0xFF:
-                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError("unexpected marker in entropy stream")
-            self.acc = (self.acc << 8) | b
             self.nbits += 8
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
 
-def _build_huff(bits: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol from a DHT (BITS, HUFFVAL) pair — the
-    canonical code construction of T.81 Annex C."""
+def _build_huff(bits: list[int], symbols: list[int]):
+    """Decoding table from a DHT (BITS, HUFFVAL) pair — canonical code
+    construction of T.81 Annex C.  A single-length table (what OUR
+    encoder writes) returns the fast form ("fixed", L, symbol-array):
+    one L-bit read indexes the symbol directly, no per-bit tree walk;
+    arbitrary multi-length tables fall back to the general
+    (length, code) -> symbol dict."""
+    lengths = [L for L in range(1, 17) if bits[L - 1]]
+    if len(lengths) == 1 and bits[lengths[0] - 1] == len(symbols):
+        return ("fixed", lengths[0], list(symbols))
     table: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -313,7 +330,13 @@ def _build_huff(bits: list[int], symbols: list[int]) -> dict[tuple[int, int], in
     return table
 
 
-def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _huff_decode(br: _BitReader, table) -> int:
+    if isinstance(table, tuple):  # fixed-length fast path
+        code = br.read(table[1])
+        syms = table[2]
+        if code >= len(syms):
+            raise ValueError("invalid Huffman code")
+        return syms[code]
     code = 0
     for length in range(1, 17):
         code = (code << 1) | br.read(1)
@@ -338,7 +361,7 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict] = {}
+    htables: dict[tuple[int, int], object] = {}
     h = w = None
     comp_q = 0
     scan_data = None
@@ -379,7 +402,7 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xDA:  # SOS: entropy data follows until EOI
             dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
-            scan_data = data[pos + seg_len :]
+            scan_data = _destuff(data[pos + seg_len :])
             dc_table = htables[(0, dc_id)]
             ac_table = htables[(1, ac_id)]
             break
