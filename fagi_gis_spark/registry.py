@@ -1233,6 +1233,44 @@ def image_caption_fusion(spark, sf_dir):
     )
 
 
+@register("image_consensus_dedup")  # composition over generated images: rows-only
+def image_consensus_dedup(spark, sf_dir):
+    """Multimodal consensus near-dup: an image pair is a dedup candidate
+    when BOTH channels agree — the pixel channel (pHash banded hamming,
+    decode -> requantize -> perceptual hash) AND the caption channel
+    (SimHash over the caption text, same complete banding machinery).
+    Single-channel hits are demoted to 'weak' links.  The two-signal
+    AND is the standard production guard against perceptual-hash false
+    positives in image-corpus dedup; rows-only (both channels are
+    hash/codec-side)."""
+    from fagi_gis_spark.functions.dedup import simhash_near_pairs, simhash_signatures
+    from fagi_gis_spark.operators.multimodal import phash_neardup_pairs
+    from fagi_gis_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 1000, partitions=8)
+    pixel = phash_neardup_pairs(imgs, max_hamming=6).select(
+        "image_a", "image_b", F.lit(True).alias("pixel_hit")
+    )
+    caps = imgs.select(F.col("image_id").alias("doc_id"), F.col("caption").alias("text"))
+    caps = caps.unionByName(  # requantized variants carry their source caption
+        caps.select(F.concat(F.lit("v:"), F.col("doc_id")).alias("doc_id"), "text")
+    )
+    cap_sigs = simhash_signatures(caps)
+    text = simhash_near_pairs(cap_sigs, max_hamming=8).select(
+        F.col("doc_a").alias("image_a"),
+        F.col("doc_b").alias("image_b"),
+        F.lit(True).alias("text_hit"),
+    )
+    both = pixel.join(text, ["image_a", "image_b"], "full")
+    return both.select(
+        "image_a",
+        "image_b",
+        F.when(F.col("pixel_hit") & F.col("text_hit"), F.lit("consensus"))
+        .otherwise(F.lit("weak"))
+        .alias("verdict"),
+    )
+
+
 @register("raster_vector_tiles")  # codec-side raster decode: rows-only
 def raster_vector_tiles(spark, sf_dir):
     """Raster -> vector -> tiles, the north star's full arrow: decode

@@ -254,6 +254,24 @@ def test_image_phash_neardup_banding_and_variant_recall(spark):
     assert n_variant_pairs >= 290
 
 
+def test_image_consensus_dedup_two_channel_and(spark):
+    """Consensus dedup: (source, requantized-variant) pairs are flagged
+    by BOTH the pixel (pHash) and caption (SimHash) channels ->
+    'consensus'; pairs seen by only one channel stay 'weak'."""
+    from fagi_gis_spark.registry import queries
+
+    out = queries()["image_consensus_dedup"](spark, "/root/testdata/sf0.001").toPandas()
+    assert set(out.verdict) <= {"consensus", "weak"}
+    cons = out[out.verdict == "consensus"]
+    variant_pairs = sum(
+        1 for a, b in zip(cons.image_a, cons.image_b)
+        if b == "v:" + a or a == "v:" + b
+    )
+    # most of the 1000 sources pair with their own variant on both channels
+    assert variant_pairs > 800
+    assert (out.verdict == "weak").any()  # single-channel hits exist
+
+
 def test_raster_to_vector_components(spark):
     """raster_to_vector: per-image component count and pixel totals match
     a slow flood-fill reference on the decoded rasters; polygons are
