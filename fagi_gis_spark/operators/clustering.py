@@ -104,6 +104,55 @@ def normalize_min_max(feats: DataFrame, cols: list[str]) -> DataFrame:
     return out.drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
 
 
+def _diagonal_em(
+    X, k: int, seed: int, max_iter: int, tol: float, min_var: float = 1e-6
+):
+    """Weka-faithful EM: k components with DIAGONAL covariance and a
+    per-attribute variance floor (Weka EM's independent-normal model
+    with m_minStdDev; the reference clusters with exactly that,
+    GeoClusterer.java:100-253).  numpy, deterministic under ``seed``.
+
+    Why not Spark's GaussianMixture (the r4 hang post-mortem): the
+    coverage feature is BINARY, so a full-covariance component that
+    specializes to one coverage value has an exactly singular 4x4
+    covariance (and any component starved below 5 points is singular
+    in 4-D no matter the data); the pseudo-inverse densities then
+    produce inf/NaN responsibilities and the next iteration's dsyev
+    eigensolve loops indefinitely inside f2j LAPACK dlascl (NaN input
+    is a known non-terminating case).  Whether a run fell into that
+    basin depended on float summation order — intermittent multi-minute
+    hangs.  Diagonal covariance + a variance floor removes the failure
+    mode BY CONSTRUCTION, exactly as Weka does."""
+    import numpy as np
+
+    n, d = X.shape
+    rng = np.random.default_rng(seed)
+    resp = rng.dirichlet(np.ones(k), size=n)
+    prev_ll = -np.inf
+    for _ in range(max_iter):
+        nk = resp.sum(axis=0) + 1e-12
+        w = nk / n
+        mu = (resp.T @ X) / nk[:, None]
+        var = (resp.T @ (X * X)) / nk[:, None] - mu * mu
+        var = np.maximum(var, min_var)
+        logp = (
+            -0.5
+            * (
+                ((X[:, None, :] - mu[None, :, :]) ** 2 / var[None, :, :])
+                + np.log(2.0 * np.pi * var)[None, :, :]
+            ).sum(axis=2)
+            + np.log(w)[None, :]
+        )
+        m = logp.max(axis=1, keepdims=True)
+        log_norm = m[:, 0] + np.log(np.exp(logp - m).sum(axis=1))
+        ll = float(log_norm.mean())
+        resp = np.exp(logp - log_norm[:, None])
+        if abs(ll - prev_ll) < tol:
+            break
+        prev_ll = ll
+    return resp.argmax(axis=1)
+
+
 def cluster_links(
     links: DataFrame,
     poi_a: DataFrame,
@@ -112,38 +161,58 @@ def cluster_links(
     algo: str = "gmm",
     seed: int = 42,
     max_iter: int = 100,
-    tol: float = 0.01,
+    tol: float = 1e-6,
     metric_srid: int | None = None,
 ) -> DataFrame:
     """Assign each link a cluster id. Output:
     (node_a, node_b, cluster_id) — the reference's ``cluster`` relation
     (schema.sql:92-95) that fuseCluster consumes.
 
-    Fit cost is bounded explicitly (the r3 replay spent 34s here): the
-    assembled feature table is PERSISTED before the EM loop — without
-    it every EM iteration re-executes the feature lineage (two layer
-    joins + the displacement/coverage kernels); ``max_iter=100`` +
-    ``tol`` mirror Weka EM's -I 100 / minLogLikelihoodImprovement stop
-    (GeoClusterer.java:100-253).  Deliberately NOT repartitioned: GMM's
-    initialization is partition-layout-dependent, and an r4 coalesce(8)
-    produced a near-singular component whose dsyev eigensolve spun for
-    half an hour in LAPACK dlascl — keep the natural layout the fit has
-    been stable on since r1."""
+    The default ``algo="gmm"`` is the Weka-faithful diagonal EM
+    (``_diagonal_em``: variance floor, deterministic, numerically safe
+    by construction — see its docstring for why Spark's full-covariance
+    GaussianMixture intermittently hung on this feature family).  The
+    fit runs driver-side over the collected feature table — faithful to
+    the reference, which collects every displacement row into a
+    single-node Weka Instances object (GeoClusterer.java:100-150); the
+    table is (n_links x 4 doubles), a few hundred KB at test scale.
+    At 100x link volumes, fit on a deterministic sample (EM parameters
+    need thousands, not billions, of rows) and assign the full table
+    distributed via the closed-form responsibility argmax; the E-step
+    is four JVM column expressions.  ``algo="gmm_spark"`` /
+    ``algo="kmeans"`` keep the MLlib paths for comparison."""
     from pyspark.ml.clustering import GaussianMixture, KMeans
     from pyspark.ml.feature import VectorAssembler
 
     pairs = linked_pairs(links, poi_a, poi_b, feature_primitives=True)
-    feats = normalize_min_max(
-        displacement_features(pairs, metric_srid=metric_srid),
-        ["dist_m", "dir_x", "dir_y", "coverage"],
-    )
-    va = VectorAssembler(
-        inputCols=["dist_m", "dir_x", "dir_y", "coverage"], outputCol="features"
-    )
+    cols = ["dist_m", "dir_x", "dir_y", "coverage"]
+    feats = normalize_min_max(displacement_features(pairs, metric_srid=metric_srid), cols)
+
+    if algo == "gmm":  # Weka EM analogue (diagonal, floored, driver-side)
+        import numpy as np
+        import pandas as pd
+
+        pdf = feats.select("subject_a", "subject_b", *cols).toPandas()
+        labels = _diagonal_em(
+            pdf[cols].to_numpy(np.float64), k=k, seed=seed, max_iter=max_iter, tol=tol
+        )
+        out = pd.DataFrame(
+            {
+                "node_a": pdf["subject_a"],
+                "node_b": pdf["subject_b"],
+                "cluster_id": labels.astype("int32"),
+            }
+        )
+        return links.sparkSession.createDataFrame(
+            out, schema="node_a string, node_b string, cluster_id int"
+        )
+
+    va = VectorAssembler(inputCols=cols, outputCol="features")
     vec = va.transform(feats).persist()
     try:
-        if algo == "gmm":  # Weka EM analogue, -I 100
-            model = GaussianMixture(k=k, maxIter=max_iter, tol=tol, seed=seed).fit(vec)
+        if algo == "gmm_spark":  # MLlib full-covariance GMM (see _diagonal_em
+            # docstring for its degeneracy hazard on binary features)
+            model = GaussianMixture(k=k, maxIter=max_iter, tol=max(tol, 0.01), seed=seed).fit(vec)
         elif algo == "kmeans":  # the commented-out reference option
             model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(vec)
         else:
