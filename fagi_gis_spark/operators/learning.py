@@ -603,11 +603,15 @@ def with_side_primitives(pairs: DataFrame, side: str) -> DataFrame:
     # join back on BOTH (subject, wkt): a subject carrying two distinct
     # WKTs (possible in a malformed or multi-version layer) must not fan
     # out the pair table or attach one geometry's primitives to the
-    # other's wkt column
+    # other's wkt column.  The wkt key is null-coalesced to "" so rows
+    # with a missing geometry keep their (all-zero-primitives) feature
+    # row instead of vanishing through null-unsafe join equality —
+    # u_feat_primitives("") takes the same empty-input path as NULL.
+    keyed = pairs.withColumn("__wk", F.coalesce(F.col(wkt), F.lit("")))
     prim = (
-        pairs.select(subj, wkt)
+        keyed.select(subj, "__wk")
         .distinct()
-        .repartition(n_shuffle, subj, wkt)
-        .select(subj, wkt, u_feat_primitives(F.col(wkt)).alias(out_col))
+        .repartition(n_shuffle, subj, "__wk")
+        .select(subj, "__wk", u_feat_primitives(F.col("__wk")).alias(out_col))
     )
-    return pairs.join(prim, [subj, wkt])
+    return keyed.join(prim, [subj, "__wk"]).drop("__wk")

@@ -1214,7 +1214,9 @@ def image_caption_fusion(spark, sf_dir):
     from fagi_gis_spark.operators.multimodal import phash_neardup_pairs
     from fagi_gis_spark.sources.images import generate_images
 
-    imgs = generate_images(spark, 1000, partitions=8)
+    # persist: the generated corpus (per-row JPEG/PNG encode + pHash)
+    # feeds several lineage branches; unpersisted it regenerates per branch
+    imgs = generate_images(spark, 1000, partitions=8).persist()
     links = phash_neardup_pairs(imgs).select("image_a", "image_b")
     cap = imgs.select("image_id", "caption")
     cap_v = cap.select(
@@ -1247,7 +1249,8 @@ def image_consensus_dedup(spark, sf_dir):
     from fagi_gis_spark.operators.multimodal import phash_neardup_pairs
     from fagi_gis_spark.sources.images import generate_images
 
-    imgs = generate_images(spark, 1000, partitions=8)
+    # persist: four lineage branches consume the generated corpus
+    imgs = generate_images(spark, 1000, partitions=8).persist()
     pixel = phash_neardup_pairs(imgs, max_hamming=6).select(
         "image_a", "image_b", F.lit(True).alias("pixel_hit")
     )

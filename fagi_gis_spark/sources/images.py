@@ -180,9 +180,15 @@ def decode_pixels(data: bytes) -> np.ndarray:
 
 
 def try_decode_pixels(data: bytes) -> np.ndarray | None:
-    """decode_pixels, but None for still-stubbed containers — the skip
-    idiom the multimodal operators use."""
+    """decode_pixels, but None for still-stubbed containers AND for
+    malformed payloads inside a supported container (truncated entropy
+    stream, bad markers, corrupt zlib) — the skip / decode_ok=false
+    idiom the multimodal operators use; one corrupt row must not fail
+    the whole mapInPandas task."""
+    import struct
+    import zlib
+
     try:
         return decode_pixels(data)
-    except NotImplementedError:
+    except (NotImplementedError, ValueError, IndexError, zlib.error, struct.error):
         return None

@@ -54,9 +54,13 @@ def _zigzag_order() -> np.ndarray:
     order = []
     for s in range(15):
         diag = [(s - j, j) for j in range(s + 1) if 0 <= s - j < 8 and 0 <= j < 8]
-        if s % 2 == 0:
-            diag = diag[::-1]  # even diagonals run bottom-left -> top-right
+        if s % 2 == 1:
+            diag = diag[::-1]  # odd diagonals run top-right -> bottom-left
         order.extend(diag)
+    # published sequence starts 0,1,8,16,9,2,... (T.81 Figure A.6) —
+    # anchored in tests; an inverted parity transposes every block on
+    # disk while staying invisibly self-consistent in round-trip tests
+    # (the r4 review catch)
     return np.array([r * 8 + c for r, c in order], dtype=np.int64)
 
 
@@ -368,6 +372,9 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

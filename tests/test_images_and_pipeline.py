@@ -57,6 +57,21 @@ def test_jpeg_codec_roundtrip_psnr_and_conformance():
     assert seen == [0xE0, 0xDB, 0xC0, 0xC4, 0xC4, 0xDA]
     # determinism (the generator's phash depends on it)
     assert encode_jpeg_gray(flat) == encode_jpeg_gray(flat)
+    # zigzag anchored to the PUBLISHED T.81 Figure A.6 sequence — an
+    # inverted diagonal parity transposes every block on disk while
+    # staying self-consistent in round-trip tests (the r4 review catch)
+    from fagi_gis_spark.sources.jpeg import _ZIGZAG
+
+    assert _ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    # fill bytes before a marker are legal (T.81 B.1.1.2)
+    stuffed = data[:2] + b"\xff" + data[2:]
+    assert (decode_jpeg_gray(stuffed) == decode_jpeg_gray(data)).all()
+    # malformed payloads inside a supported container skip, not raise
+    from fagi_gis_spark.sources.images import try_decode_pixels
+
+    assert try_decode_pixels(data[: len(data) // 2]) is None  # truncated JPEG
+    assert try_decode_pixels(b"\x89PNG\r\n\x1a\njunk") is None  # corrupt PNG
+    assert try_decode_pixels(b"RIFFxxxxWEBP") is None  # stubbed container
 
 
 def test_jpeg_codec_property_roundtrip():
