@@ -10,7 +10,13 @@ difference + magnitude categories, AC run/size coding with ZRL/EOB,
 canonical Huffman coding, 0xFF00 byte stuffing, and the SOI/APP0/DQT/
 SOF0/DHT/SOS/EOI marker sequence.  The decoder reads DQT/DHT from the
 stream (any spec-valid tables), so the pair round-trips and the encoder
-output is a conforming JPEG any standard decoder can read.
+output is a conforming JPEG any standard decoder can read — VERIFIED
+against an independent third-party codec: the JVM's javax.imageio
+decodes our files to within the +-1 IDCT rounding tolerance T.81
+permits, and our decoder reads ImageIO's own output (libjpeg-style
+optimized multi-length Huffman tables) to within +-1 of ImageIO's
+self-decode (tests/test_images_and_pipeline.py::
+test_jpeg_and_png_interop_with_jdk_imageio).
 
 Simplifications (documented sandbox scope, all spec-conforming):
 - grayscale only (one component, no subsampling) — the corpus is gray;

@@ -74,6 +74,64 @@ def test_jpeg_codec_roundtrip_psnr_and_conformance():
     assert try_decode_pixels(b"RIFFxxxxWEBP") is None  # stubbed container
 
 
+def test_jpeg_and_png_interop_with_jdk_imageio(spark):
+    """THIRD-PARTY conformance: the JVM's javax.imageio (a real,
+    independent codec suite already in-process via py4j) both reads our
+    files and writes files we read.
+
+    - our JPEG encoder -> JDK decoder: pixels within +-1 of our own
+      decoder (T.81 allows IDCT rounding to differ by 1; exercises the
+      fixed-length DHT tables, marker layout, stuffing, zigzag — a
+      transposed zigzag or wrong table would garble, not +-1).
+    - JDK JPEG encoder (libjpeg-style optimized multi-length Huffman
+      tables) -> OUR decoder: within +-1 of the JDK's own decode —
+      proves the general canonical-Huffman path on real-world files.
+    - PNG both directions: bit-exact (lossless)."""
+    import numpy as np
+
+    from fagi_gis_spark.sources.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from fagi_gis_spark.sources.png import decode_png_gray, encode_png_gray
+
+    jvm = spark._jvm
+
+    def jdk_read(data: bytes) -> np.ndarray:
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(data))
+        )
+        assert img is not None, "JDK ImageIO refused the file"
+        assert img.getType() == 10  # TYPE_BYTE_GRAY
+        h, w = img.getHeight(), img.getWidth()
+        buf = img.getRaster().getDataBuffer().getData()
+        return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w)
+
+    def jdk_write(px: np.ndarray, fmt: str) -> bytes:
+        h, w = px.shape
+        bimg = jvm.java.awt.image.BufferedImage(w, h, 10)
+        buf = bimg.getRaster().getDataBuffer()
+        for i, v in enumerate(px.flatten().tolist()):
+            buf.setElem(i, int(v))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(bimg, fmt, baos)
+        return bytes(baos.toByteArray())
+
+    rng = np.random.default_rng(11)
+    for shape in [(16, 24), (17, 23), (32, 32)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        # ours -> JDK (JPEG)
+        data = encode_jpeg_gray(px, 95)
+        jdk = jdk_read(data).astype(int)
+        ours = decode_jpeg_gray(data).astype(int)
+        assert jdk.shape == shape and np.abs(jdk - ours).max() <= 1
+        # JDK -> ours (JPEG, real multi-length Huffman tables)
+        jb = jdk_write(px, "jpg")
+        ours2 = decode_jpeg_gray(jb).astype(int)
+        jdk2 = jdk_read(jb).astype(int)
+        assert np.abs(ours2 - jdk2).max() <= 1
+        # PNG both directions: lossless, bit-exact
+        assert (jdk_read(encode_png_gray(px)) == px).all()
+        assert (decode_png_gray(jdk_write(px, "png")) == px).all()
+
+
 def test_jpeg_codec_property_roundtrip():
     """Property test (hypothesis): for ANY shape and quality, the
     decoder reconstructs EXACTLY what the encoder's internal
