@@ -150,7 +150,7 @@ def _diagonal_em(
         if abs(ll - prev_ll) < tol:
             break
         prev_ll = ll
-    return resp.argmax(axis=1)
+    return resp.argmax(axis=1), (w, mu, var)
 
 
 def cluster_links(
@@ -163,6 +163,7 @@ def cluster_links(
     max_iter: int = 100,
     tol: float = 1e-6,
     metric_srid: int | None = None,
+    fit_sample_rows: int = 200_000,
 ) -> DataFrame:
     """Assign each link a cluster id. Output:
     (node_a, node_b, cluster_id) — the reference's ``cluster`` relation
@@ -172,15 +173,16 @@ def cluster_links(
     (``_diagonal_em``: variance floor, deterministic, numerically safe
     by construction — see its docstring for why Spark's full-covariance
     GaussianMixture intermittently hung on this feature family).  The
-    fit runs driver-side over the collected feature table — faithful to
-    the reference, which collects every displacement row into a
-    single-node Weka Instances object (GeoClusterer.java:100-150); the
-    table is (n_links x 4 doubles), a few hundred KB at test scale.
-    At 100x link volumes, fit on a deterministic sample (EM parameters
-    need thousands, not billions, of rows) and assign the full table
-    distributed via the closed-form responsibility argmax; the E-step
-    is four JVM column expressions.  ``algo="gmm_spark"`` /
-    ``algo="kmeans"`` keep the MLlib paths for comparison."""
+    FIT runs driver-side over at most ``fit_sample_rows`` feature rows
+    (hash-gated deterministic sample; EM parameters need thousands of
+    rows, not billions) — below the cap this matches the reference,
+    which collects every displacement row into a single-node Weka
+    Instances object (GeoClusterer.java:100-150).  The ASSIGNMENT is
+    fully distributed: per-component diagonal log-densities are
+    closed-form JVM column arithmetic and the cluster id is their
+    argmax, so no row leaves the executors — the 100x path.
+    ``algo="gmm_spark"`` / ``algo="kmeans"`` keep the MLlib paths for
+    comparison."""
     from pyspark.ml.clustering import GaussianMixture, KMeans
     from pyspark.ml.feature import VectorAssembler
 
@@ -188,24 +190,62 @@ def cluster_links(
     cols = ["dist_m", "dir_x", "dir_y", "coverage"]
     feats = normalize_min_max(displacement_features(pairs, metric_srid=metric_srid), cols)
 
-    if algo == "gmm":  # Weka EM analogue (diagonal, floored, driver-side)
-        import numpy as np
-        import pandas as pd
+    if algo == "gmm":  # Weka EM analogue (diagonal, floored)
+        import math
 
-        pdf = feats.select("subject_a", "subject_b", *cols).toPandas()
-        labels = _diagonal_em(
-            pdf[cols].to_numpy(np.float64), k=k, seed=seed, max_iter=max_iter, tol=tol
-        )
-        out = pd.DataFrame(
-            {
-                "node_a": pdf["subject_a"],
-                "node_b": pdf["subject_b"],
-                "cluster_id": labels.astype("int32"),
-            }
-        )
-        return links.sparkSession.createDataFrame(
-            out, schema="node_a string, node_b string, cluster_id int"
-        )
+        import numpy as np
+
+        # FIT on a bounded deterministic sample (EM parameters need
+        # thousands of rows, not billions): one planning count, then a
+        # hash-gated filter — order-free and reproducible.  At test
+        # scales the "sample" is the whole table, matching the
+        # reference's collect-into-Weka fit exactly.
+        feats = feats.persist()
+        try:
+            n = feats.count()
+            fit = feats.select(*cols)
+            if n > fit_sample_rows:
+                frac_ppm = max(1, int(fit_sample_rows * 1_000_000 / n))
+                fit = feats.filter(
+                    F.pmod(
+                        F.xxhash64(F.col("subject_a"), F.col("subject_b")),
+                        F.lit(1_000_000),
+                    )
+                    < F.lit(frac_ppm)
+                ).select(*cols)
+            X = fit.toPandas()[cols].to_numpy(np.float64)
+            _, (w, mu, var) = _diagonal_em(
+                X, k=k, seed=seed, max_iter=max_iter, tol=tol
+            )
+            # ASSIGNMENT fully distributed: per-component diagonal
+            # log-density is closed-form JVM column arithmetic (whole-
+            # stage codegen); cluster = argmax.  No row ever leaves the
+            # executors for assignment — this is the 100x path.
+            logps = []
+            for j in range(k):
+                terms = [F.lit(float(math.log(max(w[j], 1e-300))))]
+                for d, c in enumerate(cols):
+                    diff = F.col(c) - F.lit(float(mu[j, d]))
+                    terms.append(
+                        F.lit(-0.5)
+                        * (
+                            diff * diff / F.lit(float(var[j, d]))
+                            + F.lit(float(math.log(2.0 * math.pi * var[j, d])))
+                        )
+                    )
+                logp = terms[0]
+                for t in terms[1:]:
+                    logp = logp + t
+                logps.append(logp)
+            arr = F.array(*logps)
+            cluster = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+            return feats.select(
+                F.col("subject_a").alias("node_a"),
+                F.col("subject_b").alias("node_b"),
+                cluster.alias("cluster_id"),
+            ).localCheckpoint()
+        finally:
+            feats.unpersist()
 
     va = VectorAssembler(inputCols=cols, outputCol="features")
     vec = va.transform(feats).persist()

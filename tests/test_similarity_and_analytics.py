@@ -105,6 +105,14 @@ def test_cluster_links_assigns_all(spark):
     assert len(out) > 0
     assert set(out.cluster_id.unique()) <= {0, 1, 2}
     assert out.cluster_id.nunique() >= 2  # displacement structure separates
+    # scale path: fit on a hash-gated SAMPLE, distributed argmax still
+    # assigns EVERY pair a valid cluster id
+    sampled = cluster_links(
+        L["links"].limit(300), L["poi_a"], L["poi_b"], k=3, fit_sample_rows=50
+    ).toPandas()
+    assert len(sampled) == len(out)
+    assert set(sampled.cluster_id.unique()) <= {0, 1, 2}
+    assert sampled.cluster_id.notna().all()
 
 
 def test_svm_learns_separable_actions(spark):
