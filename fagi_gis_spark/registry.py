@@ -1274,6 +1274,29 @@ def image_consensus_dedup(spark, sf_dir):
     )
 
 
+@register("image_hex_rollup")  # generated-corpus geotag rollup: rows-only
+def image_hex_rollup(spark, sf_dir):
+    """Batch twin of streaming.stream_image_hex_rollup (the image x
+    streaming composition, differential-tested streaming==batch in
+    pytest): pHash-seeded geotag -> aperture-7 hex cell -> counts.
+    Whole pipeline is JVM column arithmetic over the generated corpus;
+    rows-only (the images table is synthesized, not a parquet view the
+    DuckDB oracle can see)."""
+    from fagi_gis_spark.operators.geotag import geotag_cols
+    from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
+    from fagi_gis_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 1000, partitions=8)
+    lon, lat = geotag_cols(F.col("phash"))
+    geo = imgs.withColumn("lon", lon).withColumn("lat", lat)
+    q, r = _hex_qr_cols(F.col("lon"), F.col("lat"), 9)
+    return (
+        geo.withColumn("cell_hex", _hex_pack(q, r, 9))
+        .groupBy("cell_hex")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @register("raster_vector_tiles")  # codec-side raster decode: rows-only
 def raster_vector_tiles(spark, sf_dir):
     """Raster -> vector -> tiles, the north star's full arrow: decode

@@ -131,6 +131,32 @@ def stream_hex_cell_counts(
     )
 
 
+def stream_image_hex_rollup(
+    stream: DataFrame,
+    res: int = 9,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Streaming IMAGE ingest rollup — the image-payload x streaming
+    composition: a readStream of input_hint-shaped image rows (only
+    ``phash`` and a timestamp are touched) is geotagged by the
+    pHash-seeded synthetic lon/lat (operators/geotag.geotag_cols, pure
+    JVM bit math) and rolled up into watermarked tumbling-window counts
+    per aperture-7 hex cell.  Composes ``geotag_cols`` with
+    ``stream_hex_cell_counts`` — every stage is whole-stage-codegen
+    column arithmetic, so the batch differential is exact (same
+    rounding caveat as stream_hex_cell_counts)."""
+    from fagi_gis_spark.operators.geotag import geotag_cols
+
+    lon, lat = geotag_cols(F.col(phash_col))
+    s = stream.withColumn("lon", lon).withColumn("lat", lat)
+    return stream_hex_cell_counts(
+        s, res=res, window=window, watermark=watermark, ts_col=ts_col
+    )
+
+
 def stream_poi_enrich(
     stream: DataFrame,
     poi: DataFrame,

@@ -284,6 +284,53 @@ def test_stream_hex_cell_counts_matches_batch(spark, tmp_path):
     assert got == expect and len(expect) > 10
 
 
+def test_stream_image_hex_rollup_matches_batch(spark, tmp_path):
+    """Streaming image ingest (the image-payload x streaming cell):
+    pHash-geotagged hex rollup over a readStream of input_hint image
+    rows equals the batch geotag + groupBy on the same rows."""
+    from fagi_gis_spark.operators.geotag import geotag_cols
+    from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
+    from fagi_gis_spark.sources.images import generate_images
+    from fagi_gis_spark.streaming.windowed import (
+        start_memory_sink,
+        stream_image_hex_rollup,
+    )
+
+    batch = generate_images(spark, 300, partitions=4).select(
+        "image_id",
+        "phash",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.abs(F.hash("image_id")) % 3600
+        ).alias("ts"),
+    )
+    src = str(tmp_path / "images_stream_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = stream_image_hex_rollup(stream)
+    q = start_memory_sink(agg, "img_hex_out", output_mode="complete")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.cell_hex, r.n)
+        for r in spark.sql(
+            "SELECT cell_hex, sum(n) AS n FROM img_hex_out GROUP BY cell_hex"
+        ).collect()
+    }
+    lon, lat = geotag_cols(F.col("phash"))
+    geo = batch.withColumn("lon", lon).withColumn("lat", lat)
+    qc, rc = _hex_qr_cols(F.col("lon"), F.col("lat"), 9)
+    expect = {
+        (r.cell_hex, r.n)
+        for r in geo.withColumn("cell_hex", _hex_pack(qc, rc, 9))
+        .groupBy("cell_hex")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect and len(expect) > 10
+
+
 def test_stream_poi_enrich_matches_batch(spark, tmp_path):
     """Stream-static geo-enrichment: per-event POI matches from the
     streaming join equal the batch radius join on the same rows."""
