@@ -390,7 +390,7 @@ def connected_components_star(
     dst_col: str = "doc_b",
     max_iter: int = 50,
     return_rounds: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, int]":
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC'14) — the diameter-robust escape hatch documented in
@@ -402,11 +402,15 @@ def connected_components_star(
     m = min(neighbors(u) + {u}); small-star: every node points its
     smaller-or-equal neighbors (and itself) at the minimum of that set.
     The edge set converges to per-component stars centered at the
-    component minimum.  Convergence is detected by an order-insensitive
-    (count, xor-of-hashes) fingerprint of the edge set — one tiny agg
-    per round; each round's edges are localCheckpoint-ed so the plan
-    doesn't deepen (same per-round materialization rule as the label-
-    propagation variant).  Output schema matches
+    component minimum.  Convergence is screened by an order-insensitive
+    (count, xor-of-xxhash64) fingerprint of the edge set — one tiny agg
+    per round — and then CONFIRMED exactly: both sets are distinct, so
+    equal counts + an empty one-direction ``exceptAll`` proves set
+    equality (a fingerprint collision alone can never terminate the
+    loop early with wrong labels).  Each round's edges are
+    localCheckpoint-ed so the plan doesn't deepen (same per-round
+    materialization rule as the label-propagation variant).  Output
+    schema matches
     ``connected_components``: (doc_id, component_id = min member);
     ``return_rounds=True`` returns ``(labels, rounds)`` so callers and
     tests can assert the O(log n) round bound."""
@@ -423,7 +427,7 @@ def connected_components_star(
     def fingerprint(df: DataFrame):
         row = df.agg(
             F.count("*").alias("n"),
-            F.coalesce(F.bit_xor(F.hash("u", "v")), F.lit(0)).alias("x"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("x"),
         ).first()
         return (row.n, row.x)
 
@@ -458,12 +462,18 @@ def connected_components_star(
     fp = fingerprint(e)
     rounds = 0
     for _ in range(max_iter):
+        prev_e = e
         new_e = small_star(large_star(e)).localCheckpoint()
         new_fp = fingerprint(new_e)
         e = new_e
         rounds += 1
         if new_fp == fp:
-            break
+            # Fingerprint match is a screen, not a proof: confirm set
+            # equality exactly.  Both sets are distinct and counts are
+            # equal (part of the fingerprint), so a one-direction
+            # exceptAll being empty implies equality.
+            if new_e.exceptAll(prev_e).isEmpty():
+                break
         fp = new_fp
     # converged edge set is a star u -> component min; isolated centers
     # (and any node appearing only as a center) label themselves

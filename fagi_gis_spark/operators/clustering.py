@@ -214,6 +214,20 @@ def cluster_links(
                     < F.lit(frac_ppm)
                 ).select(*cols)
             X = fit.toPandas()[cols].to_numpy(np.float64)
+            if len(X) < max(k, 2):
+                # Unlucky hash mask (or tiny frac_ppm at huge n) can
+                # undershoot the expected sample size; EM needs >= k
+                # rows or the closed-form parameters go NaN.  Fall back
+                # to the full table — bounded by fit_sample_rows anyway
+                # whenever this branch can trigger at sane n.
+                X = feats.select(*cols).limit(
+                    max(fit_sample_rows, k)
+                ).toPandas()[cols].to_numpy(np.float64)
+            if len(X) < k:
+                raise ValueError(
+                    f"cluster_links(gmm): only {len(X)} feature rows "
+                    f"available but k={k}; reduce k or supply more links"
+                )
             _, (w, mu, var) = _diagonal_em(
                 X, k=k, seed=seed, max_iter=max_iter, tol=tol
             )

@@ -190,5 +190,12 @@ def try_decode_pixels(data: bytes) -> np.ndarray | None:
 
     try:
         return decode_pixels(data)
-    except (NotImplementedError, ValueError, IndexError, zlib.error, struct.error):
+    except (
+        NotImplementedError,
+        ValueError,
+        KeyError,  # JPEG with SOS before/without DHT or DQT: table lookup misses
+        IndexError,
+        zlib.error,
+        struct.error,
+    ):
         return None
