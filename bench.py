@@ -5,11 +5,16 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query is forced end-to-end with the noop sink (so UDF/projection
 columns are actually computed, not pruned by count()), executed
-$SPARK_GRAFT_REPEATS times (default 3), and reported as the per-query
-MINIMUM — the steady-state time, robust to transient host contention
-spikes on the shared sandbox (observed: the same unchanged query varying
-2.5s <-> 23s across adjacent runs). The aggregation is recorded in the
-JSON (``repeats`` / ``agg``).
+$SPARK_GRAFT_REPEATS times (default 5) in ROTATED-INTERLEAVED sweeps
+(the whole suite repeats, order rotated per sweep, so one host
+contention window can't poison every repeat of the same query), and
+reported as the per-query MINIMUM — the steady-state time, robust to
+transient contention spikes on the shared sandbox (observed: the same
+unchanged query varying 2.5s <-> 23s across adjacent runs). The
+max/min spread per query is recorded (``noise_spread_max_over_min``)
+so a reader can tell a real regression (min moved) from noise (only
+max moved). Aggregation details are in the JSON (``repeats``/``agg``/
+``schedule``).
 """
 
 from __future__ import annotations
@@ -66,10 +71,20 @@ def run(sf_dir: str | None = None, cores: str | None = None, names=None) -> dict
     ).count().collect()
     qs["fuse_keep_a"](spark, sf_dir).limit(1000).write.format("noop").mode("overwrite").save()
 
-    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
-    for name in names:
-        best = None
-        for _ in range(repeats):
+    # Noise-robust schedule (shared-host contention spikes showed the
+    # same unchanged query swinging 2.5s <-> 23s between adjacent runs,
+    # and r4's driver record inflated 1.6x on pure noise): run the whole
+    # suite `repeats` times with the query ORDER ROTATED each sweep —
+    # back-to-back repeats of one query all land inside the same
+    # contention window, interleaved sweeps don't — and report the
+    # per-query MINIMUM (steady-state time) plus the spread so a real
+    # regression (min shifts) is distinguishable from noise (max-only).
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "5"))
+    best: dict[str, float] = {}
+    worst: dict[str, float] = {}
+    for sweep in range(repeats):
+        order = names[sweep % len(names):] + names[: sweep % len(names)]
+        for name in order:
             # construction is timed too: query functions may run planning
             # work (e.g. fitting a quantizer), and excluding it would
             # under-report such queries
@@ -77,8 +92,13 @@ def run(sf_dir: str | None = None, cores: str | None = None, names=None) -> dict
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            best[name] = min(best.get(name, dt), dt)
+            worst[name] = max(worst.get(name, dt), dt)
+    for name in names:
+        timings[name] = round(best[name], 3)
+    noise_spread = {
+        n: round(worst[n] / best[n], 2) for n in names if best[n] > 0
+    }
 
     total = round(sum(timings.values()), 3)
 
@@ -183,6 +203,8 @@ def run(sf_dir: str | None = None, cores: str | None = None, names=None) -> dict
         "cores": cores,
         "repeats": repeats,
         "agg": "min",
+        "schedule": "rotated-interleaved sweeps",
+        "noise_spread_max_over_min": noise_spread,
         "input_rows": total_rows_in,
         "throughput_rows_per_sec": round(total_rows_in * len(names) / total, 1) if total else None,
         "scale_probe": scale_probe,

@@ -97,6 +97,7 @@ def radius_join(
     z: int | None = None,
     salt_threshold: int | str | None = "auto",
     n_salt: int = 8,
+    hot_cells: "DataFrame | None | str" = "detect",
 ) -> DataFrame:
     """J5 as one distributed join. Output: left keys + right keys + dist_m
     (planar degree distance x 111195 — identical numbers to the reference).
@@ -111,7 +112,10 @@ def radius_join(
     the only auto cost is the detection pass; a non-empty hot set
     engages the salted two-key join with probe fan-out limited to hot
     cells. ``None`` disables salting (AQE skew-join remains the only
-    protection).
+    protection).  ``hot_cells`` accepts a PRECOMPUTED detection result
+    (``detect_hot_cells`` output, or explicit ``None`` for known-uniform
+    data) so suites/pipelines sharing a build layer pay the detection
+    pass once — see ``_salted_cell_join``.
     """
     lk, llon, llat = left_cols
     rk, rlon, rlat = right_cols
@@ -124,7 +128,7 @@ def radius_join(
 
     l = _ring1_probe(left, left_cols, z)
 
-    joined = _salted_cell_join(l, r, salt_threshold, n_salt)
+    joined = _salted_cell_join(l, r, salt_threshold, n_salt, hot_cells)
 
     # lon delta wraps at the antimeridian (|dlon| <= 180); identical to the
     # reference's planar formula everywhere away from the seam, where the
@@ -191,8 +195,111 @@ def radius_join_bucketed(
     return _refine_and_select(joined, radius_m)
 
 
+def cell_counts(build: DataFrame) -> DataFrame:
+    """One MATERIALIZED (cell, count) pass over a cell-keyed build
+    frame — the input to skew detection.  Tiny output (one row per
+    occupied cell, no driver collect), eager ``localCheckpoint`` so
+    every consumer (threshold agg, hot filter, per-round rollups)
+    reuses the single scan instead of re-running it."""
+    return build.groupBy("cell").count().localCheckpoint()
+
+
+def hot_cells_from_counts(
+    counts: DataFrame, salt_threshold: int | str = "auto"
+) -> DataFrame | None:
+    """Derive the hot-cell set from a PRECOMPUTED (cell, count) frame
+    (``cell_counts`` output, or a rollup of one).  ``"auto"`` uses the
+    max(256, 8x mean) rule; an int is an explicit row-count threshold.
+    Returns ``None`` for an empty hot set — the adaptive short-circuit:
+    on uniform data the whole salting apparatus (two broadcast joins, a
+    per-probe explode, a wider join key) is pure overhead, so callers
+    fall back to the plain cell join.  The check is a filter + limit-1
+    over the already-materialized tiny counts table — cheap at any
+    scale."""
+    if salt_threshold == "auto":
+        # uniform data pays one cheap aggregation and zero fan-out,
+        # skewed data is protected without tuning
+        thr_df = counts.agg(
+            F.greatest(F.lit(256.0), F.avg("count") * F.lit(8.0)).alias("__thr")
+        )
+        hot = (
+            counts.join(F.broadcast(thr_df))
+            .filter(F.col("count") > F.col("__thr"))
+            .select("cell", F.lit(True).alias("__hot"))
+        )
+    else:
+        hot = counts.filter(F.col("count") > salt_threshold).select(
+            "cell", F.lit(True).alias("__hot")
+        )
+    if hot.isEmpty():
+        return None
+    return hot
+
+
+def detect_hot_cells(
+    build: DataFrame, salt_threshold: int | str | None = "auto"
+) -> DataFrame | None:
+    """Skew detection for a cell-keyed build frame: counts pass +
+    threshold rule.  Public so a SUITE (or a real pipeline) can detect
+    skew ONCE per (layer, cell space) and hand the result to every join
+    that shares the build side via ``hot_cells=...`` — instead of each
+    join re-running its own detection scan (the r4 bench showed three
+    J5 strategies each paying this pass on the same layer)."""
+    if salt_threshold is None:
+        return None
+    return hot_cells_from_counts(cell_counts(build), salt_threshold)
+
+
+def build_hot_cells(
+    right: DataFrame,
+    radius_m: float,
+    strategy: str = "tile",
+    right_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
+    salt_threshold: int | str | None = "auto",
+    z: int | None = None,
+    res: int | None = None,
+    level: int | None = None,
+) -> DataFrame | None:
+    """Run the hot-cell skew-detection pass for a build layer in the
+    named strategy's cell space ("tile" | "hex" | "s2"), at the SAME
+    default resolution the corresponding join would pick for
+    ``radius_m`` — the shareable precomputation for the joins'
+    ``hot_cells=`` argument.  A suite or pipeline running several
+    radius joins / kNN queries against one layer calls this once per
+    strategy and passes the result everywhere, instead of each join
+    paying its own detection scan (the r4 bench had three J5 strategies
+    each re-scanning the same layer).  Returns ``None`` when the layer
+    is uniform (empty hot set)."""
+    rk, rlon, rlat = right_cols
+    if strategy == "tile":
+        z = z if z is not None else join_res_for_radius(radius_m)
+        cells = right.select(
+            cell_id_col(F.col(rlon), F.col(rlat), z).alias("cell")
+        )
+    elif strategy == "hex":
+        res = res if res is not None else hex_res_for_radius(radius_m)
+        q, r_ = _hex_qr_cols(F.col(rlon), F.col(rlat), res)
+        cells = right.select(F.col(rlon), F.col(rlat)).select(
+            _hex_pack(q, r_, res).alias("cell")
+        )
+    elif strategy == "s2":
+        from fagi_gis_spark.functions.geo_udfs import u_s2_cell_at
+
+        level = level if level is not None else s2_level_for_radius(radius_m)
+        cells = right.select(
+            u_s2_cell_at(level)(F.col(rlon), F.col(rlat)).alias("cell")
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return detect_hot_cells(cells, salt_threshold)
+
+
 def _salted_cell_join(
-    l: DataFrame, r: DataFrame, salt_threshold: int | str | None, n_salt: int
+    l: DataFrame,
+    r: DataFrame,
+    salt_threshold: int | str | None,
+    n_salt: int,
+    hot_cells: "DataFrame | None | str" = "detect",
 ) -> DataFrame:
     """Hot-cell salting for the cell-equi-join step, shared by ALL
     radius-join strategies (square tile, hex, S2): ``l`` is the probe
@@ -203,6 +310,14 @@ def _salted_cell_join(
     probe rows replicate only for those hot cells.  ``"auto"`` derives
     the threshold (max(256, 8x mean)) from one materialized cell-count
     pass; an empty hot set short-circuits to the plain cell join.
+
+    ``hot_cells`` overrides detection: the default sentinel
+    ``"detect"`` runs ``detect_hot_cells`` here; a precomputed hot-cell
+    DataFrame (``(cell, __hot)``) or an explicit ``None`` (caller
+    already knows the data is uniform / detection happened elsewhere)
+    skips the counts pass entirely.  Salting never changes OUTPUT —
+    only placement — so a stale or approximate hot set degrades
+    performance, never correctness.
 
     The counts pass is an eager ``localCheckpoint`` — it runs two Spark
     jobs at DataFrame-CONSTRUCTION time (checkpoint + isEmpty), so
@@ -215,33 +330,10 @@ def _salted_cell_join(
     a resubmit-on-loss matches what AQE skew stats cost anyway.  Pass
     ``salt_threshold=None`` for a fully lazy plan (AQE skew-join then
     remains the only protection)."""
-    hot = None
-    if salt_threshold is not None:
-        # tiny table: one row per occupied cell, no driver collect
-        counts = r.groupBy("cell").count().localCheckpoint()
-        if salt_threshold == "auto":
-            # uniform data pays one cheap aggregation and zero fan-out,
-            # skewed data is protected without tuning
-            thr_df = counts.agg(
-                F.greatest(F.lit(256.0), F.avg("count") * F.lit(8.0)).alias("__thr")
-            )
-            hot = (
-                counts.join(F.broadcast(thr_df))
-                .filter(F.col("count") > F.col("__thr"))
-                .select("cell", F.lit(True).alias("__hot"))
-            )
-        else:
-            hot = counts.filter(F.col("count") > salt_threshold).select(
-                "cell", F.lit(True).alias("__hot")
-            )
-        # Adaptive short-circuit: with no hot cells (uniform data — the
-        # common case) the whole salting apparatus (two broadcast joins,
-        # a per-probe explode, a wider join key) is pure overhead, so
-        # fall back to the plain cell join. The check is a filter +
-        # limit-1 over the already-materialized tiny counts table —
-        # cheap at any scale. Skewed data still gets the full machinery.
-        if hot.isEmpty():
-            hot = None
+    if isinstance(hot_cells, str) and hot_cells == "detect":
+        hot = detect_hot_cells(r, salt_threshold)
+    else:
+        hot = hot_cells
 
     if hot is None:
         return l.join(r, ["cell"], "inner")
@@ -391,14 +483,43 @@ def knn_join_adaptive(
     neighborhood bound from an exhausted search radius.
 
     Each round's inner ``radius_join`` inherits ``**kwargs`` — including
-    the default-on auto salting, whose per-round hot-cell detection pass
-    re-scans the build side at that round's resolution.  On known-uniform
-    data pass ``salt_threshold=None`` to skip those passes; the default
-    stays skew-safe.
+    the default-on auto salting.  For the tile strategy (the default)
+    the build side is SCANNED FOR SKEW ONCE: cell counts materialize at
+    round 0's (finest) resolution, and every later round derives its
+    counts by an exact quadtree parent rollup over that tiny table
+    (``tiles.parent_cell_col`` — codegen arithmetic on one row per
+    occupied cell), so doubling the radius never re-reads the layer.
+    Other strategies (hex/S2 ancestors don't make this rollup exact)
+    keep per-round detection; on known-uniform data pass
+    ``salt_threshold=None`` to skip detection entirely.  The default
+    stays skew-safe either way — the hot set only steers placement,
+    never output.
     """
     if max_doublings < 1:
         raise ValueError("knn_join_adaptive requires max_doublings >= 1")
     lk = left_cols[0]
+
+    # One skew scan for all rounds (tile strategy): counts at the finest
+    # z, rolled up per round.  Only when the caller didn't already fix
+    # the resolution or supply a hot set themselves.
+    reuse_counts = (
+        kwargs.get("strategy", "tile") == "tile"
+        and kwargs.get("salt_threshold", "auto") is not None
+        and "hot_cells" not in kwargs
+        and "z" not in kwargs
+    )
+    base_counts = None
+    z0 = None
+    if reuse_counts:
+        from fagi_gis_spark.index.tiles import parent_cell_col
+
+        _, rlon, rlat = right_cols
+        z0 = join_res_for_radius(init_radius_m)
+        base_counts = cell_counts(
+            right.select(
+                cell_id_col(F.col(rlon), F.col(rlat), z0).alias("cell")
+            )
+        )
     # localCheckpoint (eager) truncates lineage every round: the frontier
     # would otherwise accumulate one anti-join + one knn plan per round
     # and Catalyst re-optimizes the whole stack each iteration
@@ -407,8 +528,23 @@ def knn_join_adaptive(
     radius = init_radius_m
     last = None
     for _ in range(max_doublings):
+        round_kwargs = kwargs
+        if reuse_counts:
+            z_i = join_res_for_radius(radius)
+            counts_i = base_counts
+            if z_i != z0:
+                counts_i = base_counts.groupBy(
+                    parent_cell_col(F.col("cell"), z0, z_i).alias("cell")
+                ).agg(F.sum("count").alias("count"))
+            round_kwargs = dict(
+                kwargs,
+                hot_cells=hot_cells_from_counts(
+                    counts_i, kwargs.get("salt_threshold", "auto")
+                ),
+            )
         cand = knn_join(
-            remaining, right, k, radius, left_cols=left_cols, right_cols=right_cols, **kwargs
+            remaining, right, k, radius, left_cols=left_cols,
+            right_cols=right_cols, **round_kwargs
         ).localCheckpoint()
         last = cand
         # complete iff the k-th neighbor exists within this radius
@@ -565,6 +701,7 @@ def hex_radius_join(
     res: int | str | None = None,
     salt_threshold: int | str | None = "auto",
     n_salt: int = 8,
+    hot_cells: "DataFrame | None | str" = "detect",
 ) -> DataFrame:
     """J5 over the aperture-7 hex grid: build rows key by their single
     hex cell, probe rows explode gridDisk(1) — 7 candidate cells per
@@ -661,7 +798,7 @@ def hex_radius_join(
     ).otherwise(base)
     l = l.withColumn("cell", F.explode(cells)).drop("__q", "__r", "__sq", "__sr")
 
-    joined = _salted_cell_join(l, r, salt_threshold, n_salt)
+    joined = _salted_cell_join(l, r, salt_threshold, n_salt, hot_cells)
     return _refine_and_select(joined, radius_m)
 
 
@@ -722,6 +859,7 @@ def s2_radius_join(
     level: int | None = None,
     salt_threshold: int | str | None = "auto",
     n_salt: int = 8,
+    hot_cells: "DataFrame | None | str" = "detect",
 ) -> DataFrame:
     """J5 over the real S2 curve: build rows key by their S2 cell, probe
     rows explode their 9-cell neighborhood (8 neighbors cross-face
@@ -767,5 +905,5 @@ def s2_radius_join(
         )
     )
 
-    joined = _salted_cell_join(l, r, salt_threshold, n_salt)
+    joined = _salted_cell_join(l, r, salt_threshold, n_salt, hot_cells)
     return _refine_and_select(joined, radius_m)
