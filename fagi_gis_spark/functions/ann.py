@@ -241,16 +241,49 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 32,
+    blocking: str = "lsh",
+    n_tables: int = 16,
+    bits_per_table: int | str = "auto",
+    dim: int = 64,
+    multiprobe: int = 1,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-by-embedding
-    operator): exact quantized cosine via the same block-partitioned
-    cogroup matmul as ``cosine_topk`` — the table is hash-split into
-    ``n_blocks`` row blocks, rows replicate to every block as queries, and
-    each (query batch, block) task emits only (id_a < id_b, cos_sim) at or
-    above the threshold. Nothing is collected to the driver and nothing
-    near n^2 ever leaves a kernel; each pair lands in exactly one block
-    (the one owning id_b), so no dedup pass is needed. Oracle-checkable
-    (integer-exact dot products)."""
+    operator).  Two physical plans, identical output values for every
+    emitted pair (both verify with the SAME exact integer-quantized
+    cosine, so cos_sim is bit-identical between paths):
+
+    ``blocking="lsh"`` (default — the corpus-scale path): candidate
+    pairs come from shared random-hyperplane buckets (multi-table +
+    multi-probe, same machinery as ``lsh_topk``; ids only through the
+    bucket join), then every candidate is verified with the exact
+    quantized cosine and kept iff >= threshold.  Candidate volume is
+    ~linear in n with ``bits_per_table="auto"`` (bucket width held
+    roughly constant), so at 10^9 rows this does ~10^12-10^13 dot
+    products instead of the exact plan's 10^18 — the 100 TB default.
+    APPROXIMATE in recall only (a pair the buckets never co-locate is
+    missed; measured recall >= 0.95 at threshold 0.8 in pytest — no
+    false positives ever, since every emitted pair passed the exact
+    verify).
+
+    ``blocking="exact"`` (the oracle/baseline path): exact quantized
+    cosine via the same block-partitioned cogroup matmul as
+    ``cosine_topk`` — the table is hash-split into ``n_blocks`` row
+    blocks, rows replicate to every block as queries, and each (query
+    batch, block) task emits only (id_a < id_b, cos_sim) at or above
+    the threshold.  Nothing is collected to the driver and nothing near
+    n^2 ever leaves a kernel; each pair lands in exactly one block (the
+    one owning id_b), so no dedup pass is needed.  Oracle-checkable
+    (integer-exact dot products), complete by construction — and
+    inherently O(n^2) FLOPs, which is why it is the small-n baseline,
+    not the scale default."""
+    if blocking == "lsh":
+        return _cosine_near_dup_lsh(
+            emb, threshold, quantize, id_col, vec_col,
+            n_tables, bits_per_table, dim, multiprobe, seed,
+        )
+    if blocking != "exact":
+        raise ValueError(f"blocking must be 'lsh' or 'exact', got {blocking!r}")
     ref = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).withColumn(
         "block", F.pmod(F.crc32(F.col("vid").cast("string")), F.lit(n_blocks)).cast("int")
     )
@@ -291,6 +324,72 @@ def cosine_near_dup_pairs(
         q.groupBy("block")
         .cogroup(ref.groupBy("block"))
         .applyInPandas(blk, schema="id_a long, id_b long, cos_sim double")
+    )
+
+
+def _cosine_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float,
+    quantize: int,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    bits_per_table: int | str,
+    dim: int,
+    multiprobe: int,
+    seed: int,
+) -> DataFrame:
+    """LSH-candidate + exact-verify near-dup (see cosine_near_dup_pairs).
+    The bucket join carries IDS ONLY; quantized vectors re-attach after
+    the undirected pair dedup, and the verify cosine is the identical
+    integer-dot / sqrt formula the exact path computes."""
+    if bits_per_table == "auto":
+        import math
+
+        n_rows = emb.count()
+        bits_per_table = min(16, max(4, math.ceil(math.log2(max(n_rows, 2) / 24.0))))
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    sig = hyperplane_signatures(
+        base, n_tables=n_tables, bits_per_table=bits_per_table, dim=dim, seed=seed
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(bits_per_table)
+            ],
+        )
+        l = sig.select(F.explode(probes).alias("bucket"), F.col("vec_id"))
+    else:
+        l = sig.select("bucket", "vec_id")
+    r = sig.select("bucket", F.col("vec_id").alias("id_b"))
+    cand = (
+        l.join(r, "bucket")
+        .filter(F.col("vec_id") < F.col("id_b"))
+        .select(F.col("vec_id").alias("id_a"), "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = base.select(
+        F.col("vec_id").alias("__vid"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * quantize).cast("long")
+        ).alias("__v"),
+    ).withColumn("__n", _dot(F.col("__v"), F.col("__v")))
+    cand = cand.join(
+        vecs.select(F.col("__vid").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("__vid").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")),
+        "id_b",
+    )
+    cos = _dot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        cand.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
     )
 
 

@@ -1863,11 +1863,15 @@ def tag_recommend(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (training-data dedup family):
-    thresholded sparsification inside the broadcast-matrix kernel."""
+    the EXACT blocked-matmul path — complete by construction, so it can
+    be held to a closed-form SQL oracle.  The library default is
+    blocking="lsh" (candidates from hyperplane buckets + the same exact
+    verify), the corpus-scale plan; its recall is gated in pytest
+    against this query's exact pair set."""
     from fagi_gis_spark.functions.ann import cosine_near_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_near_dup_pairs(emb, threshold=0.35)
+    return cosine_near_dup_pairs(emb, threshold=0.35, blocking="exact")
 
 
 @register("ann_ivf_topk")  # KMeans coarse quantizer: pytest recall check
