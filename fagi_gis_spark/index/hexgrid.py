@@ -55,11 +55,18 @@ def _basis_inv(res: int) -> np.ndarray:
 
 def hex_round_np(qf: np.ndarray, rf: np.ndarray):
     """Cube rounding (axial -> nearest hex center), the standard
-    largest-residual correction."""
+    largest-residual correction.  Rounding is floor(x + 0.5) — HALF-UP,
+    the ONE rule every hex-id surface shares (JVM column math in
+    spatial_join._cube_round_cols, this numpy path, and the DuckDB
+    oracle replay in hex_round_sql), so the same point gets the same
+    cell id from every engine path, including exact-tie boundary
+    points.  Half-up is the rule because the JVM side must avoid
+    Spark's BigDecimal-routed bround (measured ~45% slower), and
+    floor(x+0.5) is codegen-friendly there."""
     sf = -qf - rf
-    q = np.round(qf)
-    r = np.round(rf)
-    s = np.round(sf)
+    q = np.floor(qf + 0.5)
+    r = np.floor(rf + 0.5)
+    s = np.floor(sf + 0.5)
     dq = np.abs(q - qf)
     dr = np.abs(r - rf)
     ds = np.abs(s - sf)
@@ -161,15 +168,11 @@ def hex_distance_np(cell_a: np.ndarray, cell_b: np.ndarray) -> np.ndarray:
 # DuckDB oracle builders (closed-form — no recursion needed)
 # --------------------------------------------------------------------------
 
-def _round_half_even(expr: str) -> str:
-    """numpy round() is banker's rounding; DuckDB round() is half-away.
-    Replay half-even exactly: round half-away, then step back to the even
-    neighbor on exact .5 residues."""
-    return (
-        f"(CASE WHEN abs(({expr}) - floor({expr}) - 0.5) = 0 "
-        f"THEN 2.0 * round(({expr}) / 2.0) "
-        f"ELSE round({expr}) END)"
-    )
+def _round_half_up(expr: str) -> str:
+    """floor(x + 0.5) — the single hex rounding rule (see hex_round_np),
+    replayed as the IDENTICAL expression DuckDB-side so exact-tie
+    residues land in the same cell as the numpy and Spark paths."""
+    return f"floor(({expr}) + 0.5)"
 
 
 def hex_round_sql(qf: str, rf: str) -> str:
@@ -188,9 +191,9 @@ def hex_round_sql(qf: str, rf: str) -> str:
         abs(q0 - ({qf})) AS dq, abs(r0 - ({rf})) AS dr, abs(s0 - (-({qf}) - ({rf}))) AS ds
       FROM (
         SELECT *,
-          {_round_half_even(qf)} AS q0,
-          {_round_half_even(rf)} AS r0,
-          {_round_half_even(f'(-({qf}) - ({rf}))')} AS s0
+          {_round_half_up(qf)} AS q0,
+          {_round_half_up(rf)} AS r0,
+          {_round_half_up(f'(-({qf}) - ({rf}))')} AS s0
         FROM __hex_in
       )
     )

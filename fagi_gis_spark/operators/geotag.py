@@ -34,14 +34,8 @@ def geotag_images(
     ``cell_indexes`` optionally adds the north star's named encodings
     alongside the z-tile cell: ``"s2"`` -> ``cell_s2`` (level-12 S2 id,
     Arrow-batched index/s2.py kernel), ``"hex"`` -> ``cell_hex`` (res-9
-    aperture-7 hex id, pure JVM column math).
-
-    ``cell_hex`` rounding caveat: the JVM math rounds half-up
-    (floor(x+0.5)) where the Arrow/oracle surface (``u_hex_cell_at``/
-    ``hex_cell_np``) rounds half-even — exact-tie boundary points (a
-    measure-zero set) can get different ids across the two families;
-    see stream_hex_cell_counts for the same note on the streaming
-    surface."""
+    aperture-7 hex id, pure JVM column math — the same half-up rule as
+    every other hex surface, see hexgrid.hex_round_np)."""
     lon, lat = geotag_cols(F.col("phash"))
     out = images.withColumn("lon", lon).withColumn("lat", lat)
     out = out.withColumn("cell", tiles.cell_id_col(F.col("lon"), F.col("lat"), cell_res))

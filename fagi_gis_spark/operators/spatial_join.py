@@ -588,9 +588,9 @@ _HEX_OFF = 1 << 27
 
 
 def _cube_round_cols(qf, rf):
-    """Shared floor(x+0.5) cube rounding as JVM columns — the single
-    owner of the join-side rounding rule (see _hex_qr_cols for why it
-    intentionally differs from hex_cell_np's banker's rounding)."""
+    """floor(x+0.5) cube rounding as JVM columns — the same half-up
+    rule as hexgrid.hex_round_np and the DuckDB replay (one rule for
+    every exported hex id; see hex_round_np)."""
     sf = -qf - rf
     q0, r0, s0 = (F.floor(c + F.lit(0.5)).cast("double") for c in (qf, rf, sf))
     dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sf)
@@ -670,12 +670,10 @@ def _hex_qr_cols(lon, lat, res: int):
     """Axial hex coords as JVM column math, fully inside whole-stage
     codegen.  Rounding is floor(x + 0.5) (half-up), NOT bround():
     Spark's bround routes every call through BigDecimal — measured ~45%
-    slower end-to-end with 6 rounds per row.  The join only needs build
-    and probe to share ONE consistent nearest-integer rule (ties are a
-    measure-zero boundary; the cube-round fix step repairs any axis-sum
-    drift), so it intentionally diverges from hex_cell_np's banker's
-    rounding on exact .5 residues — the brute-force differential tests
-    cover the join's own correctness."""
+    slower end-to-end with 6 rounds per row.  Half-up is the single
+    rounding rule shared with hex_cell_np and the DuckDB oracle replay
+    (see hex_round_np), so join-side, geotag, streaming, and oracle hex
+    ids agree for every point including exact-tie boundaries."""
     from fagi_gis_spark.index.hexgrid import _basis_inv
 
     inv = _basis_inv(res)

@@ -391,10 +391,9 @@ def hex_radius_join_150m(spark, sf_dir):
     """J5 via the aperture-7 hex grid (operators/spatial_join.py
     hex_radius_join): 7-cell gridDisk(1) candidates instead of 9 square
     ring-1 tiles, hex assignment entirely in whole-stage codegen
-    (floor(x+0.5) half-up rounding — intentionally NOT hex_cell_np's
-    banker's rounding; the join only needs one consistent rule on both
-    sides). Output-identical to radius_join_150m — same brute-force
-    DuckDB oracle."""
+    (floor(x+0.5) half-up — the one rounding rule shared by every hex
+    surface, see hexgrid.hex_round_np). Output-identical to
+    radius_join_150m — same brute-force DuckDB oracle."""
     from fagi_gis_spark.operators.spatial_join import hex_radius_join
 
     L = layers(spark, sf_dir)

@@ -108,16 +108,10 @@ def stream_hex_cell_counts(
     aperture-7 hex cell.  The hex assignment is the same whole-stage-
     codegen column math the batch join uses (spatial_join._hex_qr_cols),
     so it applies unchanged to a readStream source; state is bounded by
-    the watermark x occupied-cell count.
-
-    Rounding caveat (shared with ``geotag_images(cell_indexes=('hex',))``):
-    the JVM column math rounds axial coords half-up (floor(x+0.5)) while
-    the Arrow/oracle surface (``u_hex_cell_at``/``hex_cell_np``) uses
-    banker's rounding — ids for EXACT-tie boundary points (a measure-zero
-    set; impossible for m/7 fractions, see _hex_qr_cols) can differ
-    between the two id families, so don't equi-join ids from this
-    surface against Arrow-emitted ids if inputs can sit exactly on cell
-    boundaries."""
+    the watermark x occupied-cell count.  Hex rounding is the single
+    half-up rule every surface shares (hexgrid.hex_round_np), so ids
+    from this stream equi-join safely against batch/Arrow/oracle hex
+    ids, exact-tie boundary points included."""
     from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
 
     q, r = _hex_qr_cols(F.col(lon_col), F.col(lat_col), res)

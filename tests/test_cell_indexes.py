@@ -5,6 +5,7 @@ the registry queries ``s2_cells`` / ``hex_cells``)."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from fagi_gis_spark.index.hexgrid import (
     grid_disk,
@@ -342,3 +343,62 @@ def test_covering_tiles_antimeridian_and_world():
     world = covering_tiles(-180.0, -85.0, 180.0, 85.0, 3)
     xs = {unpack_cell(c)[1] for c in world}
     assert xs == set(range(8))
+
+
+def test_hex_rounding_single_rule_on_exact_ties(spark):
+    """One half-up rule for every hex surface (VERDICT r4 ask #3): on
+    EXACT .5-residue axial ties — the inputs where banker's and half-up
+    disagree — the numpy path (hex_cell_np family), the JVM column path
+    (_cube_round_cols, used by joins/geotag/streaming), and the DuckDB
+    oracle replay (hex_round_sql) all produce the same rounded axial
+    pair."""
+    import duckdb
+    import numpy as np
+
+    from fagi_gis_spark.index.hexgrid import hex_round_np, hex_round_sql
+    from fagi_gis_spark.operators.spatial_join import _cube_round_cols
+
+    ties = [
+        (0.5, 0.25), (1.5, 0.25), (2.5, 0.25), (-0.5, 0.25), (-1.5, 0.25),
+        (0.25, 0.5), (0.25, 1.5), (0.25, -0.5), (0.5, 0.5), (1.5, -0.5),
+        (-0.5, -0.5), (2.5, -1.5), (0.5, -0.25), (3.5, 2.5), (0.1, 0.4),
+        (0.73, -1.22),
+    ]
+    qf = np.array([t[0] for t in ties])
+    rf = np.array([t[1] for t in ties])
+    nq, nr = hex_round_np(qf, rf)
+
+    df = spark.createDataFrame(list(ties), "qf double, rf double")
+    jq, jr = _cube_round_cols(F.col("qf"), F.col("rf"))
+    jvm = df.select(jq.alias("q"), jr.alias("r")).toPandas()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE __hex_in AS SELECT * FROM (VALUES %s) t(qf, rf)"
+                % ", ".join(f"({a!r}, {b!r})" for a, b in ties))
+    sql = hex_round_sql("qf", "rf")
+    got = con.execute(f"SELECT q1, r1 FROM ({sql})").fetchall()
+
+    for i in range(len(ties)):
+        assert (nq[i], nr[i]) == (jvm.q[i], jvm.r[i]) == (int(got[i][0]), int(got[i][1])), ties[i]
+
+
+def test_hex_id_equality_across_surfaces(spark):
+    """End-to-end: the geotag/stream JVM hex id (_hex_qr_cols+_hex_pack)
+    equals the Arrow/numpy id (hex_cell_np) for a dense point sweep
+    crossing many cell boundaries — the two id families are now ONE."""
+    import numpy as np
+
+    from fagi_gis_spark.index.hexgrid import hex_cell_np
+    from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
+
+    rng = np.random.default_rng(11)
+    lon = np.concatenate([rng.uniform(-179, 179, 4000), np.linspace(4.99, 5.01, 1000)])
+    lat = np.concatenate([rng.uniform(-84, 84, 4000), np.linspace(49.99, 50.01, 1000)])
+    for res in (5, 9):
+        want = hex_cell_np(lon, lat, res)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+        )
+        q, r = _hex_qr_cols(F.col("lon"), F.col("lat"), res)
+        got = df.select(_hex_pack(q, r, res).alias("cell")).toPandas()["cell"].to_numpy()
+        assert (want == got).all(), res
