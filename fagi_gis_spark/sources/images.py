@@ -7,10 +7,13 @@ noise tile; "png" rows are lossless; "jpeg" rows carry REAL baseline
 JPEG bytes (sources/jpeg.py, from-scratch T.81 codec, quality 95 —
 decoded pixels differ from the pristine ones but stay PSNR >= 40dB,
 the north rule's lossy allclose gate; the r1-r3 quantize-then-PNG
-simulation is gone). pHash is a real 8x8-DCT perceptual hash over the
-DECODED pixels (so the stored hash always matches a re-decode, lossy or
-not), computed in a vectorized pandas UDF — it seeds the synthetic
-lon/lat geotag (operators/geotag).
+simulation is gone).  Every other JPEG row (is_color_row) is a COLOR
+image — real YCbCr 4:2:0 bytes from encode_jpeg_color — so the corpus
+exercises the full color decode path; ``decode_pixels`` returns the
+luma plane for those.  pHash is a real 8x8-DCT perceptual hash over
+the DECODED (gray/luma) pixels (so the stored hash always matches a
+re-decode, lossy or not), computed in a vectorized pandas UDF — it
+seeds the synthetic lon/lat geotag (operators/geotag).
 """
 
 from __future__ import annotations
@@ -50,6 +53,25 @@ def _pixels_for(i: int, w: int, h: int) -> np.ndarray:
     base = (np.outer(np.arange(h), np.ones(w)) * (131 + i % 97)) % 256
     noise = rng.integers(0, 32, size=(h, w))
     return ((base + noise) % 256).astype(np.uint8)
+
+
+def is_color_row(i: int) -> bool:
+    """Every other JPEG row carries COLOR bytes (YCbCr 4:2:0) — the
+    realistic corpus mix the r4 grayscale-only codec couldn't produce."""
+    return i % 4 == 3
+
+
+def _pixels_rgb_for(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) RGB tile: three decorrelated channel
+    tiles, so chroma genuinely exercises the subsampled planes."""
+    return np.stack(
+        [
+            _pixels_for(i, w, h),
+            _pixels_for(i + 7777, w, h),
+            _pixels_for(i + 15555, w, h),
+        ],
+        axis=-1,
+    )
 
 
 def caption_for(i: int) -> str:
@@ -110,8 +132,7 @@ def generate_images_pdf(n: int) -> pd.DataFrame:
         w = _W_CYCLE[i % 3]
         h = _H_CYCLE[i % 3]
         fmt = "png" if i % 2 == 0 else "jpeg"
-        px = _pixels_for(i, w, h)
-        data, px_dec = _encode_row(px, fmt)
+        data, px_dec = _encode_row(i, w, h, fmt)
         rows.append(
             {
                 "image_id": f"img_{i:08d}",
@@ -126,15 +147,25 @@ def generate_images_pdf(n: int) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def _encode_row(px: np.ndarray, fmt: str) -> tuple[bytes, np.ndarray]:
-    """(payload bytes, decoded pixels) for one generated row — the phash
-    is always computed on the DECODED pixels so a re-decode reproduces
-    it bit-for-bit even through the lossy codec."""
+def _encode_row(i: int, w: int, h: int, fmt: str) -> tuple[bytes, np.ndarray]:
+    """(payload bytes, decoded GRAY pixels) for one generated row — the
+    phash is always computed on the DECODED luma so a re-decode
+    (``decode_pixels``, which returns the luma plane for color files)
+    reproduces it bit-for-bit even through the lossy codec.  Color rows
+    (``is_color_row``) carry real YCbCr 4:2:0 bytes; the stored
+    decoded-gray is the encoder's internal luma reconstruction, proven
+    bit-equal to ``decode_jpeg_gray`` of the emitted bytes."""
     if fmt == "jpeg":
+        if is_color_row(i):
+            from fagi_gis_spark.sources.jpeg import encode_jpeg_color
+
+            return encode_jpeg_color(
+                _pixels_rgb_for(i, w, h), quality=95, return_decoded_gray=True
+            )
         from fagi_gis_spark.sources.jpeg import encode_jpeg_gray
 
-        return encode_jpeg_gray(px, quality=95, return_decoded=True)
-    return encode_png_gray(px), px
+        return encode_jpeg_gray(_pixels_for(i, w, h), quality=95, return_decoded=True)
+    return encode_png_gray(_pixels_for(i, w, h)), _pixels_for(i, w, h)
 
 
 def generate_images(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
@@ -149,8 +180,7 @@ def generate_images(spark: SparkSession, n: int, partitions: int = 8) -> DataFra
                 i = int(i)
                 w, h = _W_CYCLE[i % 3], _H_CYCLE[i % 3]
                 fmt = "png" if i % 2 == 0 else "jpeg"
-                px = _pixels_for(i, w, h)
-                data, px_dec = _encode_row(px, fmt)
+                data, px_dec = _encode_row(i, w, h, fmt)
                 out.append(
                     (f"img_{i:08d}", data, w, h, fmt, caption_for(i), phash64(px_dec))
                 )
@@ -163,12 +193,14 @@ def generate_images(spark: SparkSession, n: int, partitions: int = 8) -> DataFra
 
 
 def decode_pixels(data: bytes) -> np.ndarray:
-    """Decode an image payload, dispatching on the container magic:
-    PNG (sources/png.py, lossless) and baseline JPEG (sources/jpeg.py,
-    real from-scratch T.81 decoder — the r4 de-stub) are implemented;
-    WebP/audio/video remain deliberate stubs (no codec libs in this
-    sandbox) — the Spark-side plumbing (binary column, Arrow batching,
-    schema) is identical for any codec."""
+    """Decode an image payload to GRAY pixels, dispatching on the
+    container magic: PNG (sources/png.py, lossless) and baseline JPEG
+    (sources/jpeg.py, real from-scratch T.81 decoder — gray files
+    directly, color files via the full-resolution luma plane, no
+    chroma work) are implemented; WebP/audio/video remain deliberate
+    stubs (no codec libs in this sandbox) — the Spark-side plumbing
+    (binary column, Arrow batching, schema) is identical for any
+    codec."""
     data = bytes(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_gray(data)
@@ -177,6 +209,21 @@ def decode_pixels(data: bytes) -> np.ndarray:
 
         return decode_jpeg_gray(data)
     raise NotImplementedError("codecs beyond PNG/JPEG are stubbed in this sandbox")
+
+
+def decode_pixels_rgb(data: bytes) -> np.ndarray:
+    """Decode an image payload to (h, w, 3) RGB: color JPEGs decode
+    natively (YCbCr 4:2:0, fancy upsampling); gray payloads replicate
+    the single channel — the typed color surface for multimodal ops."""
+    data = bytes(data)
+    if data[:2] == b"\xff\xd8":
+        from fagi_gis_spark.sources.jpeg import decode_jpeg
+
+        px = decode_jpeg(data)
+        if px.ndim == 3:
+            return px
+        return np.repeat(px[..., None], 3, axis=-1)
+    return np.repeat(decode_pixels(data)[..., None], 3, axis=-1)
 
 
 def try_decode_pixels(data: bytes) -> np.ndarray | None:

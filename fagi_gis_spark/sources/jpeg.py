@@ -18,8 +18,18 @@ optimized multi-length Huffman tables) to within +-1 of ImageIO's
 self-decode (tests/test_images_and_pipeline.py::
 test_jpeg_and_png_interop_with_jdk_imageio).
 
+Color (r5): 3-component YCbCr with 4:2:0 subsampling — BT.601/JFIF
+color transform, Annex-K chrominance quantization (Table K.2) with the
+same IJG quality scaling, interleaved MCUs (four Y blocks + Cb + Cr,
+per-component DC prediction), and libjpeg-compatible "fancy"
+triangular chroma upsampling on decode (the exact integer biases of
+jdsample.c's h2v2 path, so our reconstruction tracks what the IJG
+family of decoders — including the JDK's ImageIO plugin — produces).
+The decoder handles any baseline sampling layout with factors <= 2
+(4:4:4 / 4:2:2 / 4:2:0, one or three components, tables from the
+stream), so it reads third-party color files too.
+
 Simplifications (documented sandbox scope, all spec-conforming):
-- grayscale only (one component, no subsampling) — the corpus is gray;
 - FIXED-LENGTH canonical Huffman tables (all 12 DC symbols at 4 bits,
   all 162 AC symbols at 8 bits, written into DHT): valid prefix codes
   with no 16-bit all-ones pathology, chosen over the Annex-K default
@@ -54,6 +64,21 @@ _QTABLE_K1 = np.array(
     dtype=np.int32,
 )
 
+# Annex K.2 chrominance quantization table (ITU-T T.81 Table K.2)
+_QTABLE_K2 = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
 # zigzag scan order (T.81 Figure 5): _ZIGZAG[k] = flat index of the k-th
 # coefficient in scan order, built from the standard diagonal walk
 def _zigzag_order() -> np.ndarray:
@@ -84,12 +109,12 @@ def _dct8() -> np.ndarray:
 _C8 = _dct8()
 
 
-def _quality_scaled_qtable(quality: int) -> np.ndarray:
+def _quality_scaled_qtable(quality: int, base: np.ndarray = _QTABLE_K1) -> np.ndarray:
     """IJG quality scaling: scale = 5000/q (q<50) else 200-2q;
     Tq = clip((T*scale + 50) // 100, 1, 255)."""
     quality = max(1, min(100, int(quality)))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    q = (_QTABLE_K1 * scale + 50) // 100
+    q = (base * scale + 50) // 100
     return np.clip(q, 1, 255).astype(np.int32)
 
 
@@ -125,14 +150,20 @@ def _bit_sizes(v: np.ndarray) -> np.ndarray:
     return np.searchsorted(_POW2, np.abs(v.astype(np.int64)), side="right")
 
 
-def _entropy_encode(zz: np.ndarray) -> bytes:
+def _entropy_encode(zz: np.ndarray, comp: np.ndarray | None = None) -> bytes:
     """Fully vectorized entropy coder: builds (code value, bit length)
     token arrays for the whole image — DC diffs, ZRL runs, AC
     run/size + appended magnitude bits, EOBs — orders them with one
     stable argsort, expands to a bit vector with repeat/cumsum
     arithmetic, packbits, then 0xFF00 byte stuffing.  No per-symbol
     Python loop: the r4 first cut encoded ~1 ms/image and became the
-    ingest bottleneck of the scaling bench; this path is ~all numpy."""
+    ingest bottleneck of the scaling bench; this path is ~all numpy.
+
+    ``comp`` (per-block component index, in MCU-interleaved stream
+    order) switches DC prediction to PER COMPONENT (T.81 F.1.1.5.1) —
+    the only entropy-layer difference color needs, since our fixed
+    canonical tables have identical content for luma and chroma ids so
+    code bits don't depend on the component."""
     n_blocks = zz.shape[0]
     # token sort key: (block * 70 + position) * 300 + sub
     def key(block, pos, sub):
@@ -150,7 +181,14 @@ def _entropy_encode(zz: np.ndarray) -> bytes:
     blk_idx = np.arange(n_blocks, dtype=np.int64)
     # --- DC: diff category (4-bit canonical code == the category) + bits
     dc = zz[:, 0].astype(np.int64)
-    diff = dc - np.concatenate([[0], dc[:-1]])
+    if comp is None:
+        diff = dc - np.concatenate([[0], dc[:-1]])
+    else:
+        diff = np.empty_like(dc)
+        for c in np.unique(comp):
+            idx = np.nonzero(comp == c)[0]
+            d = dc[idx]
+            diff[idx] = d - np.concatenate([[0], d[:-1]])
     dsize = _bit_sizes(diff)
     emit(dsize, np.full(n_blocks, 4), key(blk_idx, 0, 0))
     dbits = np.where(diff >= 0, diff, diff + _POW2[dsize] - 1)
@@ -224,6 +262,205 @@ def _entropy_encode(zz: np.ndarray) -> bytes:
 
 def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+# --- shared plane/block helpers (encoder + decoder use the SAME math, so
+# --- encoder-internal reconstruction stays bit-equal to a real decode) ------
+
+def _pad_plane(px: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicated float64 padding to (ph, pw)."""
+    h, w = px.shape
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[-1:, :]
+    padded[:h, w:] = padded[:h, w - 1 : w]
+    padded[h:, w:] = padded[h - 1, w - 1]
+    return padded
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    ph, pw = plane.shape
+    return plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+
+
+def _from_blocks(blocks: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    return blocks.reshape(ph // 8, pw // 8, 8, 8).transpose(0, 2, 1, 3).reshape(ph, pw)
+
+
+def _quant_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(ph, pw) plane -> quantized (n_blocks, 8, 8) int32, raster order."""
+    blocks = _to_blocks(plane) - 128.0
+    coef = np.einsum("ij,njk,lk->nil", _C8, blocks, _C8)
+    return np.round(coef / qt).astype(np.int32)
+
+
+def _recon_plane(qcoef: np.ndarray, qt: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Dequantize + IDCT + level shift + round/clip: what any conforming
+    decoder reconstructs for one component plane (int32 samples)."""
+    rec = np.einsum("ji,njk,kl->nil", _C8, qcoef.astype(np.float64) * qt, _C8) + 128.0
+    return np.clip(np.round(_from_blocks(rec, ph, pw)), 0, 255).astype(np.int32)
+
+
+def _fancy_upsample_2x2(p: np.ndarray) -> np.ndarray:
+    """libjpeg jdsample.c h2v2 "fancy" (triangular) chroma upsampling,
+    exact integer pipeline incl. the 8/7 rounding biases and edge
+    replication — what IJG-family decoders (the JDK ImageIO plugin
+    included) do by default, so our color reconstruction tracks theirs."""
+    p = p.astype(np.int32)
+    pm1 = np.vstack([p[:1], p[:-1]])
+    pp1 = np.vstack([p[1:], p[-1:]])
+    out = np.empty((p.shape[0] * 2, p.shape[1] * 2), dtype=np.int32)
+    for half, far in ((0, pm1), (1, pp1)):
+        colsum = 3 * p + far
+        left = np.hstack([colsum[:, :1], colsum[:, :-1]])
+        right = np.hstack([colsum[:, 1:], colsum[:, -1:]])
+        out[half::2, 0::2] = (3 * colsum + left + 8) >> 4
+        out[half::2, 1::2] = (3 * colsum + right + 7) >> 4
+    return out
+
+
+def _fancy_upsample_h2(p: np.ndarray) -> np.ndarray:
+    """libjpeg h2v1 fancy upsampling (horizontal doubling, biases 1/2)."""
+    p = p.astype(np.int32)
+    left = np.hstack([p[:, :1], p[:, :-1]])
+    right = np.hstack([p[:, 1:], p[:, -1:]])
+    out = np.empty((p.shape[0], p.shape[1] * 2), dtype=np.int32)
+    out[:, 0::2] = (3 * p + left + 1) >> 2
+    out[:, 1::2] = (3 * p + right + 2) >> 2
+    return out
+
+
+# BT.601 constants (JFIF full-range YCbCr)
+_KR, _KG, _KB = 0.299, 0.587, 0.114
+
+
+def _rgb_to_ycbcr(px: np.ndarray):
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = _KR * r + _KG * g + _KB * b
+    cb = 128.0 + 0.5 * (b - y) / (1.0 - _KB)
+    cr = 128.0 + 0.5 * (r - y) / (1.0 - _KR)
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 2.0 * (1.0 - _KR) * crf
+    b = yf + 2.0 * (1.0 - _KB) * cbf
+    g = yf - (_KB * 2.0 * (1.0 - _KB) / _KG) * cbf - (_KR * 2.0 * (1.0 - _KR) / _KG) * crf
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _interleave_420(qy: np.ndarray, qcb: np.ndarray, qcr: np.ndarray, nby: int, nbx: int):
+    """MCU-interleave quantized blocks for 4:2:0 (T.81 A.2.3): per MCU
+    four Y blocks (left-to-right, top-to-bottom) then Cb then Cr.
+    Returns (zz interleaved (n, 64), per-block component indices)."""
+    zzY = qy.reshape(-1, 64)[:, _ZIGZAG].reshape(nby, nbx, 64)
+    zzCb = qcb.reshape(-1, 64)[:, _ZIGZAG].reshape(nby // 2, nbx // 2, 64)
+    zzCr = qcr.reshape(-1, 64)[:, _ZIGZAG].reshape(nby // 2, nbx // 2, 64)
+    n_mcu = (nby // 2) * (nbx // 2)
+    yv = (
+        zzY.reshape(nby // 2, 2, nbx // 2, 2, 64)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(n_mcu, 4, 64)
+    )
+    cbv = zzCb.reshape(n_mcu, 1, 64)
+    crv = zzCr.reshape(n_mcu, 1, 64)
+    zz = np.concatenate([yv, cbv, crv], axis=1).reshape(n_mcu * 6, 64)
+    comp = np.tile(np.array([0, 0, 0, 0, 1, 2], dtype=np.int64), n_mcu)
+    return zz, comp
+
+
+def encode_jpeg_color(
+    pixels: np.ndarray,
+    quality: int = 95,
+    return_decoded: bool = False,
+    return_decoded_gray: bool = False,
+):
+    """Encode an (h, w, 3) uint8 RGB array as baseline sequential JPEG,
+    YCbCr 4:2:0: BT.601 transform, 2x2 box chroma downsample, Annex-K
+    luminance/chrominance quantization (quality-scaled), interleaved
+    MCUs with per-component DC prediction, fixed canonical Huffman
+    tables (ids 0=luma / 1=chroma, identical content).
+
+    ``return_decoded=True`` additionally returns the RGB image a
+    conforming fancy-upsampling decoder reconstructs — computed from
+    the just-written coefficients through the SAME plane/upsample/color
+    helpers ``decode_jpeg`` uses, so it is bit-equal to re-decoding the
+    returned bytes (asserted in tests).  ``return_decoded_gray=True``
+    instead returns the decoder's full-resolution LUMA plane
+    (bit-equal to ``decode_jpeg_gray`` on the returned bytes) without
+    any chroma reconstruction — the cheap path generators use to hash
+    decoded content."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg_color expects (h, w, 3) RGB")
+    h, w = px.shape[:2]
+    qt_l = _quality_scaled_qtable(quality, _QTABLE_K1)
+    qt_c = _quality_scaled_qtable(quality, _QTABLE_K2)
+
+    y, cb, cr = _rgb_to_ycbcr(px)
+    # samples are uint8 planes before any DCT work (libjpeg layout)
+    y = np.clip(np.round(y), 0, 255)
+    cb = np.clip(np.round(cb), 0, 255)
+    cr = np.clip(np.round(cr), 0, 255)
+
+    ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16  # MCU multiple
+    ypad = _pad_plane(y, ph, pw)
+    cbp = _pad_plane(cb, ph, pw)
+    crp = _pad_plane(cr, ph, pw)
+    # 2x2 box downsample with +2 rounding (integer-valued floats)
+    cbs = np.floor(
+        (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2] + 2.0) / 4.0
+    )
+    crs = np.floor(
+        (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2] + 2.0) / 4.0
+    )
+
+    qy = _quant_blocks(ypad, qt_l)
+    qcb = _quant_blocks(cbs, qt_c)
+    qcr = _quant_blocks(crs, qt_c)
+    nby, nbx = ph // 8, pw // 8
+    zz, comp = _interleave_420(qy, qcb, qcr, nby, nbx)
+
+    out = bytearray()
+    out += JPEG_SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += _seg(
+        0xDB,
+        bytes([0x00]) + bytes(qt_l.reshape(-1)[_ZIGZAG].astype(np.uint8))
+        + bytes([0x01]) + bytes(qt_c.reshape(-1)[_ZIGZAG].astype(np.uint8)),
+    )
+    out += _seg(
+        0xC0,  # SOF0: 8-bit, 3 components — Y 2x2/qt0, Cb 1x1/qt1, Cr 1x1/qt1
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(0xC4, _dht_payload(0, 0, _DC_SORTED, 4))
+    out += _seg(0xC4, _dht_payload(1, 0, _AC_SORTED, 8))
+    out += _seg(0xC4, _dht_payload(0, 1, _DC_SORTED, 4))
+    out += _seg(0xC4, _dht_payload(1, 1, _AC_SORTED, 8))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))  # SOS
+    out += _entropy_encode(zz, comp)
+    out += b"\xff\xd9"  # EOI
+    data = bytes(out)
+    if return_decoded_gray:
+        return data, _recon_plane(qy, qt_l, ph, pw).astype(np.uint8)[:h, :w]
+    if not return_decoded:
+        return data
+    # crop each plane to its true extent BEFORE upsampling (libjpeg
+    # order — edge replication must see the cropped edge, or the last
+    # odd row/column reconstructs differently than a real decoder)
+    ch, cw = -(-h // 2), -(-w // 2)
+    yrec = _recon_plane(qy, qt_l, ph, pw)[:h, :w]
+    cbrec = _fancy_upsample_2x2(_recon_plane(qcb, qt_c, ph // 2, pw // 2)[:ch, :cw])
+    crrec = _fancy_upsample_2x2(_recon_plane(qcr, qt_c, ph // 2, pw // 2)[:ch, :cw])
+    rgb = _ycbcr_to_rgb(yrec, cbrec[:h, :w], crrec[:h, :w])
+    return data, rgb
 
 
 def encode_jpeg_gray(
@@ -364,16 +601,18 @@ def _extend(bits: int, size: int) -> int:
     return bits
 
 
-def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JPEG produced by any conforming encoder
-    (tables are read from the stream). Returns (h, w) uint8."""
+def _parse_jpeg(data: bytes):
+    """Marker-level parse of a baseline sequential JPEG: returns
+    (h, w, components [(cid, hs, vs, tq)], qtables, htables,
+    scan [(cid, dc_table, ac_table)], destuffed scan data)."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], object] = {}
+    comps: list[tuple[int, int, int, int]] = []
     h = w = None
-    comp_q = 0
+    scan = None
     scan_data = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -399,9 +638,17 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
         elif marker == 0xC0:  # SOF0
             h = int.from_bytes(payload[1:3], "big")
             w = int.from_bytes(payload[3:5], "big")
-            if payload[0] != 8 or payload[5] != 1:
-                raise ValueError("only 8-bit single-component baseline supported")
-            comp_q = payload[8]
+            if payload[0] != 8:
+                raise ValueError("only 8-bit baseline supported")
+            nc = payload[5]
+            comps = []
+            for c in range(nc):
+                cid = payload[6 + 3 * c]
+                samp = payload[7 + 3 * c]
+                hs, vs = samp >> 4, samp & 0xF
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise ValueError("sampling factors beyond 2 not supported")
+                comps.append((cid, hs, vs, payload[8 + 3 * c]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -413,48 +660,120 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 syms = list(payload[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _build_huff(bits, syms)
                 p += 17 + n
+        elif marker == 0xDD:  # DRI
+            if int.from_bytes(payload[:2], "big") != 0:
+                raise ValueError("restart markers not supported")
         elif marker == 0xDA:  # SOS: entropy data follows until EOI
-            dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
+            ns = payload[0]
+            if ns != len(comps):
+                raise ValueError("multi-scan baseline not supported")
+            scan = []
+            for s in range(ns):
+                cid = payload[1 + 2 * s]
+                ids = payload[2 + 2 * s]
+                scan.append((cid, htables[(0, ids >> 4)], htables[(1, ids & 0xF)]))
             scan_data = _destuff(data[pos + seg_len :])
-            dc_table = htables[(0, dc_id)]
-            ac_table = htables[(1, ac_id)]
             break
         pos += seg_len
-    if h is None or scan_data is None:
+    if h is None or scan_data is None or not comps:
         raise ValueError("missing SOF/SOS")
-    qt = qtables[comp_q]
+    return h, w, comps, qtables, htables, scan, scan_data
 
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    n_blocks = (ph // 8) * (pw // 8)
-    zz = np.zeros((n_blocks, 64), dtype=np.int32)
+
+def _decode_block(br: _BitReader, dc_table, ac_table, prev_dc: int, out: np.ndarray) -> int:
+    """One 8x8 block's entropy decode into ``out`` (64 zigzag coeffs);
+    returns the new DC predictor."""
+    size = _huff_decode(br, dc_table)
+    prev_dc += _extend(br.read(size), size)
+    out[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _huff_decode(br, ac_table)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0xF
+        k += run
+        if k >= 64:
+            raise ValueError("AC run past block end")
+        out[k] = _extend(br.read(size), size)
+        k += 1
+    return prev_dc
+
+
+def decode_jpeg(data: bytes, gray: bool = False) -> np.ndarray:
+    """Decode a baseline sequential JPEG produced by any conforming
+    encoder (tables read from the stream; 1 or 3 components, sampling
+    factors up to 2x2 — 4:4:4 / 4:2:2 / 4:2:0).  Returns (h, w) uint8
+    for grayscale files, (h, w, 3) uint8 RGB for color.  ``gray=True``
+    returns the full-resolution luma plane directly for color files
+    (no chroma IDCT/upsample work) — the cheap path for pHash and the
+    images-table decode column."""
+    h, w, comps, qtables, _, scan, scan_data = _parse_jpeg(data)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    n_mcu_x = (w + 8 * hmax - 1) // (8 * hmax)
+    n_mcu_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component block storage (MCU-padded grid), in SCAN order
+    per_comp = []
+    for cid, dc_t, ac_t in scan:
+        _, hs, vs, tq = next(c for c in comps if c[0] == cid)
+        nbx_c, nby_c = n_mcu_x * hs, n_mcu_y * vs
+        per_comp.append(
+            {
+                "cid": cid, "hs": hs, "vs": vs, "qt": qtables[tq],
+                "dc": dc_t, "ac": ac_t, "nbx": nbx_c, "nby": nby_c,
+                "zz": np.zeros((nby_c * nbx_c, 64), dtype=np.int32),
+                "prev": 0,
+            }
+        )
+
     br = _BitReader(scan_data)
-    prev_dc = 0
-    for b in range(n_blocks):
-        size = _huff_decode(br, dc_table)
-        prev_dc += _extend(br.read(size), size)
-        zz[b, 0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = _huff_decode(br, ac_table)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 0xF
-            k += run
-            if k >= 64:
-                raise ValueError("AC run past block end")
-            zz[b, k] = _extend(br.read(size), size)
-            k += 1
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            for c in per_comp:
+                for v in range(c["vs"]):
+                    for u in range(c["hs"]):
+                        bi = (my * c["vs"] + v) * c["nbx"] + (mx * c["hs"] + u)
+                        c["prev"] = _decode_block(
+                            br, c["dc"], c["ac"], c["prev"], c["zz"][bi]
+                        )
 
-    coef = np.zeros((n_blocks, 64), dtype=np.float64)
-    coef[:, _ZIGZAG] = zz
-    coef = coef.reshape(-1, 8, 8) * qt
-    blocks = np.einsum("ji,njk,kl->nil", _C8, coef, _C8) + 128.0
-    img = (
-        blocks.reshape(ph // 8, pw // 8, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(ph, pw)
-    )
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+    def plane_of(c) -> np.ndarray:
+        coef = np.zeros((c["nby"] * c["nbx"], 64), dtype=np.float64)
+        coef[:, _ZIGZAG] = c["zz"]
+        return _recon_plane(
+            coef.reshape(-1, 8, 8).astype(np.int32), c["qt"], c["nby"] * 8, c["nbx"] * 8
+        )
+
+    if len(per_comp) == 1 or gray:
+        # luma is component 0 by scan order for every JFIF layout
+        return plane_of(per_comp[0]).astype(np.uint8)[:h, :w]
+    if len(per_comp) != 3:
+        raise ValueError("only 1- or 3-component images supported")
+
+    planes = []
+    for c in per_comp:
+        p = plane_of(c)
+        # crop to the component's true extent before upsampling
+        ch = -(-h * c["vs"] // vmax)
+        cw = -(-w * c["hs"] // hmax)
+        p = p[:ch, :cw]
+        if c["vs"] < vmax and c["hs"] < hmax:
+            p = _fancy_upsample_2x2(p)
+        elif c["hs"] < hmax:
+            p = _fancy_upsample_h2(p)
+        elif c["vs"] < vmax:
+            p = np.repeat(p, 2, axis=0)  # v-only doubling: replicate
+        planes.append(p[:h, :w])
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Decode any baseline JPEG to a (h, w) uint8 grayscale array: the
+    single component for gray files, the full-resolution luma plane for
+    color files (chroma entropy is skipped past, not reconstructed)."""
+    return decode_jpeg(data, gray=True)
