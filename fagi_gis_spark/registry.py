@@ -56,11 +56,19 @@ def register(name: str, oracle: str | None = None):
 # only replay-verified.  Demoted queries stay fully oracle-backed —
 # tools/driver_sim.py replays the complete set every round.
 _GATE_DEMOTED = [
-    "fuse_keep_a", "fuse_keep_b", "fuse_keep_both", "fuse_most_points",
-    "fuse_concatenation", "fuse_shift_a_to_b", "fuse_shift_b_to_a",
-    "fuse_avg_points", "fuse_shift_poly_avg_dist", "fuse_shift_poly_to_point",
-    "fuse_most_points_translate", "fuse_scale_b", "fuse_keep_a_offset",
-    "metadata_keep_a", "metadata_concatenation",
+    # Round-5 rotation (VERDICT r4 ask #9, round-robin windows): the 15
+    # r1-era fusion/metadata queries demoted in r4 RETURN to the gate so
+    # CORRECTNESS_r05 re-certifies them driver-side; their slots come
+    # from queries gate-green in BOTH r3 and r4 whose code did not
+    # change this round.  Everything this round touched (radius joins,
+    # hex ids, dedup_embedding_cosine, knn_*, image_hex_rollup) stays
+    # gated.  Demoted queries remain fully oracle-backed —
+    # tools/driver_sim.py replays the complete set every round.
+    "tile_assign", "pip_assign", "unlinked_anti_join", "bbox_filter",
+    "discover_links_exact", "discover_links_fuzzy", "doc_stats",
+    "doc_quality", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "morton_cells", "s2_cells",
+    "events_topk_users", "wgs_point_synthesis",
 ]
 
 
@@ -1303,19 +1311,49 @@ def image_consensus_dedup(spark, sf_dir):
     )
 
 
-@register("image_hex_rollup")  # generated-corpus geotag rollup: rows-only
+_IMAGES_ORACLE_PATH = "/root/repo/spark-warehouse/images_oracle_1000"
+
+
+def _image_hex_rollup_oracle() -> str:
+    """DuckDB replay of the full image-geotag-hex pipeline over the SAME
+    parquet the Spark query writes: pmod geotag arithmetic (pmod(x, m)
+    == ((x % m) + m) % m on DuckDB's sign-following %), then the shared
+    half-up hex assignment (hex_cell_sql — one rounding rule, r5)."""
+    from fagi_gis_spark.index.hexgrid import hex_cell_sql
+
+    lon = "((((phash % 2000000) + 2000000) % 2000000) - 1000000) / 1e6"
+    mixed = (
+        "((((((phash % 2147483647) + 2147483647) % 2147483647) * 2654435761) "
+        "% 2000000) + 2000000) % 2000000"
+    )
+    src = (
+        "SELECT image_id, "
+        f"{lon} AS lon, 50.0 + ({mixed}) / 1e6 AS lat "
+        f"FROM read_parquet('{_IMAGES_ORACLE_PATH}/*.parquet')"
+    )
+    cells = hex_cell_sql(src, "image_id", "lon", "lat", 9)
+    return (
+        f"WITH {cells.lstrip()}\n"
+        "SELECT cell_id AS cell_hex, COUNT(*) AS n FROM __hex_out GROUP BY cell_id"
+    )
+
+
+@register("image_hex_rollup", _image_hex_rollup_oracle())
 def image_hex_rollup(spark, sf_dir):
     """Batch twin of streaming.stream_image_hex_rollup (the image x
     streaming composition, differential-tested streaming==batch in
     pytest): pHash-seeded geotag -> aperture-7 hex cell -> counts.
-    Whole pipeline is JVM column arithmetic over the generated corpus;
-    rows-only (the images table is synthesized, not a parquet view the
-    DuckDB oracle can see)."""
+    Whole pipeline is JVM column arithmetic.  ORACLE-BACKED since r5
+    (VERDICT r4 ask #8): the generated corpus (id, phash) is written to
+    a parquet both engines read, so DuckDB replays geotag pmods + the
+    unified half-up hex assignment end-to-end."""
     from fagi_gis_spark.operators.geotag import geotag_cols
     from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
     from fagi_gis_spark.sources.images import generate_images
 
-    imgs = generate_images(spark, 1000, partitions=8)
+    imgs = generate_images(spark, 1000, partitions=8).select("image_id", "phash")
+    imgs.write.mode("overwrite").parquet(_IMAGES_ORACLE_PATH)
+    imgs = spark.read.parquet(_IMAGES_ORACLE_PATH)
     lon, lat = geotag_cols(F.col("phash"))
     geo = imgs.withColumn("lon", lon).withColumn("lat", lat)
     q, r = _hex_qr_cols(F.col("lon"), F.col("lat"), 9)
