@@ -121,7 +121,21 @@ def best_matches(scored: list[dict], min_score: float = 0.5) -> list[dict]:
     return picks
 
 
-def schema_match(links: DataFrame, triples_a: DataFrame, triples_b: DataFrame) -> list[dict]:
+def schema_match(
+    links: DataFrame,
+    triples_a: DataFrame,
+    triples_b: DataFrame,
+    wordnet=None,
+    max_parent_depth: int = 4,
+    power: float = 1.0,
+) -> list[dict]:
+    """End-to-end M1+M2+M3. ``wordnet`` (a ``functions.semantic.
+    MiniWordNet``, e.g. from ``load_wordnet_dict`` over Princeton wndb
+    files) switches scoring to the reference's full combined formula
+    ``(semantic + jaro + 0.5*same_type) / 3`` (VirtuosoImporter.java:950);
+    the default stays JW+type."""
     pa = chain_profiles(links, triples_a, "a")
     pb = chain_profiles(links, triples_b, "b")
-    return best_matches(score_matches(pa, pb))
+    return best_matches(
+        score_matches(pa, pb, wordnet=wordnet, max_parent_depth=max_parent_depth, power=power)
+    )
