@@ -1,4 +1,4 @@
-"""Aperture-7 hexagonal hierarchy (H3-semantics index, res 0-15).
+"""``hex7`` — aperture-7 hexagonal hierarchy (res 0-15). NOT H3.
 
 The north star names H3 (res 7-11) alongside S2.  This module provides
 the H3 *semantics* — a hexagonal multi-resolution grid where each
@@ -9,7 +9,12 @@ point assignment, parent/child rollup, and k-ring neighborhoods — over
 a planar lon/lat chart.  Uber H3's icosahedral gnomonic faces and
 122-base-cell tables are a documented sandbox boundary (the h3 library
 is absent, so bit-parity could not be verified anyway); cell ids are
-NOT bit-compatible with libh3.  Public references: the H3 docs
+NOT bit-compatible with libh3 — and to make that impossible to miss the
+index is NAMED ``hex7`` everywhere it surfaces: every emitted cell-id
+column is ``cell_hex7`` / ``cell_hex7_r<res>`` (never ``h3``), so an id
+can never be mistaken for one an H3 ecosystem tool could parse.  (The
+S2 side, by contrast, IS the real curve — pinned to published-table
+anchors in tests/test_cell_indexes.py.)  Public references: the H3 docs
 (h3geo.org/docs/core-library/overview: aperture-7 rotation) and the
 standard axial/cube hex-grid algorithms (Patel, "Hexagonal Grids").
 

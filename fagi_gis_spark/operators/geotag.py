@@ -33,7 +33,7 @@ def geotag_images(
 
     ``cell_indexes`` optionally adds the north star's named encodings
     alongside the z-tile cell: ``"s2"`` -> ``cell_s2`` (level-12 S2 id,
-    Arrow-batched index/s2.py kernel), ``"hex"`` -> ``cell_hex`` (res-9
+    Arrow-batched index/s2.py kernel), ``"hex"`` -> ``cell_hex7`` (res-9
     aperture-7 hex id, pure JVM column math — the same half-up rule as
     every other hex surface, see hexgrid.hex_round_np)."""
     lon, lat = geotag_cols(F.col("phash"))
@@ -47,7 +47,7 @@ def geotag_images(
         from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
 
         q, r = _hex_qr_cols(F.col("lon"), F.col("lat"), 9)
-        out = out.withColumn("cell_hex", _hex_pack(q, r, 9))
+        out = out.withColumn("cell_hex7", _hex_pack(q, r, 9))
     return out
 
 

@@ -1095,7 +1095,7 @@ def _hex_oracle() -> str:
         "SELECT subject, lon, lat FROM poi_a", "subject", "lon", "lat", 8
     ).replace("__hex_", "__hex8_")
     return _o(
-        f"SELECT a.subject, a.cell_id AS cell_h9, b.cell_id AS cell_h8\n"
+        f"SELECT a.subject, a.cell_id AS cell_hex7_r9, b.cell_id AS cell_hex7_r8\n"
         f"FROM (WITH {c9.lstrip()} SELECT * FROM __hex_out) a\n"
         f"JOIN (WITH {c8.lstrip()} SELECT * FROM __hex8_out) b USING (subject)"
     )
@@ -1103,17 +1103,18 @@ def _hex_oracle() -> str:
 
 @register("hex_cells", _hex_oracle())
 def hex_cells(spark, sf_dir):
-    """Aperture-7 hexagonal cells (H3 semantics: sqrt(7) scaling +
-    19.1-degree lattice rotation per res, hex cube rounding;
+    """``hex7`` aperture-7 hexagonal cells (H3 *semantics* — sqrt(7)
+    scaling + 19.1-degree lattice rotation per res, hex cube rounding —
+    but NOT H3 ids, hence the ``cell_hex7_r*`` column names;
     index/hexgrid.py) at res 9 and res 8 — closed-form DuckDB oracle
-    replays the exact basis constants and half-even rounding."""
+    replays the exact basis constants and the unified half-up rounding."""
     from fagi_gis_spark.functions.geo_udfs import u_hex_cell8, u_hex_cell9
 
     L = layers(spark, sf_dir)
     return L["poi_a"].select(
         "subject",
-        u_hex_cell9(F.col("lon"), F.col("lat")).alias("cell_h9"),
-        u_hex_cell8(F.col("lon"), F.col("lat")).alias("cell_h8"),
+        u_hex_cell9(F.col("lon"), F.col("lat")).alias("cell_hex7_r9"),
+        u_hex_cell8(F.col("lon"), F.col("lat")).alias("cell_hex7_r8"),
     )
 
 
@@ -1216,10 +1217,10 @@ def hex_rollup(spark, sf_dir):
 
     L = layers(spark, sf_dir)
     cells = L["poi_a"].select(
-        u_hex_cell9(F.col("lon"), F.col("lat")).alias("cell_h9")
+        u_hex_cell9(F.col("lon"), F.col("lat")).alias("cell_hex7_r9")
     )
     return (
-        cells.withColumn("parent_cell", hex_parent_cols(F.col("cell_h9"), 8))
+        cells.withColumn("parent_cell", hex_parent_cols(F.col("cell_hex7_r9"), 8))
         .groupBy("parent_cell")
         .agg(F.count("*").alias("n"))
     )
@@ -1334,7 +1335,7 @@ def _image_hex_rollup_oracle() -> str:
     cells = hex_cell_sql(src, "image_id", "lon", "lat", 9)
     return (
         f"WITH {cells.lstrip()}\n"
-        "SELECT cell_id AS cell_hex, COUNT(*) AS n FROM __hex_out GROUP BY cell_id"
+        "SELECT cell_id AS cell_hex7, COUNT(*) AS n FROM __hex_out GROUP BY cell_id"
     )
 
 
@@ -1358,8 +1359,8 @@ def image_hex_rollup(spark, sf_dir):
     geo = imgs.withColumn("lon", lon).withColumn("lat", lat)
     q, r = _hex_qr_cols(F.col("lon"), F.col("lat"), 9)
     return (
-        geo.withColumn("cell_hex", _hex_pack(q, r, 9))
-        .groupBy("cell_hex")
+        geo.withColumn("cell_hex7", _hex_pack(q, r, 9))
+        .groupBy("cell_hex7")
         .agg(F.count("*").alias("n"))
     )
 

@@ -116,11 +116,11 @@ def stream_hex_cell_counts(
 
     q, r = _hex_qr_cols(F.col(lon_col), F.col(lat_col), res)
     s = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withColumn(
-        "cell_hex", _hex_pack(q, r, res)
+        "cell_hex7", _hex_pack(q, r, res)
     )
     return (
         s.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window), "cell_hex")
+        .groupBy(F.window(ts_col, window), "cell_hex7")
         .agg(F.count("*").alias("n"))
     )
 

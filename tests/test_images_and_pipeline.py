@@ -284,13 +284,13 @@ def test_geotag_cell_indexes_match_kernels(spark):
 
     imgs = generate_images(spark, 300, partitions=4)
     g = geotag_images(imgs, cell_indexes=("s2", "hex")).select(
-        "image_id", "lon", "lat", "cell_s2", "cell_hex"
+        "image_id", "lon", "lat", "cell_s2", "cell_hex7"
     ).toPandas()
     assert len(g) == 300
     exp_s2 = s2_cell_np(g.lon.to_numpy(), g.lat.to_numpy(), 12)
     exp_hex = hex_cell_np(g.lon.to_numpy(), g.lat.to_numpy(), 9)
     assert (g.cell_s2.to_numpy() == exp_s2).all()
-    assert (g.cell_hex.to_numpy() == exp_hex).all()
+    assert (g.cell_hex7.to_numpy() == exp_hex).all()
 
 
 def test_image_phash_neardup_banding_and_variant_recall(spark):

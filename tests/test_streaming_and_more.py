@@ -268,16 +268,16 @@ def test_stream_hex_cell_counts_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     got = {
-        (r.cell_hex, r.n)
+        (r.cell_hex7, r.n)
         for r in spark.sql(
-            "SELECT cell_hex, sum(n) AS n FROM hex_out GROUP BY cell_hex"
+            "SELECT cell_hex7, sum(n) AS n FROM hex_out GROUP BY cell_hex7"
         ).collect()
     }
     qc, rc = _hex_qr_cols(F.col("lon"), F.col("lat"), 9)
     expect = {
-        (r.cell_hex, r.n)
-        for r in batch.withColumn("cell_hex", _hex_pack(qc, rc, 9))
-        .groupBy("cell_hex")
+        (r.cell_hex7, r.n)
+        for r in batch.withColumn("cell_hex7", _hex_pack(qc, rc, 9))
+        .groupBy("cell_hex7")
         .agg(F.count("*").alias("n"))
         .collect()
     }
@@ -313,18 +313,18 @@ def test_stream_image_hex_rollup_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     got = {
-        (r.cell_hex, r.n)
+        (r.cell_hex7, r.n)
         for r in spark.sql(
-            "SELECT cell_hex, sum(n) AS n FROM img_hex_out GROUP BY cell_hex"
+            "SELECT cell_hex7, sum(n) AS n FROM img_hex_out GROUP BY cell_hex7"
         ).collect()
     }
     lon, lat = geotag_cols(F.col("phash"))
     geo = batch.withColumn("lon", lon).withColumn("lat", lat)
     qc, rc = _hex_qr_cols(F.col("lon"), F.col("lat"), 9)
     expect = {
-        (r.cell_hex, r.n)
-        for r in geo.withColumn("cell_hex", _hex_pack(qc, rc, 9))
-        .groupBy("cell_hex")
+        (r.cell_hex7, r.n)
+        for r in geo.withColumn("cell_hex7", _hex_pack(qc, rc, 9))
+        .groupBy("cell_hex7")
         .agg(F.count("*").alias("n"))
         .collect()
     }
