@@ -87,8 +87,20 @@ class PolygonIndex:
     def query_batch(self, px: np.ndarray, py: np.ndarray) -> list[list]:
         """For each point, the ids of containing polygons (possibly several —
         overlap cases are kept, as the reference keeps ambiguous bbox hits)."""
-        n = px.shape[0]
-        result: list[list] = [[] for _ in range(n)]
+        result: list[list] = [[] for _ in range(px.shape[0])]
+        pi, ki = self.query_batch_flat(px, py)
+        for j, k in zip(pi.tolist(), ki.tolist()):
+            result[j].append(self.ids[k])
+        return result
+
+    def query_batch_flat(
+        self, px: np.ndarray, py: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Hits as flat parallel arrays ``(point_index, polygon_slot)`` —
+        the vectorized probe surface: callers expand to rows with a
+        single fancy-index per batch instead of a per-hit Python loop."""
+        idx_chunks: list[np.ndarray] = []
+        poly_chunks: list[np.ndarray] = []
         ix = np.clip(((px - self.minx) / self.sx).astype(np.int64), 0, self.nx - 1)
         iy = np.clip(((py - self.miny) / self.sy).astype(np.int64), 0, self.ny - 1)
         inb = (px >= self.minx) & (px <= self.maxx) & (py >= self.miny) & (py <= self.maxy)
@@ -113,7 +125,11 @@ class PolygonIndex:
                     ]
                     if sub.size:
                         hit = points_in_polygon(px[sub], py[sub], self.geoms[k])
-                        for j in sub[hit]:
-                            result[int(j)].append(self.ids[k])
+                        w = sub[hit]
+                        if w.size:
+                            idx_chunks.append(w)
+                            poly_chunks.append(np.full(w.size, k, dtype=np.int64))
             start = end
-        return result
+        if not idx_chunks:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(idx_chunks), np.concatenate(poly_chunks)

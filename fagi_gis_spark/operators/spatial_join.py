@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -429,16 +430,13 @@ def pip_join(
 
     def probe(batches):
         index = bidx.value
+        ids = np.asarray(index.ids, dtype=object)
         for pdf in batches:
             px = pdf["__lon"].to_numpy("float64")
             py = pdf["__lat"].to_numpy("float64")
-            hits = index.query_batch(px, py)
-            keys, polys = [], []
-            for key, hh in zip(pdf["__key"], hits):
-                for pid in hh:
-                    keys.append(key)
-                    polys.append(pid)
-            yield pd.DataFrame({"subject": keys, "polygon_id": polys})
+            pi, ki = index.query_batch_flat(px, py)
+            keys = pdf["__key"].to_numpy(dtype=object)
+            yield pd.DataFrame({"subject": keys[pi], "polygon_id": ids[ki]})
 
     prepared = points.select(
         F.col(pk).alias("__key"), F.col(plon).alias("__lon"), F.col(plat).alias("__lat")
