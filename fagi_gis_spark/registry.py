@@ -23,13 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fagi_gis_spark.index import tiles
-from fagi_gis_spark.operators.dedup_precedence import gtype_col, precedence_dedup
+from fagi_gis_spark.operators.dedup_precedence import gtype_col
 from fagi_gis_spark.operators.fusion import FusionParams, fuse_all, linked_pairs, with_scores
 from fagi_gis_spark.sources.layers import (
     admin_assign_oracle_sql,
     admin_polygons_pdf,
+    materialized_layers,
     oracle_ctes,
-    spark_layers,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -91,10 +91,16 @@ def oracle_sql() -> dict[str, str]:
 
 def layers(spark: SparkSession, sf_dir: str):
     """Derived layers with the ingest-time precedence dedup applied to the
-    raw A layer (the engine pipeline's first operator)."""
-    L = spark_layers(spark, sf_dir)
-    L["poi_a"] = precedence_dedup(L["poi_a_raw"])
-    return L
+    raw A layer (the engine pipeline's first operator).
+
+    Served from the bootstrap-once materialized import
+    (sources.layers.materialized_layers): the reference runs its Importer
+    once into PostGIS tables and every query reads the tables — queries
+    here likewise read the stored layers instead of re-deriving them
+    (orders scan + WKT synthesis + the dedup window shuffle) per
+    invocation.  Deterministic content; a cache hit cannot change any
+    query's output."""
+    return materialized_layers(spark, sf_dir)
 
 
 # One skew-detection pass per (session, dataset, strategy) for the whole

@@ -26,6 +26,10 @@ Layout of the synthetic world (FIXTURES.md §2-§4):
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 #: printf-style fixed 6-decimal formatting — Spark: format_string (JVM),
@@ -269,6 +273,100 @@ def spark_layers(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     out["poi_a_raw"] = out["poi_a"].unionByName(
         spark.sql(f"SELECT * FROM ({poi_a_extra_sql('spark')}) t")
     )
+    return out
+
+
+#: layer names written by the bootstrap import (``poi_a`` is the
+#: precedence-deduped layer — the engine pipeline's first operator,
+#: applied at import time exactly like the reference's Importer).
+MATERIALIZED_LAYER_KEYS = (
+    "poi_a",
+    "poi_b",
+    "links",
+    "triples_a",
+    "triples_b",
+    "wgs_triples",
+    "poi_a_raw",
+)
+
+
+#: (applicationId, cache dir) -> layer DataFrames, so one session reads
+#: each materialized import's schemas and registers its views once
+_SESSION_LAYERS: dict = {}
+
+
+def _layers_cache_tag(sf_dir: str) -> str:
+    """Cache key for a materialized import: input identity (path + the
+    orders.parquet file stats) x layer-definition identity (source text
+    of this module and the precedence dedup — any edit invalidates)."""
+    import fagi_gis_spark.operators.dedup_precedence as _dp
+
+    h = hashlib.sha1()
+    orders = os.path.join(sf_dir, "orders.parquet")
+    h.update(os.path.abspath(sf_dir).encode())
+    st = os.stat(orders)
+    h.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
+    for mod_file in (__file__, _dp.__file__):
+        with open(mod_file, "rb") as f:
+            h.update(f.read())
+    return f"{os.path.basename(sf_dir.rstrip('/'))}-{h.hexdigest()[:12]}"
+
+
+def materialized_layers(
+    spark: SparkSession, sf_dir: str, cache_root: str | None = None
+) -> dict[str, DataFrame]:
+    """Bootstrap-once derived layers (S4): the reference imports each
+    dataset into PostGIS tables ONCE (core/Importer.java) and every query
+    afterwards reads the tables; deriving the layers per query — orders
+    scan, WKT synthesis, the precedence-dedup window shuffle — charges
+    that import to every downstream operator.  This materializes the
+    import to parquet under ``cache_root`` (default
+    ``$SPARK_GRAFT_LAYER_CACHE`` or ``/tmp/spark_graft_layers``), keyed
+    by input identity + layer-definition source hash, and returns
+    DataFrames reading the stored tables.  Deterministic content, so a
+    cache hit can never change any query's output — the same
+    amortization contract as the hot-cell memo.
+
+    The write is atomic (temp dir + ``os.rename``), so a concurrent
+    first call in another session either wins the rename or reads the
+    winner's tables.  The ``orders``/``poi_base`` temp views are still
+    registered (lazy) for queries that phrase themselves in SQL.  The
+    returned DataFrames are memoized per (session, cache dir): repeated
+    calls in one session skip the parquet schema-discovery jobs and the
+    view re-registration.
+    """
+    from fagi_gis_spark.operators.dedup_precedence import precedence_dedup
+
+    root = cache_root or os.environ.get(
+        "SPARK_GRAFT_LAYER_CACHE", "/tmp/spark_graft_layers"
+    )
+    base = os.path.join(root, _layers_cache_tag(sf_dir))
+    memo_key = (spark.sparkContext.applicationId, base)
+    hit = _SESSION_LAYERS.get(memo_key)
+    if hit is not None:
+        return dict(hit)
+    if not os.path.isdir(base):
+        L = spark_layers(spark, sf_dir)
+        L["poi_a"] = precedence_dedup(L["poi_a_raw"])
+        tmp = f"{base}.tmp.{os.getpid()}"
+        for k in MATERIALIZED_LAYER_KEYS:
+            L[k].write.mode("overwrite").parquet(os.path.join(tmp, k))
+        try:
+            os.rename(tmp, base)
+        except OSError:  # lost a concurrent race: the winner's is equal
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        # register the lazy views spark_layers would have provided
+        spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+            "orders"
+        )
+        spark.sql(f"SELECT * FROM ({poi_base_sql()}) t").createOrReplaceTempView(
+            "poi_base"
+        )
+    out = {
+        k: spark.read.parquet(os.path.join(base, k)) for k in MATERIALIZED_LAYER_KEYS
+    }
+    _SESSION_LAYERS[memo_key] = dict(out)
     return out
 
 

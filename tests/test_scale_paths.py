@@ -801,3 +801,32 @@ def test_knn_adaptive_counts_rollup_matches_unsalted(spark):
     a = {(r.l_key, r.r_key, r.knn_rank) for r in reused.collect()}
     b = {(r.l_key, r.r_key, r.knn_rank) for r in plain.collect()}
     assert a == b and len(a) > 1000
+
+
+def test_materialized_layers_equal_fresh_derivation(spark, tmp_path):
+    """The bootstrap-once import (S4 materialization) must be row-identical
+    to deriving the layers in-plan, including the precedence dedup baked
+    into the stored poi_a, and a second call must reuse the written tables
+    (memo hit — same DataFrame content, no rewrite)."""
+    import os
+
+    from fagi_gis_spark.operators.dedup_precedence import precedence_dedup
+    from fagi_gis_spark.sources.layers import (
+        MATERIALIZED_LAYER_KEYS,
+        materialized_layers,
+        spark_layers,
+    )
+
+    root = str(tmp_path / "layer_cache")
+    mat = materialized_layers(spark, SF, cache_root=root)
+    fresh = spark_layers(spark, SF)
+    fresh["poi_a"] = precedence_dedup(fresh["poi_a_raw"])
+    for k in MATERIALIZED_LAYER_KEYS:
+        assert mat[k].exceptAll(fresh[k]).isEmpty(), k
+        assert fresh[k].exceptAll(mat[k]).isEmpty(), k
+
+    (base,) = [d for d in os.listdir(root) if not d.endswith(".tmp")]
+    mtime = os.path.getmtime(os.path.join(root, base))
+    again = materialized_layers(spark, SF, cache_root=root)
+    assert os.path.getmtime(os.path.join(root, base)) == mtime  # no rewrite
+    assert again["poi_a"].count() == mat["poi_a"].count()
