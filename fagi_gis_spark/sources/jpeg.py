@@ -36,7 +36,9 @@ Simplifications (documented sandbox scope, all spec-conforming):
   tables so no table values need to be recalled from anything but the
   symbol alphabet itself (bit-parity with libjpeg's entropy layer is
   not a goal; pixel fidelity is, and that is PSNR-gated in tests);
-- no restart markers, no progressive mode.
+- DRI/RST0-7 restart markers supported both ways (encode opt-in via
+  ``restart_interval``; decode handles any conforming cadence);
+  progressive mode is not supported (SOF2 raises).
 
 Default quality 95 keeps PSNR >= 40 dB even on the synthetic noise
 tiles (the north rule's lossy allclose gate), verified in
@@ -264,6 +266,30 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
+def _entropy_with_restarts(
+    zz: np.ndarray, comp: np.ndarray | None, restart_interval: int, blocks_per_mcu: int
+) -> bytes:
+    """Entropy-coded data as byte-aligned restart segments of
+    ``restart_interval`` MCUs joined by cycling RST0-7 markers (T.81
+    B.2.4.4 / E.2.4).  Each chunk runs through ``_entropy_encode``
+    independently, which is exactly restart semantics: DC predictors
+    start at 0 per segment and the 1-bit pad closes each segment on a
+    byte boundary before its marker."""
+    if not restart_interval:
+        return _entropy_encode(zz, comp)
+    step = restart_interval * blocks_per_mcu
+    parts = []
+    for i, s in enumerate(range(0, zz.shape[0], step)):
+        if i:
+            parts.append(bytes([0xFF, 0xD0 + (i - 1) % 8]))
+        parts.append(
+            _entropy_encode(
+                zz[s : s + step], None if comp is None else comp[s : s + step]
+            )
+        )
+    return b"".join(parts)
+
+
 # --- shared plane/block helpers (encoder + decoder use the SAME math, so
 # --- encoder-internal reconstruction stays bit-equal to a real decode) ------
 
@@ -380,6 +406,7 @@ def encode_jpeg_color(
     quality: int = 95,
     return_decoded: bool = False,
     return_decoded_gray: bool = False,
+    restart_interval: int = 0,
 ):
     """Encode an (h, w, 3) uint8 RGB array as baseline sequential JPEG,
     YCbCr 4:2:0: BT.601 transform, 2x2 box chroma downsample, Annex-K
@@ -444,8 +471,10 @@ def encode_jpeg_color(
     out += _seg(0xC4, _dht_payload(1, 0, _AC_SORTED, 8))
     out += _seg(0xC4, _dht_payload(0, 1, _DC_SORTED, 4))
     out += _seg(0xC4, _dht_payload(1, 1, _AC_SORTED, 8))
+    if restart_interval:
+        out += _seg(0xDD, int(restart_interval).to_bytes(2, "big"))  # DRI
     out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))  # SOS
-    out += _entropy_encode(zz, comp)
+    out += _entropy_with_restarts(zz, comp, restart_interval, 6)
     out += b"\xff\xd9"  # EOI
     data = bytes(out)
     if return_decoded_gray:
@@ -464,7 +493,10 @@ def encode_jpeg_color(
 
 
 def encode_jpeg_gray(
-    pixels: np.ndarray, quality: int = 95, return_decoded: bool = False
+    pixels: np.ndarray,
+    quality: int = 95,
+    return_decoded: bool = False,
+    restart_interval: int = 0,
 ):
     """Encode a (h, w) uint8 grayscale array as baseline sequential JPEG.
 
@@ -472,7 +504,8 @@ def encode_jpeg_gray(
     ``decoded_pixels`` is what any conforming decoder reconstructs
     (dequantize + IDCT of the exact coefficients just written) — the
     generator uses it to hash decoded content without paying a decode
-    pass."""
+    pass.  ``restart_interval`` (MCUs) > 0 writes a DRI segment and
+    RST0-7 markers — identical pixels, resynchronizable stream."""
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape
     qt = _quality_scaled_qtable(quality)
@@ -506,8 +539,10 @@ def encode_jpeg_gray(
     )
     out += _seg(0xC4, _dht_payload(0, 0, _DC_SORTED, 4))  # DHT DC
     out += _seg(0xC4, _dht_payload(1, 0, _AC_SORTED, 8))  # DHT AC
+    if restart_interval:
+        out += _seg(0xDD, int(restart_interval).to_bytes(2, "big"))  # DRI
     out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
-    out += _entropy_encode(zz)
+    out += _entropy_with_restarts(zz, None, restart_interval, 1)
     out += b"\xff\xd9"  # EOI
     data = bytes(out)
     if not return_decoded:
@@ -531,6 +566,26 @@ def _destuff(data: bytes) -> bytes:
         arr = arr[: marker[0]]
         ff = ff[ff < marker[0]]
     return np.delete(arr, ff + 1).tobytes()  # drop the stuffed 0x00s
+
+
+def _destuff_segments(data: bytes) -> list[bytes]:
+    """Split an entropy stream at RST0-7 markers (T.81 E.2.4) and
+    destuff each restart segment; a stream with no restarts returns one
+    segment.  Scanning stops at the first non-stuffing, non-RST marker
+    (EOI or the next header)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = np.nonzero(arr[:-1] == 0xFF)[0]
+    nxt = arr[ff + 1]
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    other = ff[(nxt != 0x00) & ~is_rst]
+    end = int(other[0]) if len(other) else len(arr)
+    segs = []
+    start = 0
+    for rp in ff[is_rst & (ff < end)]:
+        segs.append(_destuff(arr[start : int(rp)].tobytes()))
+        start = int(rp) + 2
+    segs.append(_destuff(arr[start:end].tobytes()))
+    return segs
 
 
 class _BitReader:
@@ -604,7 +659,8 @@ def _extend(bits: int, size: int) -> int:
 def _parse_jpeg(data: bytes):
     """Marker-level parse of a baseline sequential JPEG: returns
     (h, w, components [(cid, hs, vs, tq)], qtables, htables,
-    scan [(cid, dc_table, ac_table)], destuffed scan data)."""
+    scan [(cid, dc_table, ac_table)], destuffed restart segments,
+    restart interval in MCUs — 0 when no DRI)."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -614,6 +670,7 @@ def _parse_jpeg(data: bytes):
     h = w = None
     scan = None
     scan_data = None
+    ri = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -660,9 +717,8 @@ def _parse_jpeg(data: bytes):
                 syms = list(payload[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _build_huff(bits, syms)
                 p += 17 + n
-        elif marker == 0xDD:  # DRI
-            if int.from_bytes(payload[:2], "big") != 0:
-                raise ValueError("restart markers not supported")
+        elif marker == 0xDD:  # DRI: restart every ri MCUs (0 disables)
+            ri = int.from_bytes(payload[:2], "big")
         elif marker == 0xDA:  # SOS: entropy data follows until EOI
             ns = payload[0]
             if ns != len(comps):
@@ -672,12 +728,12 @@ def _parse_jpeg(data: bytes):
                 cid = payload[1 + 2 * s]
                 ids = payload[2 + 2 * s]
                 scan.append((cid, htables[(0, ids >> 4)], htables[(1, ids & 0xF)]))
-            scan_data = _destuff(data[pos + seg_len :])
+            scan_data = _destuff_segments(data[pos + seg_len :])
             break
         pos += seg_len
     if h is None or scan_data is None or not comps:
         raise ValueError("missing SOF/SOS")
-    return h, w, comps, qtables, htables, scan, scan_data
+    return h, w, comps, qtables, htables, scan, scan_data, ri
 
 
 def _decode_block(br: _BitReader, dc_table, ac_table, prev_dc: int, out: np.ndarray) -> int:
@@ -711,7 +767,7 @@ def decode_jpeg(data: bytes, gray: bool = False) -> np.ndarray:
     returns the full-resolution luma plane directly for color files
     (no chroma IDCT/upsample work) — the cheap path for pHash and the
     images-table decode column."""
-    h, w, comps, qtables, _, scan, scan_data = _parse_jpeg(data)
+    h, w, comps, qtables, _, scan, segments, ri = _parse_jpeg(data)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     n_mcu_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -731,9 +787,19 @@ def decode_jpeg(data: bytes, gray: bool = False) -> np.ndarray:
             }
         )
 
-    br = _BitReader(scan_data)
+    br = _BitReader(segments[0])
+    seg_i = 0
+    mcu = 0
     for my in range(n_mcu_y):
         for mx in range(n_mcu_x):
+            if ri and mcu and mcu % ri == 0:
+                # restart: next byte-aligned segment, DC predictors reset
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("truncated JPEG: missing restart segment")
+                br = _BitReader(segments[seg_i])
+                for c in per_comp:
+                    c["prev"] = 0
             for c in per_comp:
                 for v in range(c["vs"]):
                     for u in range(c["hs"]):
@@ -741,6 +807,7 @@ def decode_jpeg(data: bytes, gray: bool = False) -> np.ndarray:
                         c["prev"] = _decode_block(
                             br, c["dc"], c["ac"], c["prev"], c["zz"][bi]
                         )
+            mcu += 1
 
     def plane_of(c) -> np.ndarray:
         coef = np.zeros((c["nby"] * c["nbx"], 64), dtype=np.float64)

@@ -505,3 +505,59 @@ def test_color_jpeg_interop_with_jdk_imageio(spark):
         jdk2 = jdk_read_rgb(jb).astype(int)
         d2 = np.abs(ours2 - jdk2)
         assert d2.max() <= 4 and d2.mean() <= 0.15, (d2.max(), d2.mean())
+
+
+def test_jpeg_restart_markers_roundtrip_and_jdk_interop(spark):
+    """DRI/RSTn support (T.81 B.2.4.4 / E.2.4): files encoded with a
+    restart interval must decode to EXACTLY the same pixels as the
+    no-restart encode of the same source (identical quantized
+    coefficients; restarts only re-sync the entropy layer), for gray and
+    color, including a trailing partial restart segment — and the JDK's
+    ImageIO must accept our restart-marker files (third-party proof the
+    RSTn cadence, byte alignment, and DC-predictor resets are
+    spec-conforming)."""
+    from fagi_gis_spark.sources.jpeg import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(77)
+    jvm = spark._jvm
+
+    def jdk_read(data: bytes):
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(data))
+        )
+        assert img is not None, "JDK ImageIO refused the restart-marker file"
+        h, w = img.getHeight(), img.getWidth()
+        buf = bytes(img.getRaster().getDataBuffer().getData())
+        n = img.getRaster().getNumBands()
+        a = np.frombuffer(buf, dtype=np.uint8)
+        return a.reshape(h, w) if n == 1 else a.reshape(h, w, n)[..., ::-1]
+
+    # gray: 40x56 -> 5x7=35 MCUs; ri=4 leaves a partial final segment
+    gpx = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    plain = encode_jpeg_gray(gpx, 90)
+    rst = encode_jpeg_gray(gpx, 90, restart_interval=4)
+    assert b"\xff\xdd" in rst and rst.count(b"\xff\xd0") >= 1
+    assert np.array_equal(decode_jpeg_gray(rst), decode_jpeg_gray(plain))
+    jdk = jdk_read(rst).astype(int)
+    ours = decode_jpeg_gray(rst).astype(int)
+    assert np.abs(jdk - ours).max() <= 1  # T.81 IDCT tolerance
+
+    # >8 restart segments so the RSTn modulo-8 cycle wraps
+    many = encode_jpeg_gray(gpx, 90, restart_interval=2)
+    assert b"\xff\xd0" in many[many.index(b"\xff\xda") :]  # wrapped marker
+    assert np.array_equal(decode_jpeg_gray(many), decode_jpeg_gray(plain))
+
+    # color 4:2:0: 35x49 -> 3x4=12 MCUs; ri=5 -> 5/5/2 MCU segments
+    cpx = rng.integers(0, 256, (35, 49, 3), dtype=np.uint8)
+    cplain = encode_jpeg_color(cpx, 90)
+    crst = encode_jpeg_color(cpx, 90, restart_interval=5)
+    assert np.array_equal(decode_jpeg(crst), decode_jpeg(cplain))
+    cjdk = jdk_read(crst).astype(int)
+    cours = decode_jpeg(crst).astype(int)
+    d = np.abs(cjdk - cours)
+    assert d.max() <= 4 and d.mean() <= 0.15
