@@ -38,7 +38,10 @@ Simplifications (documented sandbox scope, all spec-conforming):
   not a goal; pixel fidelity is, and that is PSNR-gated in tests);
 - DRI/RST0-7 restart markers supported both ways (encode opt-in via
   ``restart_interval``; decode handles any conforming cadence);
-  progressive mode is not supported (SOF2 raises).
+- progressive (SOF2) DECODE supported per T.81 Annex G — spectral
+  selection + successive approximation, DC/AC first and refinement
+  scans, EOBn band runs — proven against the JDK ImageIO writer's
+  10-scan libjpeg script; the encoder intentionally stays baseline.
 
 Default quality 95 keeps PSNR >= 40 dB even on the synthetic noise
 tiles (the north rule's lossy allclose gate), verified in
@@ -633,6 +636,8 @@ def _build_huff(bits: list[int], symbols: list[int]):
 
 
 def _huff_decode(br: _BitReader, table) -> int:
+    if table is None:  # scan referenced a DHT id that was never defined
+        raise ValueError("missing Huffman table")
     if isinstance(table, tuple):  # fixed-length fast path
         code = br.read(table[1])
         syms = table[2]
@@ -656,11 +661,24 @@ def _extend(bits: int, size: int) -> int:
     return bits
 
 
+def _scan_entropy_end(data: bytes, start: int) -> int:
+    """Offset of the first non-stuffing, non-RST marker byte (the 0xFF)
+    at or after ``start`` — the end of one scan's entropy data."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = np.nonzero(arr[start : len(arr) - 1] == 0xFF)[0] + start
+    nxt = arr[ff + 1]
+    stop = ff[(nxt != 0x00) & ((nxt < 0xD0) | (nxt > 0xD7))]
+    return int(stop[0]) if len(stop) else len(arr)
+
+
 def _parse_jpeg(data: bytes):
-    """Marker-level parse of a baseline sequential JPEG: returns
-    (h, w, components [(cid, hs, vs, tq)], qtables, htables,
-    scan [(cid, dc_table, ac_table)], destuffed restart segments,
-    restart interval in MCUs — 0 when no DRI)."""
+    """Marker-level parse of a sequential OR progressive JPEG: returns
+    (h, w, components [(cid, hs, vs, tq)], qtables,
+    scans [(scan components [(cid, dc_table|None, ac_table|None)],
+    Ss, Se, Ah, Al, destuffed restart segments, restart interval)],
+    progressive flag).  Tables are resolved per scan at its SOS (DQT/DHT
+    may redefine them between scans); a table id a scan doesn't use need
+    not exist (progressive DC scans carry no AC table and vice versa)."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -668,9 +686,9 @@ def _parse_jpeg(data: bytes):
     htables: dict[tuple[int, int], object] = {}
     comps: list[tuple[int, int, int, int]] = []
     h = w = None
-    scan = None
-    scan_data = None
+    scans: list[tuple] = []
     ri = 0
+    progressive = False
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -692,11 +710,12 @@ def _parse_jpeg(data: bytes):
                 z = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
                 qtables[tq] = z[_UNZIGZAG].reshape(8, 8)
                 p += 65
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             h = int.from_bytes(payload[1:3], "big")
             w = int.from_bytes(payload[3:5], "big")
             if payload[0] != 8:
-                raise ValueError("only 8-bit baseline supported")
+                raise ValueError("only 8-bit precision supported")
             nc = payload[5]
             comps = []
             for c in range(nc):
@@ -706,8 +725,8 @@ def _parse_jpeg(data: bytes):
                 if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise ValueError("sampling factors beyond 2 not supported")
                 comps.append((cid, hs, vs, payload[8 + 3 * c]))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline (SOF0) / progressive (SOF2) supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(payload):
@@ -719,21 +738,28 @@ def _parse_jpeg(data: bytes):
                 p += 17 + n
         elif marker == 0xDD:  # DRI: restart every ri MCUs (0 disables)
             ri = int.from_bytes(payload[:2], "big")
-        elif marker == 0xDA:  # SOS: entropy data follows until EOI
+        elif marker == 0xDA:  # SOS: one scan's entropy data follows
             ns = payload[0]
-            if ns != len(comps):
-                raise ValueError("multi-scan baseline not supported")
-            scan = []
+            scomps = []
             for s in range(ns):
                 cid = payload[1 + 2 * s]
                 ids = payload[2 + 2 * s]
-                scan.append((cid, htables[(0, ids >> 4)], htables[(1, ids & 0xF)]))
-            scan_data = _destuff_segments(data[pos + seg_len :])
-            break
+                scomps.append(
+                    (cid, htables.get((0, ids >> 4)), htables.get((1, ids & 0xF)))
+                )
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0xF
+            dstart = pos + seg_len
+            dend = _scan_entropy_end(data, dstart)
+            scans.append(
+                (scomps, ss, se, ah, al, _destuff_segments(data[dstart:dend]), ri)
+            )
+            pos = dend
+            continue
         pos += seg_len
-    if h is None or scan_data is None or not comps:
+    if h is None or not scans or not comps:
         raise ValueError("missing SOF/SOS")
-    return h, w, comps, qtables, htables, scan, scan_data, ri
+    return h, w, comps, qtables, scans, progressive
 
 
 def _decode_block(br: _BitReader, dc_table, ac_table, prev_dc: int, out: np.ndarray) -> int:
@@ -759,55 +785,213 @@ def _decode_block(br: _BitReader, dc_table, ac_table, prev_dc: int, out: np.ndar
     return prev_dc
 
 
+def _prog_dc_scan(per, scomps, ah, al, segs, ri, n_mcu_x):
+    """One progressive DC scan (T.81 G.2): interleaved over the scan's
+    components in MCU order (or plain block order when single-component
+    on a single-component frame), first pass (Ah=0: diff-coded, shifted
+    left Al) or refinement (one bit ORed in at Al)."""
+    interleaved = len(scomps) > 1
+    if interleaved:
+        units = n_mcu_x * (per[scomps[0][0]]["nby"] // per[scomps[0][0]]["vs"])
+    else:
+        c = per[scomps[0][0]]
+        units = c["wb"] * c["hb"]
+    br = _BitReader(segs[0])
+    seg_i = 0
+    prev = {cid: 0 for cid, _, _ in scomps}
+
+    def one(c, bi, dc_t, cid):
+        if ah == 0:
+            size = _huff_decode(br, dc_t)
+            prev[cid] += _extend(br.read(size), size)
+            c["zz"][bi, 0] = prev[cid] << al
+        elif br.read(1):
+            c["zz"][bi, 0] |= 1 << al
+
+    for u in range(units):
+        if ri and u and u % ri == 0:
+            seg_i += 1
+            br = _BitReader(segs[seg_i])
+            for cid in prev:
+                prev[cid] = 0
+        if interleaved:
+            my, mx = divmod(u, n_mcu_x)
+            for cid, dc_t, _ in scomps:
+                c = per[cid]
+                for v in range(c["vs"]):
+                    for uu in range(c["hs"]):
+                        one(c, (my * c["vs"] + v) * c["nbx"] + mx * c["hs"] + uu, dc_t, cid)
+        else:
+            cid, dc_t, _ = scomps[0]
+            c = per[cid]
+            by, bx = divmod(u, c["wb"])
+            one(c, by * c["nbx"] + bx, dc_t, cid)
+
+
+def _ac_first_block(br, ac_t, blk, ss, se, al, eobrun):
+    """First AC pass for one block (T.81 G.2.2 / libjpeg
+    decode_mcu_AC_first): run/size symbols with EOBn band-run codes;
+    values shifted left Al.  Returns the remaining EOB run."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ac_t)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: this block ends now, plus
+            if r:  # eobrun more whole blocks
+                eobrun += br.read(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        blk[k] = _extend(br.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, ac_t, blk, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (T.81
+    G.2.2 / libjpeg decode_mcu_AC_refine): each already-nonzero
+    coefficient passed gets a correction bit; zero-history runs place
+    newly significant +-1<<Al coefficients; EOBn runs carry correction
+    bits for the rest of the band.  Returns the remaining EOB run."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k_from, k_to):
+        for k in range(k_from, k_to + 1):
+            if blk[k]:
+                if br.read(1) and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac_t)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:  # EOBn: band run starts at current k
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # r == 15: pass 16 zero-history positions
+            else:
+                newval = p1 if br.read(1) else m1  # s == 1 by spec
+            while k <= se:
+                if blk[k]:
+                    if br.read(1) and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        correct(k, se)
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_ac_scan(c, ac_t, ss, se, ah, al, segs, ri):
+    """One progressive AC scan — always single-component, block order
+    over the component's non-interleaved grid (T.81 A.2.2: ceil of the
+    true sample extent, NOT the MCU-padded grid)."""
+    br = _BitReader(segs[0])
+    seg_i = 0
+    eobrun = 0
+    for u in range(c["wb"] * c["hb"]):
+        if ri and u and u % ri == 0:
+            seg_i += 1
+            br = _BitReader(segs[seg_i])
+            eobrun = 0
+        by, bx = divmod(u, c["wb"])
+        blk = c["zz"][by * c["nbx"] + bx]
+        if ah == 0:
+            eobrun = _ac_first_block(br, ac_t, blk, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(br, ac_t, blk, ss, se, al, eobrun)
+
+
 def decode_jpeg(data: bytes, gray: bool = False) -> np.ndarray:
-    """Decode a baseline sequential JPEG produced by any conforming
-    encoder (tables read from the stream; 1 or 3 components, sampling
-    factors up to 2x2 — 4:4:4 / 4:2:2 / 4:2:0).  Returns (h, w) uint8
+    """Decode a baseline sequential (SOF0) or progressive (SOF2) JPEG
+    produced by any conforming encoder (tables read from the stream;
+    1 or 3 components, sampling factors up to 2x2 — 4:4:4 / 4:2:2 /
+    4:2:0; DRI/RSTn restart cadences; progressive spectral selection +
+    successive approximation per T.81 Annex G).  Returns (h, w) uint8
     for grayscale files, (h, w, 3) uint8 RGB for color.  ``gray=True``
     returns the full-resolution luma plane directly for color files
     (no chroma IDCT/upsample work) — the cheap path for pHash and the
     images-table decode column."""
-    h, w, comps, qtables, _, scan, segments, ri = _parse_jpeg(data)
+    h, w, comps, qtables, scans, progressive = _parse_jpeg(data)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     n_mcu_x = (w + 8 * hmax - 1) // (8 * hmax)
     n_mcu_y = (h + 8 * vmax - 1) // (8 * vmax)
 
-    # per-component block storage (MCU-padded grid), in SCAN order
+    # per-component block storage (MCU-padded grid), in SOF order; wb/hb
+    # are the NON-interleaved block extents progressive AC scans walk
     per_comp = []
-    for cid, dc_t, ac_t in scan:
-        _, hs, vs, tq = next(c for c in comps if c[0] == cid)
+    for cid, hs, vs, tq in comps:
         nbx_c, nby_c = n_mcu_x * hs, n_mcu_y * vs
+        cw = -(-(w * hs) // hmax)  # ceil: component's true sample extent
+        ch = -(-(h * vs) // vmax)
         per_comp.append(
             {
                 "cid": cid, "hs": hs, "vs": vs, "qt": qtables[tq],
-                "dc": dc_t, "ac": ac_t, "nbx": nbx_c, "nby": nby_c,
+                "nbx": nbx_c, "nby": nby_c,
+                "wb": -(-cw // 8), "hb": -(-ch // 8),
                 "zz": np.zeros((nby_c * nbx_c, 64), dtype=np.int32),
                 "prev": 0,
             }
         )
+    per = {c["cid"]: c for c in per_comp}
 
-    br = _BitReader(segments[0])
-    seg_i = 0
-    mcu = 0
-    for my in range(n_mcu_y):
-        for mx in range(n_mcu_x):
-            if ri and mcu and mcu % ri == 0:
-                # restart: next byte-aligned segment, DC predictors reset
-                seg_i += 1
-                if seg_i >= len(segments):
-                    raise ValueError("truncated JPEG: missing restart segment")
-                br = _BitReader(segments[seg_i])
-                for c in per_comp:
-                    c["prev"] = 0
-            for c in per_comp:
-                for v in range(c["vs"]):
-                    for u in range(c["hs"]):
-                        bi = (my * c["vs"] + v) * c["nbx"] + (mx * c["hs"] + u)
-                        c["prev"] = _decode_block(
-                            br, c["dc"], c["ac"], c["prev"], c["zz"][bi]
-                        )
-            mcu += 1
+    if progressive:
+        for scomps, ss, se, ah, al, segs, ri in scans:
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("progressive scan mixes DC and AC")
+                _prog_dc_scan(per, scomps, ah, al, segs, ri, n_mcu_x)
+            else:
+                if len(scomps) != 1:
+                    raise ValueError("interleaved progressive AC scan")
+                cid, _, ac_t = scomps[0]
+                _prog_ac_scan(per[cid], ac_t, ss, se, ah, al, segs, ri)
+    else:
+        scomps, ss, se, ah, al, segments, ri = scans[0]
+        if len(scans) != 1 or len(scomps) != len(comps) or (ss, se) != (0, 63):
+            raise ValueError("multi-scan baseline not supported")
+        br = _BitReader(segments[0])
+        seg_i = 0
+        mcu = 0
+        order = [(per[cid], dc_t, ac_t) for cid, dc_t, ac_t in scomps]
+        for my in range(n_mcu_y):
+            for mx in range(n_mcu_x):
+                if ri and mcu and mcu % ri == 0:
+                    # restart: next byte-aligned segment, predictors reset
+                    seg_i += 1
+                    if seg_i >= len(segments):
+                        raise ValueError("truncated JPEG: missing restart segment")
+                    br = _BitReader(segments[seg_i])
+                    for c, _, _ in order:
+                        c["prev"] = 0
+                for c, dc_t, ac_t in order:
+                    for v in range(c["vs"]):
+                        for u in range(c["hs"]):
+                            bi = (my * c["vs"] + v) * c["nbx"] + (mx * c["hs"] + u)
+                            c["prev"] = _decode_block(
+                                br, dc_t, ac_t, c["prev"], c["zz"][bi]
+                            )
+                mcu += 1
 
     def plane_of(c) -> np.ndarray:
         coef = np.zeros((c["nby"] * c["nbx"], 64), dtype=np.float64)

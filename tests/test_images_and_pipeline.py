@@ -72,6 +72,14 @@ def test_jpeg_codec_roundtrip_psnr_and_conformance():
     assert try_decode_pixels(data[: len(data) // 2]) is None  # truncated JPEG
     assert try_decode_pixels(b"\x89PNG\r\n\x1a\njunk") is None  # corrupt PNG
     assert try_decode_pixels(b"RIFFxxxxWEBP") is None  # stubbed container
+    # JPEG whose DHT segments were stripped: the scan references tables
+    # that were never defined — must skip (ValueError), not kill the task
+    no_dht = data
+    while b"\xff\xc4" in no_dht:
+        i = no_dht.index(b"\xff\xc4")
+        seg = int.from_bytes(no_dht[i + 2 : i + 4], "big")
+        no_dht = no_dht[:i] + no_dht[i + 2 + seg :]
+    assert try_decode_pixels(no_dht) is None
 
 
 def test_jpeg_and_png_interop_with_jdk_imageio(spark):
@@ -561,3 +569,76 @@ def test_jpeg_restart_markers_roundtrip_and_jdk_interop(spark):
     cours = decode_jpeg(crst).astype(int)
     d = np.abs(cjdk - cours)
     assert d.max() <= 4 and d.mean() <= 0.15
+
+
+def test_progressive_jpeg_decode_vs_jdk_imageio(spark):
+    """Progressive (SOF2) decode against REAL third-party files: the
+    JDK's ImageIO writer in MODE_DEFAULT emits the standard libjpeg
+    10-scan progressive script (DC first + refinement, AC spectral
+    bands, successive approximation) — our decoder must reconstruct
+    what the JDK's own reader does, within IDCT tolerance, for gray
+    and 4:2:0 color, random and gradient content."""
+    from fagi_gis_spark.sources.jpeg import decode_jpeg
+
+    jvm = spark._jvm
+
+    def jdk_write_progressive(px, gray=False):
+        h, w = px.shape[:2]
+        t = 10 if gray else 5  # TYPE_BYTE_GRAY / TYPE_3BYTE_BGR
+        bimg = jvm.java.awt.image.BufferedImage(w, h, t)
+        buf = bimg.getRaster().getDataBuffer()
+        flat = px.reshape(-1) if gray else px[..., ::-1].reshape(-1)
+        for i, v in enumerate(flat.tolist()):
+            buf.setElem(i, int(v))
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), param)
+        ios.flush()
+        writer.dispose()
+        return bytes(baos.toByteArray())
+
+    def jdk_read(data):
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(data))
+        )
+        assert img is not None
+        h, w = img.getHeight(), img.getWidth()
+        n = img.getRaster().getNumBands()
+        a = np.frombuffer(
+            bytes(img.getRaster().getDataBuffer().getData()), dtype=np.uint8
+        )
+        return a.reshape(h, w) if n == 1 else a.reshape(h, w, n)[..., ::-1]
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:40, 0:56]
+    grays = [
+        rng.integers(0, 256, (40, 56), dtype=np.uint8),
+        np.clip(40 + yy * 3 + xx, 0, 255).astype(np.uint8),
+        rng.integers(0, 256, (17, 23), dtype=np.uint8),  # partial MCUs
+    ]
+    for g in grays:
+        data = jdk_write_progressive(g, gray=True)
+        assert b"\xff\xc2" in data and data.count(b"\xff\xda") >= 3
+        d = np.abs(jdk_read(data).astype(int) - decode_jpeg(data).astype(int))
+        assert d.max() <= 2 and d.mean() <= 0.05
+
+    colors = [
+        rng.integers(0, 256, (35, 49, 3), dtype=np.uint8),
+        np.stack(
+            [np.clip(100 + yy * 2, 0, 255), np.clip(xx * 4, 0, 255),
+             np.clip(yy + xx, 0, 255)], -1
+        ).astype(np.uint8),
+    ]
+    for c in colors:
+        data = jdk_write_progressive(c)
+        assert b"\xff\xc2" in data and data.count(b"\xff\xda") >= 6
+        d = np.abs(jdk_read(data).astype(int) - decode_jpeg(data).astype(int))
+        assert d.max() <= 4 and d.mean() <= 0.15
+        # gray=True on a color progressive file: luma plane only, equal
+        # to the luma of the full reconstruction's BT.601 inverse domain
+        luma = decode_jpeg(data, gray=True)
+        assert luma.shape == c.shape[:2]
