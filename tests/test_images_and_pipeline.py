@@ -642,3 +642,104 @@ def test_progressive_jpeg_decode_vs_jdk_imageio(spark):
         # to the luma of the full reconstruction's BT.601 inverse domain
         luma = decode_jpeg(data, gray=True)
         assert luma.shape == c.shape[:2]
+
+
+def test_full_png_decode_vs_jdk_imageio(spark):
+    """Real-world PNG decode against the JDK's javax.imageio: the JDK
+    writer's adaptive filter heuristic emits Sub/Up/Average/Paeth on
+    gradient content, and its BufferedImage types produce color types
+    gray(0), RGB(2), palette(3), RGBA(6) and 16-bit gray — all must
+    decode BIT-EXACTLY (PNG is lossless) against the JDK's own pixels;
+    and the JDK must read our Adam7-interlaced files back bit-exactly."""
+    from fagi_gis_spark.sources.png import (
+        decode_png,
+        decode_png_gray,
+        encode_png_gray_interlaced,
+    )
+
+    jvm = spark._jvm
+
+    def jdk_write(px, btype):
+        h, w = px.shape[:2]
+        bimg = jvm.java.awt.image.BufferedImage(w, h, btype)
+        if btype == 13:  # BYTE_INDEXED: setRGB quantizes to its palette
+            for y in range(h):
+                for x in range(w):
+                    r, g, b = px[y, x]
+                    bimg.setRGB(x, y, (int(r) << 16) | (int(g) << 8) | int(b))
+        else:
+            buf = bimg.getRaster().getDataBuffer()
+            flat = px[..., ::-1].reshape(-1) if px.ndim == 3 else px.reshape(-1)
+            for i, v in enumerate(flat.tolist()):
+                buf.setElem(i, int(v))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(bimg, "png", baos)
+        return bytes(baos.toByteArray())
+
+    def jdk_read_rgb(data):
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(data))
+        )
+        h, w = img.getHeight(), img.getWidth()
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                v = img.getRGB(x, y)
+                out[y, x] = [(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF]
+        return out
+
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:21, 0:33]
+    grad = np.stack(
+        [np.clip(100 + yy * 3, 0, 255), np.clip(40 + xx * 2, 0, 255),
+         np.clip(yy + xx, 0, 255)], -1
+    ).astype(np.uint8)
+    noise = rng.integers(0, 256, (21, 33, 3), dtype=np.uint8)
+
+    for px in (grad, noise):  # RGB, adaptive filters incl. Paeth/Average
+        d = jdk_write(px, 5)
+        assert d[25] == 2  # color type RGB
+        assert np.array_equal(decode_png(d), px)
+
+    g = np.clip(30 + yy * 4 + xx, 0, 255).astype(np.uint8)
+    d = jdk_write(g, 10)
+    assert d[25] == 0 and np.array_equal(decode_png(d), g)
+
+    g16 = rng.integers(0, 65536, (11, 13)).astype(np.uint16)
+    d16 = jdk_write(g16, 11)
+    assert d16[24] == 16  # bit depth
+    assert np.array_equal(decode_png(d16), (g16 >> 8).astype(np.uint8))
+
+    rgba = rng.integers(0, 256, (9, 14, 4), dtype=np.uint8)
+    # jdk_write reverses channels: raster gets A,B,G,R = rgba[...,::-1],
+    # so the PNG's straight-alpha RGBA pixels are rgba[..., :3] + alpha
+    d_rgba = jdk_write(rgba, 6)
+    assert d_rgba[25] == 6
+    assert np.array_equal(decode_png(d_rgba), rgba[..., :3])
+
+    pal_src = np.stack([yy % 4 * 60, xx % 4 * 60, (yy + xx) % 4 * 60], -1).astype(
+        np.uint8
+    )
+    d_pal = jdk_write(pal_src, 13)
+    assert d_pal[25] == 3  # palette (JDK quantized: compare vs ITS read)
+    assert np.array_equal(decode_png(d_pal), jdk_read_rgb(d_pal))
+
+    # Adam7: the JDK reads our interlaced file back bit-exactly
+    gi = rng.integers(0, 256, (23, 31), dtype=np.uint8)
+    di = encode_png_gray_interlaced(gi)
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(di))
+    )
+    back = np.frombuffer(
+        bytes(img.getRaster().getDataBuffer().getData()), dtype=np.uint8
+    ).reshape(23, 31)
+    assert np.array_equal(back, gi)
+    assert np.array_equal(decode_png(di), gi)
+
+    # color PNG through the gray surface: BT.601 luma, deterministic
+    lum = decode_png_gray(jdk_write(grad, 5))
+    exp = np.clip(
+        np.round(0.299 * grad[..., 0] + 0.587 * grad[..., 1] + 0.114 * grad[..., 2]),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.array_equal(lum, exp)
