@@ -370,12 +370,13 @@ def _cosine_near_dup_lsh(
         .select(F.col("vec_id").alias("id_a"), "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = base.select(
-        F.col("vec_id").alias("__vid"),
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * quantize).cast("long")
-        ).alias("__v"),
-    ).withColumn("__n", _dot(F.col("__v"), F.col("__v")))
+    # same _quantized helper as the exact path: the emitted cos_sim must
+    # stay bit-identical between blockings, so ONE quantization rule
+    vecs = (
+        _quantized(base, "vec_id", "embedding", quantize)
+        .select(F.col("vid").alias("__vid"), F.col("v").alias("__v"))
+        .withColumn("__n", _dot(F.col("__v"), F.col("__v")))
+    )
     cand = cand.join(
         vecs.select(F.col("__vid").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")),
         "id_a",

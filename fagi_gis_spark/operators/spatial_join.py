@@ -331,7 +331,12 @@ def _salted_cell_join(
     a resubmit-on-loss matches what AQE skew stats cost anyway.  Pass
     ``salt_threshold=None`` for a fully lazy plan (AQE skew-join then
     remains the only protection)."""
-    if isinstance(hot_cells, str) and hot_cells == "detect":
+    if isinstance(hot_cells, str):
+        if hot_cells != "detect":
+            raise ValueError(
+                f"hot_cells must be 'detect', None, or a (cell, __hot) "
+                f"DataFrame, got {hot_cells!r}"
+            )
         hot = detect_hot_cells(r, salt_threshold)
     else:
         hot = hot_cells

@@ -115,7 +115,12 @@ _HOT_CACHE: dict = {}
 def _hot_for(spark, sf_dir: str, strategy: str, build: DataFrame, radius_m: float):
     from fagi_gis_spark.operators.spatial_join import build_hot_cells
 
-    key = (spark.sparkContext.applicationId, sf_dir, strategy, radius_m)
+    app = spark.sparkContext.applicationId
+    # evict entries from stopped sessions: their DataFrames reference dead
+    # contexts and would otherwise pin memory for the process lifetime
+    for k in [k for k in _HOT_CACHE if k[0] != app]:
+        del _HOT_CACHE[k]
+    key = (app, sf_dir, strategy, radius_m)
     if key not in _HOT_CACHE:
         _HOT_CACHE[key] = build_hot_cells(build, radius_m, strategy=strategy)
     return _HOT_CACHE[key]
@@ -1318,7 +1323,13 @@ def image_consensus_dedup(spark, sf_dir):
     )
 
 
-_IMAGES_ORACLE_PATH = "/root/repo/spark-warehouse/images_oracle_1000"
+import os as _os
+
+_IMAGES_ORACLE_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "spark-warehouse",
+    "images_oracle_1000",
+)
 
 
 def _image_hex_rollup_oracle() -> str:
@@ -1359,7 +1370,19 @@ def image_hex_rollup(spark, sf_dir):
     from fagi_gis_spark.sources.images import generate_images
 
     imgs = generate_images(spark, 1000, partitions=8).select("image_id", "phash")
-    imgs.write.mode("overwrite").parquet(_IMAGES_ORACLE_PATH)
+    # write-once, atomic (temp dir + rename): the corpus is deterministic,
+    # so a hit can't change output, and a concurrent bench sweep / driver
+    # gate never sees a half-written directory (mode=overwrite deleted
+    # files mid-write while DuckDB globbed them)
+    if not _os.path.isdir(_IMAGES_ORACLE_PATH):
+        import shutil as _shutil
+
+        tmp = f"{_IMAGES_ORACLE_PATH}.tmp.{_os.getpid()}"
+        imgs.write.mode("overwrite").parquet(tmp)
+        try:
+            _os.rename(tmp, _IMAGES_ORACLE_PATH)
+        except OSError:  # lost a concurrent race: the winner's is equal
+            _shutil.rmtree(tmp, ignore_errors=True)
     imgs = spark.read.parquet(_IMAGES_ORACLE_PATH)
     lon, lat = geotag_cols(F.col("phash"))
     geo = imgs.withColumn("lon", lon).withColumn("lat", lat)

@@ -165,7 +165,8 @@ def _encode_row(i: int, w: int, h: int, fmt: str) -> tuple[bytes, np.ndarray]:
         from fagi_gis_spark.sources.jpeg import encode_jpeg_gray
 
         return encode_jpeg_gray(_pixels_for(i, w, h), quality=95, return_decoded=True)
-    return encode_png_gray(_pixels_for(i, w, h)), _pixels_for(i, w, h)
+    px = _pixels_for(i, w, h)
+    return encode_png_gray(px), px
 
 
 def generate_images(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:

@@ -580,7 +580,8 @@ def _destuff_segments(data: bytes) -> list[bytes]:
     ff = np.nonzero(arr[:-1] == 0xFF)[0]
     nxt = arr[ff + 1]
     is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
-    other = ff[(nxt != 0x00) & ~is_rst]
+    # 0xFF 0xFF = fill byte before a marker (B.1.1.2), never a terminator
+    other = ff[(nxt != 0x00) & (nxt != 0xFF) & ~is_rst]
     end = int(other[0]) if len(other) else len(arr)
     segs = []
     start = 0
@@ -663,11 +664,13 @@ def _extend(bits: int, size: int) -> int:
 
 def _scan_entropy_end(data: bytes, start: int) -> int:
     """Offset of the first non-stuffing, non-RST marker byte (the 0xFF)
-    at or after ``start`` — the end of one scan's entropy data."""
+    at or after ``start`` — the end of one scan's entropy data.  A 0xFF
+    followed by another 0xFF is a fill byte (T.81 B.1.1.2 allows any
+    number of them before a marker), not a scan terminator."""
     arr = np.frombuffer(data, dtype=np.uint8)
     ff = np.nonzero(arr[start : len(arr) - 1] == 0xFF)[0] + start
     nxt = arr[ff + 1]
-    stop = ff[(nxt != 0x00) & ((nxt < 0xD0) | (nxt > 0xD7))]
+    stop = ff[(nxt != 0x00) & (nxt != 0xFF) & ((nxt < 0xD0) | (nxt > 0xD7))]
     return int(stop[0]) if len(stop) else len(arr)
 
 
@@ -811,6 +814,8 @@ def _prog_dc_scan(per, scomps, ah, al, segs, ri, n_mcu_x):
     for u in range(units):
         if ri and u and u % ri == 0:
             seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("truncated JPEG: missing restart segment")
             br = _BitReader(segs[seg_i])
             for cid in prev:
                 prev[cid] = 0
@@ -911,6 +916,8 @@ def _prog_ac_scan(c, ac_t, ss, se, ah, al, segs, ri):
     for u in range(c["wb"] * c["hb"]):
         if ri and u and u % ri == 0:
             seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("truncated JPEG: missing restart segment")
             br = _BitReader(segs[seg_i])
             eobrun = 0
         by, bx = divmod(u, c["wb"])
@@ -932,6 +939,10 @@ def decode_jpeg(data: bytes, gray: bool = False) -> np.ndarray:
     (no chroma IDCT/upsample work) — the cheap path for pHash and the
     images-table decode column."""
     h, w, comps, qtables, scans, progressive = _parse_jpeg(data)
+    if len(comps) not in (1, 3):
+        # reject BEFORE any scan decode and before the gray short-circuit:
+        # component 0 of a 2-/4-component file (e.g. Adobe CMYK) is not luma
+        raise ValueError("only 1- or 3-component images supported")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     n_mcu_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -1000,11 +1011,13 @@ def decode_jpeg(data: bytes, gray: bool = False) -> np.ndarray:
             coef.reshape(-1, 8, 8).astype(np.int32), c["qt"], c["nby"] * 8, c["nbx"] * 8
         )
 
+    if len(per_comp) not in (1, 3):
+        # reject BEFORE the gray short-circuit: component 0 of a 2- or
+        # 4-component file (e.g. Adobe CMYK) is not luma
+        raise ValueError("only 1- or 3-component images supported")
     if len(per_comp) == 1 or gray:
         # luma is component 0 by scan order for every JFIF layout
         return plane_of(per_comp[0]).astype(np.uint8)[:h, :w]
-    if len(per_comp) != 3:
-        raise ValueError("only 1- or 3-component images supported")
 
     planes = []
     for c in per_comp:

@@ -341,7 +341,12 @@ def materialized_layers(
         "SPARK_GRAFT_LAYER_CACHE", "/tmp/spark_graft_layers"
     )
     base = os.path.join(root, _layers_cache_tag(sf_dir))
-    memo_key = (spark.sparkContext.applicationId, base)
+    app = spark.sparkContext.applicationId
+    # evict memos from stopped sessions (their DataFrames reference dead
+    # contexts and would pin memory for the process lifetime)
+    for k in [k for k in _SESSION_LAYERS if k[0] != app]:
+        del _SESSION_LAYERS[k]
+    memo_key = (app, base)
     hit = _SESSION_LAYERS.get(memo_key)
     if hit is not None:
         return dict(hit)

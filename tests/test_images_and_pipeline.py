@@ -743,3 +743,62 @@ def test_full_png_decode_vs_jdk_imageio(spark):
         0, 255,
     ).astype(np.uint8)
     assert np.array_equal(lum, exp)
+
+
+def test_jpeg_fill_bytes_before_restart_markers_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker —
+    including RSTn inside entropy data.  The entropy scanners must treat
+    FF FF as fill, not end-of-scan (a conforming third-party encoder
+    emitting fill bytes would otherwise lose every following restart
+    segment)."""
+    from fagi_gis_spark.sources.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    data = encode_jpeg_gray(px, quality=90, restart_interval=2)
+    base = decode_jpeg_gray(data)
+
+    sos = data.find(b"\xff\xda")
+    i = sos + 2
+    rst_at = None
+    while i < len(data) - 1:
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            rst_at = i
+            break
+        i += 1
+    assert rst_at is not None
+    for n_fill in (1, 2):
+        patched = data[:rst_at] + b"\xff" * n_fill + data[rst_at:]
+        assert np.array_equal(decode_jpeg_gray(patched), base)
+
+
+def test_jpeg_rejects_unsupported_component_count_even_for_gray():
+    """A 2-/4-component file (e.g. Adobe CMYK) must raise ValueError even
+    on the gray path — component 0 of such a file is NOT luma, and the
+    old short-circuit silently returned it as grayscale."""
+    from fagi_gis_spark.sources.jpeg import decode_jpeg, encode_jpeg_color
+
+    rng = np.random.default_rng(11)
+    pxc = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg_color(pxc, quality=90))
+
+    # patch SOF0 to declare 2 components (drop the last spec, fix length)
+    sof = bytes(data).find(b"\xff\xc0")
+    ln = (data[sof + 2] << 8) | data[sof + 3]
+    nf = sof + 9
+    assert data[nf] == 3
+    data2 = data[:nf] + bytes([2]) + data[nf + 1 : nf + 7] + data[nf + 10 :]
+    newlen = ln - 3
+    data2[sof + 2], data2[sof + 3] = newlen >> 8, newlen & 0xFF
+    # patch SOS to scan 2 components
+    sosp = bytes(data2).find(b"\xff\xda")
+    lns = (data2[sosp + 2] << 8) | data2[sosp + 3]
+    ns = sosp + 4
+    assert data2[ns] == 3
+    data3 = data2[:ns] + bytes([2]) + data2[ns + 1 : ns + 5] + data2[ns + 7 :]
+    newlns = lns - 2
+    data3[sosp + 2], data3[sosp + 3] = newlns >> 8, newlns & 0xFF
+
+    for gray in (True, False):
+        with pytest.raises(ValueError, match="1- or 3-component"):
+            decode_jpeg(bytes(data3), gray=gray)
