@@ -113,6 +113,13 @@ def run(sf_dir: str | None = None, cores: str | None = None, names=None) -> dict
         from fagi_gis_spark.index import tiles as tiling
         from fagi_gis_spark.operators.spatial_join import radius_join
 
+        # drop suite residue (cached layers, checkpoint blocks) so the
+        # probe measures the join, not the suite's memory pressure —
+        # standalone the same probe ran 2.2x faster than straight after
+        # the 5-sweep suite (130.8k vs 58.4k rows/s, same code)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
         # 20M rows (r3 ask #8: push past the 4M probe): the flagship
         # salted radius join PLUS the z/x/y tile assignment on its
         # output — the headline join+tile path end to end

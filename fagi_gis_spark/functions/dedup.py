@@ -131,15 +131,127 @@ def minhash_lsh_pairs(
     sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     ver = cand.join(sig_a, "doc_a").join(sig_b, "doc_b")
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
-    ).cast("double")
-    est = agree / F.lit(float(n_perm))
+    est = _sig_agreement(F.col("sig_a"), F.col("sig_b"), n_perm)
     return (
         ver.withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard_est")
     )
+
+
+def _sig_agreement(sig_a, sig_b, n_perm: int):
+    """Estimated Jaccard = fraction of agreeing MinHash slots (the same
+    expression for every verification path, so thresholds compare
+    bit-identical values)."""
+    agree = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    ).cast("double")
+    return agree / F.lit(float(n_perm))
+
+
+def build_minhash_index(
+    sigs: DataFrame,
+    table: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    n_buckets: int = 16,
+    mode: str = "errorifexists",
+) -> None:
+    """Persist a corpus's MinHash-LSH index as two storage-bucketed
+    tables so later batches dedup against it WITHOUT rescanning corpus
+    text (the day-2 operation at corpus scale: the 100 TB corpus is
+    deduped once; every new crawl joins against the stored index):
+
+    - ``<table>_buckets`` (doc_id, band, bucket), ``bucketBy(band,
+      bucket)`` + sorted — the candidate join on (band, bucket) reads
+      it with NO corpus-side exchange (only the new batch shuffles);
+    - ``<table>_sigs`` (doc_id, sig), ``bucketBy(doc_id)`` — the
+      verification join on doc_id likewise skips the corpus exchange.
+
+    The index is append-compatible: a verified new batch's rows can be
+    inserted into both tables to fold it into the corpus.  With the
+    default ``errorifexists`` mode, already-existing tables are skipped
+    (self-healing after a partial create: only the missing one is
+    written)."""
+    spark = sigs.sparkSession
+    if not (mode == "errorifexists" and spark.catalog.tableExists(f"{table}_buckets")):
+        (
+            _band_buckets(sigs, bands, rows_per_band)
+            .write.bucketBy(n_buckets, "band", "bucket")
+            .sortBy("band", "bucket")
+            .mode(mode)
+            .saveAsTable(f"{table}_buckets")
+        )
+    if not (mode == "errorifexists" and spark.catalog.tableExists(f"{table}_sigs")):
+        sigs.write.bucketBy(n_buckets, "doc_id").mode(mode).saveAsTable(f"{table}_sigs")
+
+
+def incremental_minhash_pairs(
+    new_sigs: DataFrame,
+    table: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against itself AND a stored corpus
+    index (``build_minhash_index``), without touching corpus text: the
+    new batch's band buckets join the stored ``<table>_buckets`` on its
+    storage-bucket key and signatures verify against the stored
+    ``<table>_sigs`` — both corpus sides exchange-free, so cost scales
+    with the BATCH, not the corpus.  Output ``(doc_a, doc_b,
+    jaccard_est, pair_type)`` with ``doc_a < doc_b`` and ``pair_type``
+    in {'new_new', 'new_corpus'}; equals the full-batch
+    ``minhash_lsh_pairs`` over (corpus ∪ new) restricted to pairs
+    touching a new doc (equivalence pytest-asserted)."""
+    spark = new_sigs.sparkSession
+    n_perm = bands * rows_per_band
+    new_sigs = new_sigs.persist()
+    nb = _band_buckets(new_sigs, bands, rows_per_band)
+    corpus_b = spark.table(f"{table}_buckets")
+    corpus_s = spark.table(f"{table}_sigs")
+
+    # new x new: the standard in-batch LSH path
+    nn_cand = _bucket_candidates(nb)
+    sig_a = new_sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = new_sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    nn = (
+        nn_cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("jaccard_est", _sig_agreement(F.col("sig_a"), F.col("sig_b"), n_perm))
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard_est", F.lit("new_new").alias("pair_type"))
+    )
+
+    # new x corpus: candidates are ids only; the stored bucket table's
+    # bucketBy(band, bucket) means only the (small) new side shuffles
+    nc_cand = (
+        nb.select("band", "bucket", F.col("doc_id").alias("doc_n"))
+        .join(
+            corpus_b.select("band", "bucket", F.col("doc_id").alias("doc_c")),
+            ["band", "bucket"],
+        )
+        .select("doc_n", "doc_c")
+        .dropDuplicates()
+    )
+    nc = (
+        nc_cand.join(
+            new_sigs.select(F.col("doc_id").alias("doc_n"), F.col("sig").alias("sig_n")),
+            "doc_n",
+        )
+        .join(
+            corpus_s.select(F.col("doc_id").alias("doc_c"), F.col("sig").alias("sig_c")),
+            "doc_c",
+        )
+        .withColumn("jaccard_est", _sig_agreement(F.col("sig_n"), F.col("sig_c"), n_perm))
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select(
+            F.least("doc_n", "doc_c").alias("doc_a"),
+            F.greatest("doc_n", "doc_c").alias("doc_b"),
+            "jaccard_est",
+            F.lit("new_corpus").alias("pair_type"),
+        )
+    )
+    return nn.unionByName(nc)
 
 
 def ngram_jaccard_pairs(

@@ -69,6 +69,10 @@ _GATE_DEMOTED = [
     "doc_quality", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "morton_cells", "s2_cells",
     "events_topk_users", "wgs_point_synthesis",
+    # demoted when dedup_incremental_minhash (new, needs driver
+    # certification) took an oracle-backed slot: stable since r1,
+    # untouched this round
+    "literal_typing",
 ]
 
 
@@ -809,12 +813,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, blocking="lenband")
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(cand_pred: str = "", extra_cols: str = "") -> str:
     """Closed-form MinHash-LSH replay: the seeded permutation constants
     are inlined as literals; shingle FNV-1a and the (a*h+b) mod-2^64
     wraparound (the numpy-uint64 semantics) run in HUGEINT; banding is
     slice equality (== Spark's hash(slice) bucket equality modulo
-    murmur collisions, negligible and deterministic on fixed data)."""
+    murmur collisions, negligible and deterministic on fixed data).
+    ``cand_pred`` restricts candidate pairs (the incremental variant),
+    ``extra_cols`` appends output columns."""
     from fagi_gis_spark.functions.dedup import _perm_params
 
     a, b = _perm_params(64)
@@ -856,9 +862,10 @@ bands AS (
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM bands l JOIN bands r ON l.band = r.band AND l.sl = r.sl AND l.doc_id < r.doc_id
+  {cand_pred}
 )
 SELECT c.doc_a, c.doc_b,
-  CAST(length(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64.0 AS jaccard_est
+  CAST(length(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64.0 AS jaccard_est{extra_cols}
 FROM cand c
 JOIN sigs sa ON sa.doc_id = c.doc_a
 JOIN sigs sb ON sb.doc_id = c.doc_b
@@ -872,6 +879,75 @@ def dedup_minhash_lsh(spark, sf_dir):
 
     sigs = minhash_signatures(_docs(spark, sf_dir))
     return minhash_lsh_pairs(sigs, jaccard_threshold=0.35)
+
+
+#: deterministic corpus/new split for the incremental-dedup query:
+#: doc_id % 5 == 0 is the "day-2" batch (~20%), the rest is the corpus
+_INCR_SPLIT_MOD = 5
+
+
+def _minhash_index_table(sf_dir: str) -> str:
+    """Content-keyed table name for the persisted corpus index: keyed by
+    the documents parquet's identity (path + size + mtime) so a
+    regenerated dataset can never read a stale index."""
+    import hashlib
+    import os
+
+    p = f"{sf_dir.rstrip('/')}/documents.parquet"
+    st = os.stat(p)
+    tag = hashlib.md5(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode()).hexdigest()[:10]
+    return f"minhash_idx_{tag}"
+
+
+@register(
+    "dedup_incremental_minhash",
+    _minhash_oracle(
+        cand_pred=f"WHERE (l.doc_id % {_INCR_SPLIT_MOD} = 0) OR (r.doc_id % {_INCR_SPLIT_MOD} = 0)",
+        extra_cols=(
+            f",\n  CASE WHEN c.doc_a % {_INCR_SPLIT_MOD} = 0 AND c.doc_b % {_INCR_SPLIT_MOD} = 0"
+            " THEN 'new_new' ELSE 'new_corpus' END AS pair_type"
+        ),
+    ),
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    """Day-2 dedup at corpus scale: near-dup pairs of a NEW batch
+    against itself and a PERSISTED corpus MinHash-LSH index
+    (functions/dedup.build_minhash_index) — corpus text is never
+    rescanned, and the index tables are storage-bucketed by their join
+    keys so the corpus side of both the candidate join (band, bucket)
+    and the verification join (doc_id) is exchange-free.  Cost scales
+    with the batch, not the 100 TB corpus.  The index build is
+    write-once per dataset identity (deterministic content — a hit
+    cannot change output); the oracle replays the SAME closed-form
+    MinHash over the full document set restricted to pairs touching a
+    new doc, which the incremental plan must equal exactly."""
+    from fagi_gis_spark.functions.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % _INCR_SPLIT_MOD == 0)
+    tbl = _minhash_index_table(sf_dir)
+    if not (
+        spark.catalog.tableExists(f"{tbl}_buckets")
+        and spark.catalog.tableExists(f"{tbl}_sigs")
+    ):
+        corpus = docs.filter(F.col("doc_id") % _INCR_SPLIT_MOD != 0)
+        try:
+            build_minhash_index(minhash_signatures(corpus), tbl)
+        except Exception:
+            # a concurrent creator won the race (errorifexists): the
+            # index content is deterministic, so the winner's is equal
+            if not (
+                spark.catalog.tableExists(f"{tbl}_buckets")
+                and spark.catalog.tableExists(f"{tbl}_sigs")
+            ):
+                raise
+    return incremental_minhash_pairs(
+        minhash_signatures(new), tbl, jaccard_threshold=0.35
+    )
 
 
 _SIMHASH_ORACLE = r"""

@@ -830,3 +830,87 @@ def test_materialized_layers_equal_fresh_derivation(spark, tmp_path):
     again = materialized_layers(spark, SF, cache_root=root)
     assert os.path.getmtime(os.path.join(root, base)) == mtime  # no rewrite
     assert again["poi_a"].count() == mat["poi_a"].count()
+
+
+def test_incremental_minhash_equals_full_batch(spark):
+    """Day-2 dedup contract: a new batch deduped against itself + the
+    persisted corpus index must emit EXACTLY the full-batch LSH pairs
+    restricted to pairs touching a new doc (same jaccard_est values),
+    with pair_type telling the two origins apart."""
+    import shutil
+
+    from fagi_gis_spark.functions.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    for t in ("test_mh_idx_buckets", "test_mh_idx_sigs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    build_minhash_index(minhash_signatures(corpus), "test_mh_idx")
+
+    inc = incremental_minhash_pairs(
+        minhash_signatures(new), "test_mh_idx", jaccard_threshold=0.35
+    )
+    rows = inc.collect()
+    full = minhash_lsh_pairs(
+        minhash_signatures(docs), jaccard_threshold=0.35
+    ).collect()
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard_est)
+        for r in full
+        if r.doc_a % 5 == 0 or r.doc_b % 5 == 0
+    }
+    got = {(r.doc_a, r.doc_b, r.jaccard_est) for r in rows}
+    assert got == want and len(got) > 0
+    for r in rows:
+        expect = "new_new" if (r.doc_a % 5 == 0 and r.doc_b % 5 == 0) else "new_corpus"
+        assert r.pair_type == expect
+    assert any(r.pair_type == "new_corpus" for r in rows)
+
+
+def test_incremental_minhash_corpus_side_reads_buckets(spark):
+    """The candidate join against the stored index must read the corpus
+    side through its storage buckets: exactly one (band, bucket)
+    exchange — the new batch aligning to the bucket layout.  A second
+    one would mean the 100 TB corpus reshuffles on every day-2 batch."""
+    from fagi_gis_spark.functions.dedup import (
+        _band_buckets,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    # index tables exist from the preceding test (same session) or are
+    # rebuilt here
+    if not spark.catalog.tableExists("test_mh_idx_buckets"):
+        from fagi_gis_spark.functions.dedup import build_minhash_index
+
+        build_minhash_index(
+            minhash_signatures(docs.filter(F.col("doc_id") % 5 != 0)), "test_mh_idx"
+        )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        nb = _band_buckets(minhash_signatures(new), 16, 4)
+        j = (
+            nb.select("band", "bucket", F.col("doc_id").alias("doc_n"))
+            .join(
+                spark.table("test_mh_idx_buckets").select(
+                    "band", "bucket", F.col("doc_id").alias("doc_c")
+                ),
+                ["band", "bucket"],
+            )
+            .select("doc_n", "doc_c")
+        )
+        assert j.count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SelectedBucketsCount" in final
+        assert final.count("Exchange hashpartitioning(band") == 1, final[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
