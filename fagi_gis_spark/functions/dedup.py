@@ -85,8 +85,12 @@ def minhash_signatures(
     return docs.select(F.col(id_col).alias("doc_id"), u_minhash(F.col(text_col)).alias("sig"))
 
 
-def _band_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """Explode MinHash signatures into (doc_id, band, bucket) LSH keys."""
+def _band_buckets(
+    sigs: DataFrame, bands: int, rows_per_band: int, carry: tuple = ()
+) -> DataFrame:
+    """Explode MinHash signatures into (doc_id, band, bucket) LSH keys.
+    ``carry`` keeps extra columns alongside (the streaming day-2 path
+    carries ``sig`` so verification needs no stream-stream self-join)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -96,8 +100,8 @@ def _band_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
             for i in range(bands)
         ]
     )
-    return sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    return sigs.select("doc_id", *carry, F.explode(band_structs).alias("b")).select(
+        "doc_id", *carry, F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
 
 

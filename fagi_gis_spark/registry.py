@@ -930,16 +930,46 @@ def dedup_incremental_minhash(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     new = docs.filter(F.col("doc_id") % _INCR_SPLIT_MOD == 0)
     tbl = _minhash_index_table(sf_dir)
-    if not (
-        spark.catalog.tableExists(f"{tbl}_buckets")
-        and spark.catalog.tableExists(f"{tbl}_sigs")
-    ):
+    # The in-memory catalog does not survive sessions but the warehouse
+    # directories do: a fresh session re-REGISTERS an existing index dir
+    # as an external bucketed table (the bucket ids live in the file
+    # names, so bucketed reads work unchanged); only truly missing
+    # tables are built.  Registration/creation is race-tolerant — the
+    # index content is deterministic, so a concurrent winner's is equal.
+    specs = {
+        f"{tbl}_buckets": ("doc_id BIGINT, band INT, bucket INT", "(band, bucket)", True),
+        f"{tbl}_sigs": ("doc_id BIGINT, sig ARRAY<BIGINT>", "(doc_id)", False),
+    }
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    need_build = False
+    for t, (cols, cluster, sort) in specs.items():
+        if spark.catalog.tableExists(t):
+            continue
+        path = _os.path.join(wh, t)
+        # only a committed write (job-level _SUCCESS marker) may be
+        # re-registered: a killed mid-write run leaves partial files
+        if _os.path.isdir(path) and _os.path.exists(_os.path.join(path, "_SUCCESS")):
+            sorted_by = f"SORTED BY {cluster} " if sort else ""
+            try:
+                spark.sql(
+                    f"CREATE TABLE {t} ({cols}) USING parquet "
+                    f"CLUSTERED BY {cluster} {sorted_by}INTO 16 BUCKETS "
+                    f"LOCATION '{path}'"
+                )
+            except Exception:
+                if not spark.catalog.tableExists(t):
+                    raise
+        else:
+            if _os.path.isdir(path):  # uncommitted partial write: rebuild
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+            need_build = True
+    if need_build:
         corpus = docs.filter(F.col("doc_id") % _INCR_SPLIT_MOD != 0)
         try:
             build_minhash_index(minhash_signatures(corpus), tbl)
         except Exception:
-            # a concurrent creator won the race (errorifexists): the
-            # index content is deterministic, so the winner's is equal
             if not (
                 spark.catalog.tableExists(f"{tbl}_buckets")
                 and spark.catalog.tableExists(f"{tbl}_sigs")

@@ -215,3 +215,50 @@ def stream_poi_enrich(
         .filter(F.col("poi_dist_m") <= radius_m)
         .drop("cell", "p_lon", "p_lat")
     )
+
+
+def stream_incremental_minhash(
+    stream: DataFrame,
+    index_table: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming day-2 dedup: each ARRIVING document is checked against
+    the persisted corpus MinHash index (functions.dedup.
+    build_minhash_index) — the streaming twin of
+    ``incremental_minhash_pairs``'s new-vs-corpus arm.  The signature
+    UDF and band explode are stateless projections; both joins are
+    stream-STATIC against the stored index tables (Spark re-resolves
+    static relations per micro-batch), carrying the arriving doc's own
+    signature through the explode so verification needs no
+    stream-stream self-join.  The only state is the final per-pair
+    aggregation that collapses multi-band matches (bounded by the
+    number of emitted pairs).  Output (doc_n, doc_c, jaccard_est)."""
+    from fagi_gis_spark.functions.dedup import (
+        _band_buckets,
+        _sig_agreement,
+        minhash_signatures,
+    )
+
+    spark = stream.sparkSession
+    n_perm = bands * rows_per_band
+    sigs = minhash_signatures(stream, text_col=text_col, id_col=id_col)
+    nb = _band_buckets(sigs, bands, rows_per_band, carry=("sig",))
+    corpus_b = spark.table(f"{index_table}_buckets")
+    corpus_s = spark.table(f"{index_table}_sigs")
+    cand = nb.withColumnRenamed("doc_id", "doc_n").join(
+        corpus_b.select("band", "bucket", F.col("doc_id").alias("doc_c")),
+        ["band", "bucket"],
+    )
+    ver = cand.join(
+        corpus_s.select(F.col("doc_id").alias("doc_c"), F.col("sig").alias("sig_c")),
+        "doc_c",
+    ).withColumn("jaccard_est", _sig_agreement(F.col("sig"), F.col("sig_c"), n_perm))
+    return (
+        ver.filter(F.col("jaccard_est") >= jaccard_threshold)
+        .groupBy("doc_n", "doc_c")
+        .agg(F.max("jaccard_est").alias("jaccard_est"))
+    )

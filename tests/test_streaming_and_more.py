@@ -379,3 +379,56 @@ def test_stream_poi_enrich_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_stream_incremental_minhash_matches_batch(spark, tmp_path):
+    """Streaming day-2 dedup: arriving documents checked against the
+    persisted corpus index must emit exactly the batch incremental
+    path's new-vs-corpus pairs (same jaccard_est)."""
+    import shutil
+
+    from fagi_gis_spark.functions.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+    from fagi_gis_spark.streaming.windowed import (
+        start_memory_sink,
+        stream_incremental_minhash,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    for t in ("stream_mh_idx_buckets", "stream_mh_idx_sigs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    build_minhash_index(minhash_signatures(corpus), "stream_mh_idx")
+
+    src = str(tmp_path / "docs_stream_src")
+    new.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    pairs = stream_incremental_minhash(
+        stream, "stream_mh_idx", jaccard_threshold=0.35
+    )
+    q = start_memory_sink(pairs, "incr_mh_out", output_mode="complete")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_n, r.doc_c, r.jaccard_est)
+        for r in spark.sql("SELECT * FROM incr_mh_out").collect()
+    }
+    expect = {
+        (
+            r.doc_a if r.doc_a % 5 == 0 else r.doc_b,
+            r.doc_b if r.doc_a % 5 == 0 else r.doc_a,
+            r.jaccard_est,
+        )
+        for r in incremental_minhash_pairs(
+            minhash_signatures(new), "stream_mh_idx", jaccard_threshold=0.35
+        ).collect()
+        if r.pair_type == "new_corpus"
+    }
+    assert got == expect and len(got) > 0
