@@ -190,6 +190,28 @@ def build_minhash_index(
         sigs.write.bucketBy(n_buckets, "doc_id").mode(mode).saveAsTable(f"{table}_sigs")
 
 
+def append_to_minhash_index(
+    sigs: DataFrame, table: str, bands: int = 16, rows_per_band: int = 4
+) -> None:
+    """Fold a (deduped) batch into an existing corpus index: bucketed
+    appends into both tables (``insertInto`` routes rows into the
+    tables' existing bucket layout, so later reads stay exchange-free).
+    Day-3 then runs ``incremental_minhash_pairs`` against the grown
+    index unchanged."""
+    spark = sigs.sparkSession
+    (
+        _band_buckets(sigs, bands, rows_per_band)
+        .select(*spark.table(f"{table}_buckets").columns)
+        .write.mode("append")
+        .insertInto(f"{table}_buckets")
+    )
+    (
+        sigs.select(*spark.table(f"{table}_sigs").columns)
+        .write.mode("append")
+        .insertInto(f"{table}_sigs")
+    )
+
+
 def incremental_minhash_pairs(
     new_sigs: DataFrame,
     table: str,

@@ -613,6 +613,25 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def peek(self, n: int) -> int:
+        """Next ``n`` bits WITHOUT consuming; past-the-end bits read as
+        1s (the LUT decode consumes only the matched code's real length
+        via ``skip``, which still raises on genuine truncation)."""
+        while self.nbits < n and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        if self.nbits >= n:
+            return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        pad = n - self.nbits
+        return ((self.acc << pad) | ((1 << pad) - 1)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        if n > self.nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
 
 def _build_huff(bits: list[int], symbols: list[int]):
     """Decoding table from a DHT (BITS, HUFFVAL) pair — canonical code
@@ -624,33 +643,43 @@ def _build_huff(bits: list[int], symbols: list[int]):
     lengths = [L for L in range(1, 17) if bits[L - 1]]
     if len(lengths) == 1 and bits[lengths[0] - 1] == len(symbols):
         return ("fixed", lengths[0], list(symbols))
-    table: dict[tuple[int, int], int] = {}
+    # multi-length tables (libjpeg-style optimized files): one maxlen-bit
+    # prefix LUT — every code's bit pattern, left-aligned to maxlen,
+    # covers a contiguous LUT range; decode = one peek + two array reads
+    # instead of a bit-by-bit walk of up to 16 dict probes per symbol
+    maxlen = lengths[-1]
+    lut_sym = np.full(1 << maxlen, -1, dtype=np.int32)
+    lut_len = np.zeros(1 << maxlen, dtype=np.int8)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = symbols[k]
+            span = 1 << (maxlen - length)
+            base = code << (maxlen - length)
+            lut_sym[base : base + span] = symbols[k]
+            lut_len[base : base + span] = length
             code += 1
             k += 1
         code <<= 1
-    return table
+    return ("lut", maxlen, lut_sym, lut_len)
 
 
 def _huff_decode(br: _BitReader, table) -> int:
     if table is None:  # scan referenced a DHT id that was never defined
         raise ValueError("missing Huffman table")
-    if isinstance(table, tuple):  # fixed-length fast path
+    if table[0] == "fixed":  # single-length fast path (our encoder)
         code = br.read(table[1])
         syms = table[2]
         if code >= len(syms):
             raise ValueError("invalid Huffman code")
         return syms[code]
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read(1)
-        if (length, code) in table:
-            return table[(length, code)]
-    raise ValueError("invalid Huffman code")
+    _, maxlen, lut_sym, lut_len = table  # prefix LUT (general tables)
+    prefix = br.peek(maxlen)
+    length = int(lut_len[prefix])
+    if length == 0:
+        raise ValueError("invalid Huffman code")
+    br.skip(length)
+    return int(lut_sym[prefix])
 
 
 def _extend(bits: int, size: int) -> int:

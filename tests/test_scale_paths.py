@@ -914,3 +914,44 @@ def test_incremental_minhash_corpus_side_reads_buckets(spark):
         assert final.count("Exchange hashpartitioning(band") == 1, final[:3000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_minhash_index_append_grows_corpus(spark):
+    """Day-3 contract: after folding batch-1 into the index, batch-2's
+    incremental pairs against the grown index equal the full-batch LSH
+    pairs over (corpus ∪ batch1 ∪ batch2) restricted to pairs touching
+    batch-2 — i.e. append keeps the index exactly equivalent to a
+    from-scratch rebuild."""
+    import shutil
+
+    from fagi_gis_spark.functions.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 > 1)      # 60%
+    batch1 = docs.filter(F.col("doc_id") % 5 == 1)     # 20%
+    batch2 = docs.filter(F.col("doc_id") % 5 == 0)     # 20%
+    for t in ("test_mh_app_buckets", "test_mh_app_sigs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    build_minhash_index(minhash_signatures(corpus), "test_mh_app")
+    append_to_minhash_index(minhash_signatures(batch1), "test_mh_app")
+
+    inc = incremental_minhash_pairs(
+        minhash_signatures(batch2), "test_mh_app", jaccard_threshold=0.35
+    )
+    got = {(r.doc_a, r.doc_b, r.jaccard_est) for r in inc.collect()}
+    full = minhash_lsh_pairs(
+        minhash_signatures(docs), jaccard_threshold=0.35
+    ).collect()
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard_est)
+        for r in full
+        if r.doc_a % 5 == 0 or r.doc_b % 5 == 0
+    }
+    assert got == want and len(got) > 0
