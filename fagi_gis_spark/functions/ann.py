@@ -89,6 +89,40 @@ def _qmatrix(col: "pd.Series", quantize: int) -> np.ndarray:
     )
 
 
+def _rows_topk(
+    qids: np.ndarray, scores: np.ndarray, rids: np.ndarray, k: int, score_name: str
+) -> pd.DataFrame:
+    """Tie-safe per-row top-k of a (queries x refs) score matrix (score
+    desc, neighbor id asc), self pairs excluded.  Shared by the exact
+    blocked kernel and the PQ/ADC kernel."""
+    n_ref = rids.shape[0]
+    out_q, out_n, out_c = [], [], []
+    for i in range(len(qids)):
+        row = scores[i].copy()
+        row[rids == qids[i]] = -np.inf  # exclude self
+        # argpartition prefilter, then a tie-safe exact pass: any element
+        # equal to the k-th score competes on neighbor id, so re-collect
+        # ALL elements >= that value before sorting
+        if n_ref > k + 1:
+            part = np.argpartition(-row, k)[: k + 1]
+            kth = np.sort(row[part])[::-1][k - 1] if k <= part.size else -np.inf
+            sel = np.nonzero(row >= kth)[0]
+        else:
+            sel = np.nonzero(row > -np.inf)[0]
+        # order: score desc, neighbor id asc (lexsort keys last-first)
+        cand = sel[np.lexsort((rids[sel], -row[sel]))][:k]
+        out_q.extend([qids[i]] * len(cand))
+        out_n.extend(rids[cand].tolist())
+        out_c.extend(row[cand].tolist())
+    return pd.DataFrame(
+        {
+            "vec_id": pd.Series(out_q, dtype="int64"),
+            "neighbor_id": pd.Series(out_n, dtype="int64"),
+            score_name: pd.Series(out_c, dtype="float64"),
+        }
+    )
+
+
 def _block_topk(
     qids: np.ndarray, Q: np.ndarray, rids: np.ndarray, R: np.ndarray, k: int
 ) -> pd.DataFrame:
@@ -99,32 +133,7 @@ def _block_topk(
     cos = (Q @ R.T).astype(np.float64) / np.sqrt(
         qn[:, None].astype(np.float64) * rn[None, :].astype(np.float64)
     )
-    n_ref = rids.shape[0]
-    out_q, out_n, out_c = [], [], []
-    for i in range(len(qids)):
-        row = cos[i].copy()
-        row[rids == qids[i]] = -np.inf  # exclude self
-        # argpartition prefilter, then a tie-safe exact pass: any element
-        # equal to the k-th cos competes on neighbor id, so re-collect ALL
-        # elements >= that value before sorting
-        if n_ref > k + 1:
-            part = np.argpartition(-row, k)[: k + 1]
-            kth = np.sort(row[part])[::-1][k - 1] if k <= part.size else -np.inf
-            sel = np.nonzero(row >= kth)[0]
-        else:
-            sel = np.nonzero(row > -np.inf)[0]
-        # order: cos desc, neighbor id asc (lexsort keys last-first)
-        cand = sel[np.lexsort((rids[sel], -row[sel]))][:k]
-        out_q.extend([qids[i]] * len(cand))
-        out_n.extend(rids[cand].tolist())
-        out_c.extend(row[cand].tolist())
-    return pd.DataFrame(
-        {
-            "vec_id": pd.Series(out_q, dtype="int64"),
-            "neighbor_id": pd.Series(out_n, dtype="int64"),
-            "cos_sim": pd.Series(out_c, dtype="float64"),
-        }
-    )
+    return _rows_topk(qids, cos, rids, k, "cos_sim")
 
 
 def _cosine_topk_blocked(
@@ -229,6 +238,174 @@ def ivf_topk(
         pairs.withColumn("cos_sim", cos)
         .dropDuplicates(["vec_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _pq_fit_codebooks(
+    X: np.ndarray, m: int, n_centroids: int, iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means (seeded, deterministic) over an
+    L2-normalized sample -> (m, n_centroids, dim/m) codebooks.  Empty
+    clusters keep their previous centroid; degenerate samples (< nc
+    distinct points) pad with the first centroid (padded slots can win
+    an argmin tie but encode the identical centroid, so scores are
+    unaffected)."""
+    n, dim = X.shape
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    nc = min(n_centroids, n)
+    books = np.zeros((m, n_centroids, sub))
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[rng.choice(n, size=nc, replace=False)].copy()
+        for _ in range(iters):
+            d = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(nc):
+                pts = Xj[a == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books[j, :nc] = C
+        if nc < n_centroids:
+            books[j, nc:] = C[0]
+    return books
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 256,
+    n_blocks: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_sample_rows: int = 50_000,
+    kmeans_iters: int = 10,
+    rerank: int = 0,
+    quantize: int = 1000,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jegou/Douze/Schmid,
+    "Product quantization for nearest neighbor search", TPAMI 2011) —
+    the memory-compressed scale path next to LSH and IVF: vectors
+    L2-normalize and split into ``m`` subspaces; per-subspace codebooks
+    fit on a bounded, hash-gated driver-side sample (same contract as
+    the diagonal-EM fit); every vector encodes DISTRIBUTED to ``m``
+    uint8 codes (dim=64 float32 = 256 B -> 8 B, 32x), and queries score
+    candidates by ADC (per-query distance tables + code lookups) inside
+    the same blocked cogroup harness as the exact path — the CODES are
+    the only per-row payload shuffled, so the candidate scan moves 32x
+    less data than exact at the cost of quantization error (recall
+    gate in pytest).  Returns (vec_id, neighbor_id, pq_score, rank);
+    pq_score approximates cosine on normalized vectors.
+
+    ``rerank=r`` (the paper's ADC+R) keeps the compressed scan but
+    re-ranks each query's ADC top-``r`` shortlist by EXACT quantized
+    cosine (ids-only shortlist, raw vectors re-attached afterward, same
+    integer kernel as ``cosine_topk``): output becomes (vec_id,
+    neighbor_id, cos_sim, rank) with exact scores, and recall is set by
+    the shortlist rather than raw code resolution."""
+    spark = emb.sparkSession
+    base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+
+    # bounded deterministic fit sample (hash-gated, floor like the EM fit)
+    total = base.count()
+    ppm = min(1_000_000, int(1_000_000 * fit_sample_rows / max(total, 1)) + 1)
+    samp = (
+        base.filter(F.pmod(F.xxhash64(F.col("vid")), F.lit(1_000_000)) < ppm)
+        .limit(fit_sample_rows)
+        .toPandas()
+    )
+    X = np.vstack([np.asarray(v, dtype=np.float64) for v in samp["v"]])
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0, 1.0, norms)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    books = _pq_fit_codebooks(X, m, n_centroids, kmeans_iters, seed)
+    bb = spark.sparkContext.broadcast(books)
+    sub = dim // m
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def u_encode(v: pd.Series) -> pd.Series:
+        B = bb.value
+        M = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        M = M / np.where(nrm == 0, 1.0, nrm)
+        codes = np.empty((len(M), m), dtype=np.int32)
+        for j in range(m):
+            d = ((M[:, None, j * sub : (j + 1) * sub] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(codes.tolist())
+
+    ref = base.select(
+        "vid",
+        u_encode(F.col("v")).alias("codes"),
+        F.pmod(F.crc32(F.col("vid").cast("string")), F.lit(n_blocks)).cast("int").alias("block"),
+    )
+    q = base.select(F.col("vid").alias("qid"), F.col("v").alias("qv")).withColumn(
+        "block", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    )
+
+    k_adc = max(k, rerank)
+
+    def blk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "pq_score": pd.Series([], dtype="float64"),
+                }
+            )
+        B = bb.value
+        Q = np.vstack([np.asarray(x, dtype=np.float64) for x in left["qv"]])
+        nrm = np.linalg.norm(Q, axis=1, keepdims=True)
+        Q = Q / np.where(nrm == 0, 1.0, nrm)
+        codes = np.vstack([np.asarray(c, dtype=np.int32) for c in right["codes"]])
+        # ADC: per-subspace inner-product tables (B_q x n_centroids),
+        # then one table lookup per (query, ref, subspace)
+        scores = np.zeros((len(Q), len(codes)))
+        for j in range(m):
+            T_j = Q[:, j * sub : (j + 1) * sub] @ B[j].T
+            scores += T_j[:, codes[:, j]]
+        return _rows_topk(
+            left["qid"].to_numpy("int64"), scores, right["vid"].to_numpy("int64"), k_adc, "pq_score"
+        )
+
+    per_block = (
+        q.groupBy("block")
+        .cogroup(ref.groupBy("block"))
+        .applyInPandas(blk, schema="vec_id long, neighbor_id long, pq_score double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("pq_score").desc(), F.col("neighbor_id").asc())
+    adc = (
+        per_block.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_adc)
+        .select("vec_id", "neighbor_id", "pq_score", "rank")
+    )
+    if not rerank:
+        return adc
+    # ADC+R: exact integer-cosine re-rank of the shortlist (ids only up
+    # to here; vectors re-attach now, so the exact kernel touches r
+    # candidates per query instead of n)
+    qv = _quantized(base, "vid", "v", quantize).withColumn("n", _dot(F.col("v"), F.col("v")))
+    va = qv.select(F.col("vid").alias("vec_id"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = qv.select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    w2 = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        adc.drop("rank", "pq_score")
+        .join(va, "vec_id")
+        .join(vb, "neighbor_id")
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )

@@ -2055,6 +2055,21 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, k=5).withColumn("rank", F.col("rank").cast("long"))
 
 
+@register("ann_pq_topk")  # product quantization + exact rerank: pytest recall
+def ann_pq_topk(spark, sf_dir):
+    """PQ/ADC approximate top-k (functions/ann.pq_topk): the
+    memory-compressed ANN scale path — 64-dim float vectors scan as
+    8-byte codes (32x less shuffled payload than exact), with the ADC
+    shortlist re-ranked by the exact integer cosine (ADC+R), so emitted
+    scores are bit-identical to ann_cosine_topk on overlapping pairs.
+    Rows-only in the driver (approximate recall has no SQL oracle); the
+    pytest twin gates recall vs exact and score agreement."""
+    from fagi_gis_spark.functions.ann import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(emb, k=5, rerank=25).withColumn("rank", F.col("rank").cast("long"))
+
+
 @register(
     "doc_token_budget",
     "SELECT doc_id,\n"

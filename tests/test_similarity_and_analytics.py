@@ -331,3 +331,49 @@ def test_near_dup_lsh_candidate_volume_sublinear(spark):
     c1, c2 = cand_count(3000), cand_count(6000)
     assert c1 > 0
     assert c2 / c1 < 3.0, f"candidate volume scaled superlinearly: {c1} -> {c2}"
+
+
+def test_pq_recall_vs_exact_and_rerank_scores(spark):
+    """PQ/ADC (Jegou et al. 2011): raw ADC recall clears a floor; with
+    the exact shortlist re-rank (ADC+R) recall >= 0.8 and every emitted
+    score is bit-identical to the exact kernel's quantized cosine for
+    that pair (the re-rank IS the exact kernel over r candidates)."""
+    from fagi_gis_spark.functions.ann import cosine_topk, pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = cosine_topk(emb, k=5).toPandas()
+    e = set(map(tuple, exact[["vec_id", "neighbor_id"]].itertuples(index=False)))
+
+    adc = pq_topk(emb, k=5).toPandas()
+    a = set(map(tuple, adc[["vec_id", "neighbor_id"]].itertuples(index=False)))
+    adc_recall = len(e & a) / len(e)
+    assert adc_recall > 0.4, f"raw ADC recall too low: {adc_recall}"
+
+    rr = pq_topk(emb, k=5, rerank=25).toPandas()
+    r = set(map(tuple, rr[["vec_id", "neighbor_id"]].itertuples(index=False)))
+    recall = len(e & r) / len(e)
+    assert recall >= 0.8, f"ADC+R recall too low: {recall}"
+    ex_score = {
+        (t.vec_id, t.neighbor_id): t.cos_sim for t in exact.itertuples(index=False)
+    }
+    for t in rr.itertuples(index=False):
+        key = (t.vec_id, t.neighbor_id)
+        if key in ex_score:
+            assert t.cos_sim == ex_score[key]
+
+
+def test_pq_codes_are_m_bytes(spark):
+    """The PQ scan's only per-row payload is the m-entry code array —
+    the 32x compression claim is structural, not aspirational."""
+    import numpy as np
+
+    from fagi_gis_spark.functions.ann import _pq_fit_codebooks
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(400, 64))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    books = _pq_fit_codebooks(X, m=8, n_centroids=64, iters=5, seed=1)
+    assert books.shape == (8, 64, 8)
+    # deterministic: same sample + seed -> identical codebooks
+    books2 = _pq_fit_codebooks(X, m=8, n_centroids=64, iters=5, seed=1)
+    assert np.array_equal(books, books2)
