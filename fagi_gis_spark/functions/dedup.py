@@ -190,6 +190,66 @@ def build_minhash_index(
         sigs.write.bucketBy(n_buckets, "doc_id").mode(mode).saveAsTable(f"{table}_sigs")
 
 
+def build_digest_index(
+    docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+    mode: str = "errorifexists",
+) -> None:
+    """Persist the EXACT-dedup day-2 index: (doc_id, digest) bucketed by
+    digest, so a new batch's membership probe joins the stored corpus
+    digests exchange-free (the exact-family twin of
+    ``build_minhash_index``; at 100 TB this is the digest store every
+    ingest batch checks before admission)."""
+    spark = docs.sparkSession
+    if not (mode == "errorifexists" and spark.catalog.tableExists(f"{table}_digests")):
+        (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                fingerprint_md5(F.col(text_col)).alias("digest"),
+            )
+            .write.bucketBy(n_buckets, "digest")
+            .sortBy("digest")
+            .mode(mode)
+            .saveAsTable(f"{table}_digests")
+        )
+
+
+def incremental_exact_dups(
+    new_docs: DataFrame, table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicates of a NEW batch against itself and the stored
+    digest index (``build_digest_index``) — corpus text never rescanned,
+    corpus side of the digest join exchange-free.  Output (doc_a, doc_b,
+    digest, pair_type) with doc_a < doc_b, pair_type in {'new_new',
+    'new_corpus'}; equals the full-batch digest self-join restricted to
+    pairs touching a new doc."""
+    spark = new_docs.sparkSession
+    nd = new_docs.select(
+        F.col(id_col).alias("doc_id"), fingerprint_md5(F.col(text_col)).alias("digest")
+    ).persist()
+    corpus = spark.table(f"{table}_digests")
+    nn = (
+        nd.select("digest", F.col("doc_id").alias("doc_a"))
+        .join(nd.select("digest", F.col("doc_id").alias("doc_b")), "digest")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "digest", F.lit("new_new").alias("pair_type"))
+    )
+    nc = (
+        nd.select("digest", F.col("doc_id").alias("doc_n"))
+        .join(corpus.select("digest", F.col("doc_id").alias("doc_c")), "digest")
+        .select(
+            F.least("doc_n", "doc_c").alias("doc_a"),
+            F.greatest("doc_n", "doc_c").alias("doc_b"),
+            "digest",
+            F.lit("new_corpus").alias("pair_type"),
+        )
+    )
+    return nn.unionByName(nc)
+
+
 def append_to_minhash_index(
     sigs: DataFrame, table: str, bands: int = 16, rows_per_band: int = 4
 ) -> None:

@@ -955,3 +955,47 @@ def test_minhash_index_append_grows_corpus(spark):
         if r.doc_a % 5 == 0 or r.doc_b % 5 == 0
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_exact_dups_against_digest_index(spark):
+    """Exact-family day-2: a new batch's duplicates against itself and
+    the stored digest index equal the full digest self-join restricted
+    to new docs (fixture carries cross-set and in-batch dup texts)."""
+    import shutil
+
+    import pandas as pd
+
+    from fagi_gis_spark.functions.dedup import (
+        build_digest_index,
+        incremental_exact_dups,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 10, 11, 12, 13],
+            "text": [
+                "alpha beta", "unique one", "Alpha  Beta ", "unique two",
+                # new batch (>= 10): one corpus dup (normalized), one
+                # in-batch dup pair, one unique
+                "ALPHA\tbeta", "same same", "same  SAME", "nothing else",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(rows)
+    corpus = docs.filter(F.col("doc_id") < 10)
+    new = docs.filter(F.col("doc_id") >= 10)
+    spark.sql("DROP TABLE IF EXISTS test_dg_idx_digests")
+    shutil.rmtree("spark-warehouse/test_dg_idx_digests", ignore_errors=True)
+    build_digest_index(corpus, "test_dg_idx")
+
+    got = {
+        (r.doc_a, r.doc_b, r.pair_type)
+        for r in incremental_exact_dups(new, "test_dg_idx").collect()
+    }
+    # doc 10 matches corpus docs 1 and 3 (same normalized digest);
+    # 11-12 are an in-batch pair; 13 matches nothing
+    assert got == {
+        (1, 10, "new_corpus"),
+        (3, 10, "new_corpus"),
+        (11, 12, "new_new"),
+    }
