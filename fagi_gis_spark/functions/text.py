@@ -113,3 +113,50 @@ def u_rolling_fingerprint(text: pd.Series) -> pd.Series:
                 h = ((h * base) & mask) ^ np.uint64(ch)
         out[i] = h
     return pd.Series(out.astype(np.int64))
+
+
+def pack_documents(
+    docs,
+    budget: int = 512,
+    group_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Greedy sequential packing of documents into fixed-token-budget
+    training sequences — the pretraining step that turns a cleaned
+    corpus into model-input rows.  Documents pack in ``id_col`` order
+    within deterministic groups of ``group_size`` consecutive ids: a doc
+    joins the current sequence if it fits, else opens the next one;
+    overlong docs truncate to ``budget``.  The group bound is what makes
+    the operation BOTH deterministic and distributed — groups pack
+    embarrassingly parallel (one Arrow batch each), where a single
+    global greedy scan would serialize the corpus.  Output
+    (grp, doc_id, n_tokens_packed, seq_id); sequence ids restart per
+    group, so the global sequence key is (grp, seq_id)."""
+    d = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .withColumn("grp", F.floor(F.col("doc_id") / group_size).cast("long"))
+        .withColumn("eff", F.least(F.col("n_tokens"), F.lit(budget)).cast("long"))
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs = np.zeros(len(pdf), dtype=np.int64)
+        seq = 0
+        fill = 0
+        for i, nt in enumerate(pdf["eff"].to_numpy()):
+            if fill and fill + nt > budget:
+                seq += 1
+                fill = 0
+            fill += nt
+            seqs[i] = seq
+        out = pdf[["grp", "doc_id", "eff"]].rename(columns={"eff": "n_tokens_packed"})
+        out["seq_id"] = seqs
+        return out
+
+    return d.groupBy("grp").applyInPandas(
+        pack, schema="grp long, doc_id long, n_tokens_packed long, seq_id long"
+    )

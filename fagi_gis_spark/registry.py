@@ -69,10 +69,10 @@ _GATE_DEMOTED = [
     "doc_quality", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "morton_cells", "s2_cells",
     "events_topk_users", "wgs_point_synthesis",
-    # demoted when dedup_incremental_minhash (new, needs driver
-    # certification) took an oracle-backed slot: stable since r1,
-    # untouched this round
-    "literal_typing",
+    # demoted when dedup_incremental_minhash and doc_pack_sequences
+    # (new, need driver certification) took oracle-backed slots: both
+    # stable since r1, untouched this round
+    "literal_typing", "update_position",
 ]
 
 
@@ -2068,6 +2068,40 @@ def ann_pq_topk(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return pq_topk(emb, k=5, rerank=25).withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "doc_pack_sequences",
+    # DuckDB replays the greedy sequential pack per group as a recursive
+    # CTE over the doc_id-ordered row number (the same reset-scan the
+    # Arrow kernel runs); token counts use the exact doc_stats split
+    "WITH RECURSIVE t AS (\n"
+    "  SELECT doc_id,\n"
+    "    LEAST(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 512) AS eff,\n"
+    "    CAST(floor(doc_id / 100) AS BIGINT) AS grp,\n"
+    "    row_number() OVER (PARTITION BY floor(doc_id / 100) ORDER BY doc_id) AS rn\n"
+    "  FROM documents\n"
+    "),\n"
+    "packed AS (\n"
+    "  SELECT grp, rn, doc_id, eff, CAST(0 AS BIGINT) AS seq_id, eff AS fill\n"
+    "  FROM t WHERE rn = 1\n"
+    "  UNION ALL\n"
+    "  SELECT t.grp, t.rn, t.doc_id, t.eff,\n"
+    "    CASE WHEN p.fill + t.eff <= 512 THEN p.seq_id ELSE p.seq_id + 1 END,\n"
+    "    CASE WHEN p.fill + t.eff <= 512 THEN p.fill + t.eff ELSE t.eff END\n"
+    "  FROM packed p JOIN t ON t.grp = p.grp AND t.rn = p.rn + 1\n"
+    ")\n"
+    "SELECT grp, doc_id, eff AS n_tokens_packed, seq_id FROM packed",
+)
+def doc_pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining (functions/text.pack_documents):
+    greedy fixed-budget (512-token) packing in doc_id order within
+    groups of 100 consecutive ids — deterministic AND embarrassingly
+    parallel (each group is one Arrow batch; a global greedy scan would
+    serialize the corpus).  Overlong docs truncate to the budget."""
+    from fagi_gis_spark.functions.text import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), budget=512, group_size=100)
 
 
 @register(

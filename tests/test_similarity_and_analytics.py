@@ -377,3 +377,36 @@ def test_pq_codes_are_m_bytes(spark):
     # deterministic: same sample + seed -> identical codebooks
     books2 = _pq_fit_codebooks(X, m=8, n_centroids=64, iters=5, seed=1)
     assert np.array_equal(books, books2)
+
+
+def test_pack_documents_invariants(spark):
+    """Sequence packing: per-(grp, seq) token sums never exceed the
+    budget; seq ids are contiguous from 0 in doc order; a sequence break
+    happens ONLY when the doc would not have fit; overlong docs truncate
+    to the budget."""
+    from fagi_gis_spark.functions.text import pack_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    budget = 128
+    out = (
+        pack_documents(docs, budget=budget, group_size=50)
+        .toPandas()
+        .sort_values(["grp", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert (out["n_tokens_packed"] <= budget).all()
+    sums = out.groupby(["grp", "seq_id"])["n_tokens_packed"].sum()
+    assert (sums <= budget).all()
+    for _, g in out.groupby("grp"):
+        seqs = g["seq_id"].to_numpy()
+        toks = g["n_tokens_packed"].to_numpy()
+        assert seqs[0] == 0
+        fill = toks[0]
+        for i in range(1, len(g)):
+            if seqs[i] == seqs[i - 1]:
+                fill += toks[i]
+                assert fill <= budget
+            else:
+                assert seqs[i] == seqs[i - 1] + 1
+                assert fill + toks[i] > budget  # break only when needed
+                fill = toks[i]
