@@ -121,6 +121,7 @@ def pack_documents(
     group_size: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ):
     """Greedy sequential packing of documents into fixed-token-budget
     training sequences — the pretraining step that turns a cleaned
@@ -133,11 +134,13 @@ def pack_documents(
     global greedy scan would serialize the corpus.  Output
     (grp, doc_id, n_tokens_packed, seq_id); sequence ids restart per
     group, so the global sequence key is (grp, seq_id)."""
+    tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else token_count(F.col(text_col))
+    )
     d = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            token_count(F.col(text_col)).alias("n_tokens"),
-        )
+        docs.select(F.col(id_col).alias("doc_id"), tok.alias("n_tokens"))
         .withColumn("grp", F.floor(F.col("doc_id") / group_size).cast("long"))
         .withColumn("eff", F.least(F.col("n_tokens"), F.lit(budget)).cast("long"))
     )

@@ -69,10 +69,10 @@ _GATE_DEMOTED = [
     "doc_quality", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "morton_cells", "s2_cells",
     "events_topk_users", "wgs_point_synthesis",
-    # demoted when dedup_incremental_minhash and doc_pack_sequences
-    # (new, need driver certification) took oracle-backed slots: both
-    # stable since r1, untouched this round
-    "literal_typing", "update_position",
+    # demoted when dedup_incremental_minhash, doc_pack_sequences, and
+    # doc_pretrain_pack (new, need driver certification) took
+    # oracle-backed slots: all stable since r1, untouched this round
+    "literal_typing", "update_position", "materialize_links",
 ]
 
 
@@ -2337,8 +2337,7 @@ _QUALITY_SQL = (
 )
 
 
-@register(
-    "clean_corpus",
+_CLEAN_CORPUS_CTES = (
     "WITH RECURSIVE scored AS (\n"
     "  SELECT doc_id, text, n_tokens,\n"
     "    CAST(CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 40 ELSE 10 END\n"
@@ -2363,10 +2362,16 @@ _QUALITY_SQL = (
     "  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u\n"
     "),\n"
     "comp AS (SELECT u AS doc_id, min(v) AS cid FROM reach GROUP BY u),\n"
-    "dropped AS (SELECT doc_id FROM comp WHERE doc_id != cid)\n"
-    "SELECT k.doc_id, k.n_tokens, k.quality FROM kept k\n"
-    "WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped) AND k.n_tokens <= 80",
+    "dropped AS (SELECT doc_id FROM comp WHERE doc_id != cid)"
 )
+
+_CLEAN_CORPUS_FINAL = (
+    "SELECT k.doc_id, k.n_tokens, k.quality FROM kept k\n"
+    "WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped) AND k.n_tokens <= 80"
+)
+
+
+@register("clean_corpus", f"{_CLEAN_CORPUS_CTES}\n{_CLEAN_CORPUS_FINAL}")
 def clean_corpus(spark, sf_dir):
     """The training-data cleaning pipeline as ONE composed query —
     quality gate -> near-dup component survivors -> token-budget cap —
@@ -2395,6 +2400,43 @@ def clean_corpus(spark, sf_dir):
     )
     survivors = dedup_survivors(kept, connected_components(edges))
     return survivors.filter(F.col("n_tokens") <= 80).select("doc_id", "n_tokens", "quality")
+
+
+@register(
+    "doc_pretrain_pack",
+    f"{_CLEAN_CORPUS_CTES},\n"
+    "surv AS (SELECT k.doc_id, k.n_tokens FROM kept k\n"
+    "  WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped) AND k.n_tokens <= 80),\n"
+    "pt AS (\n"
+    "  SELECT doc_id, LEAST(n_tokens, 512) AS eff,\n"
+    "    CAST(floor(doc_id / 100) AS BIGINT) AS grp,\n"
+    "    row_number() OVER (PARTITION BY floor(doc_id / 100) ORDER BY doc_id) AS rn\n"
+    "  FROM surv\n"
+    "),\n"
+    "pk AS (\n"
+    "  SELECT grp, rn, doc_id, eff, CAST(0 AS BIGINT) AS seq_id, eff AS fill\n"
+    "  FROM pt WHERE rn = 1\n"
+    "  UNION ALL\n"
+    "  SELECT pt.grp, pt.rn, pt.doc_id, pt.eff,\n"
+    "    CASE WHEN p.fill + pt.eff <= 512 THEN p.seq_id ELSE p.seq_id + 1 END,\n"
+    "    CASE WHEN p.fill + pt.eff <= 512 THEN p.fill + pt.eff ELSE pt.eff END\n"
+    "  FROM pk p JOIN pt ON pt.grp = p.grp AND pt.rn = p.rn + 1\n"
+    ")\n"
+    "SELECT grp, doc_id, eff AS n_tokens_packed, seq_id FROM pk",
+)
+def doc_pretrain_pack(spark, sf_dir):
+    """The END-TO-END training-data pipeline in one oracle-checked
+    query: raw documents -> quality gate -> near-dup component
+    survivors -> token cap (clean_corpus, every stage shuffle-bounded)
+    -> greedy fixed-budget sequence packing (pack_documents, one Arrow
+    reset-scan per group of 100 ids).  What leaves this query is the
+    model-input row set; the oracle replays the full chain — quality
+    CASEs, Jaccard blocking, recursive-CTE components, and the pack
+    reset-scan — closed-form in DuckDB."""
+    from fagi_gis_spark.functions.text import pack_documents
+
+    surv = clean_corpus(spark, sf_dir)
+    return pack_documents(surv, budget=512, group_size=100, tokens_col="n_tokens")
 
 
 @register("learning_pair_features_owl")  # A9 + createOWLFeatures: rows-only

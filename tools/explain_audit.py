@@ -28,6 +28,9 @@ AUDIT = [
     ("ann_cosine_topk", "exact ANN (block-partitioned cogroup matmul, no driver collect)"),
     ("dedup_embedding_cosine", "embedding near-dup pairs (same blocked cogroup kernel)"),
     ("events_topk_users", "top-k per group (agg + window)"),
+    ("dedup_incremental_minhash", "day-2 dedup vs stored bucketed LSH index (corpus side exchange-free)"),
+    ("doc_pack_sequences", "sequence packing (per-group Arrow reset-scan)"),
+    ("ann_pq_topk", "PQ/ADC blocked scan + exact shortlist re-rank"),
     ("learning_pair_features", "BooleanVector features (layer primitives + numpy bins)"),
     ("tag_pair_features", "TagFeatures (primitives only — no per-pair Python parse)"),
 ]
