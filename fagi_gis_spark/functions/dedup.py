@@ -478,17 +478,10 @@ def simhash_band_layout(max_hamming: int) -> list[tuple[int, int]]:
     return list(zip(offs, widths))
 
 
-def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates via banded SimHash blocking with GUARANTEED
-    recall at the advertised threshold: the 64-bit signature splits into
-    ``max_hamming + 1`` contiguous blocks (simhash_band_layout), so any
-    pair within ``hamming <= max_hamming`` shares at least one band key;
-    candidates pass an exact popcount refine.  ``max_hamming=3``
-    reproduces the classic 4x16-bit layout.  Cost model: more bands =
-    shorter keys = more candidate pairs, so the completeness guarantee
-    is paid in shuffle volume — large thresholds are exact but
-    expensive, by design (the r3 contract bug was the opposite: a fixed
-    4-band layout silently dropping hamming-4..6 pairs)."""
+def _hamming_bands(sigs: DataFrame, max_hamming: int) -> DataFrame:
+    """Explode 64-bit signatures into the complete banded-hamming keys
+    (doc_id, simhash, blk, key) per ``simhash_band_layout`` — shared by
+    the in-batch join and the persisted day-2 index."""
 
     def band_key(off: int, width: int):
         shifted = F.shiftrightunsigned(F.col("simhash"), off)
@@ -505,9 +498,87 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
             for i, (off, width) in enumerate(simhash_band_layout(max_hamming))
         ]
     )
-    b = sigs.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+    return sigs.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
         "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key")
     )
+
+
+def build_hamming_index(
+    sigs: DataFrame,
+    table: str,
+    max_hamming: int = 3,
+    n_buckets: int = 16,
+    mode: str = "errorifexists",
+) -> None:
+    """Persist the banded-hamming day-2 index (text SimHash or image
+    pHash — any 64-bit signature in a ``(doc_id, simhash)`` frame):
+    band rows bucketed by (blk, key), so a new batch's membership probe
+    joins the stored corpus bands exchange-free.  Band layout derives
+    from ``max_hamming`` (pigeonhole-complete recall), so the index is
+    valid for queries at the SAME threshold it was built for."""
+    spark = sigs.sparkSession
+    if not (mode == "errorifexists" and spark.catalog.tableExists(f"{table}_bands")):
+        (
+            _hamming_bands(sigs, max_hamming)
+            .write.bucketBy(n_buckets, "blk", "key")
+            .sortBy("blk", "key")
+            .mode(mode)
+            .saveAsTable(f"{table}_bands")
+        )
+
+
+def incremental_hamming_pairs(
+    new_sigs: DataFrame, table: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs (hamming <= max_hamming) of a NEW batch against
+    itself and a stored ``build_hamming_index`` corpus — the
+    banded-hamming family's day-2 operation (works unchanged for image
+    pHash via the same (doc_id, simhash) frame).  Corpus side of the
+    band join is exchange-free; the exact popcount refine runs on the
+    signatures the band rows already carry.  Output (doc_a, doc_b,
+    hamming, pair_type); equals the full-batch ``simhash_near_pairs``
+    restricted to pairs touching a new doc."""
+    spark = new_sigs.sparkSession
+    nn = simhash_near_pairs(new_sigs, max_hamming=max_hamming).withColumn(
+        "pair_type", F.lit("new_new")
+    )
+    nb = _hamming_bands(new_sigs, max_hamming)
+    corpus = spark.table(f"{table}_bands")
+    ham = F.bit_count(F.col("h_n").bitwiseXOR(F.col("h_c")))
+    nc = (
+        nb.select("blk", "key", F.col("doc_id").alias("doc_n"), F.col("simhash").alias("h_n"))
+        .join(
+            corpus.select(
+                "blk", "key", F.col("doc_id").alias("doc_c"), F.col("simhash").alias("h_c")
+            ),
+            ["blk", "key"],
+        )
+        .dropDuplicates(["doc_n", "doc_c"])
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.least("doc_n", "doc_c").alias("doc_a"),
+            F.greatest("doc_n", "doc_c").alias("doc_b"),
+            "hamming",
+            F.lit("new_corpus").alias("pair_type"),
+        )
+    )
+    return nn.unionByName(nc)
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates via banded SimHash blocking with GUARANTEED
+    recall at the advertised threshold: the 64-bit signature splits into
+    ``max_hamming + 1`` contiguous blocks (simhash_band_layout), so any
+    pair within ``hamming <= max_hamming`` shares at least one band key;
+    candidates pass an exact popcount refine.  ``max_hamming=3``
+    reproduces the classic 4x16-bit layout.  Cost model: more bands =
+    shorter keys = more candidate pairs, so the completeness guarantee
+    is paid in shuffle volume — large thresholds are exact but
+    expensive, by design (the r3 contract bug was the opposite: a fixed
+    4-band layout silently dropping hamming-4..6 pairs)."""
+
+    b = _hamming_bands(sigs, max_hamming)
     l = b.select("blk", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"))
     r = b.select("blk", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))

@@ -999,3 +999,44 @@ def test_incremental_exact_dups_against_digest_index(spark):
         (3, 10, "new_corpus"),
         (11, 12, "new_new"),
     }
+
+
+def test_incremental_hamming_equals_full_batch(spark):
+    """Banded-hamming day-2 (the SimHash/pHash family): a new batch
+    against itself + the stored band index equals the full-batch
+    simhash_near_pairs restricted to pairs touching a new doc, with the
+    same exact hamming values."""
+    import shutil
+
+    from fagi_gis_spark.functions.dedup import (
+        build_hamming_index,
+        incremental_hamming_pairs,
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = simhash_signatures(docs).persist()
+    corpus = sigs.filter(F.col("doc_id") % 5 != 0)
+    new = sigs.filter(F.col("doc_id") % 5 == 0)
+    spark.sql("DROP TABLE IF EXISTS test_hm_idx_bands")
+    shutil.rmtree("spark-warehouse/test_hm_idx_bands", ignore_errors=True)
+    build_hamming_index(corpus, "test_hm_idx", max_hamming=6)
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming, r.pair_type)
+        for r in incremental_hamming_pairs(new, "test_hm_idx", max_hamming=6).collect()
+    }
+    full = simhash_near_pairs(sigs, max_hamming=6).collect()
+    want = {
+        (
+            r.doc_a,
+            r.doc_b,
+            r.hamming,
+            "new_new" if (r.doc_a % 5 == 0 and r.doc_b % 5 == 0) else "new_corpus",
+        )
+        for r in full
+        if r.doc_a % 5 == 0 or r.doc_b % 5 == 0
+    }
+    assert got == want and len(got) > 0
+    assert any(t == "new_corpus" for (_, _, _, t) in got)
