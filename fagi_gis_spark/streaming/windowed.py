@@ -262,3 +262,42 @@ def stream_incremental_minhash(
         .groupBy("doc_n", "doc_c")
         .agg(F.max("jaccard_est").alias("jaccard_est"))
     )
+
+
+def stream_incremental_hamming(
+    stream: DataFrame,
+    index_table: str,
+    max_hamming: int = 3,
+    sig_col: str = "simhash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming day-2 for the banded-hamming family: each ARRIVING
+    64-bit signature (text SimHash or image pHash) is checked against
+    the stored ``build_hamming_index`` corpus — band explode is a
+    stateless projection carrying the signature, the band join is
+    stream-STATIC, and the exact popcount refine runs per row; the only
+    state is the per-pair aggregation collapsing multi-band matches
+    (hamming is identical on every band hit, so min == the value).
+    Output (doc_n, doc_c, hamming)."""
+    from fagi_gis_spark.functions.dedup import _hamming_bands
+
+    spark = stream.sparkSession
+    sigs = stream.select(
+        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("simhash")
+    )
+    nb = _hamming_bands(sigs, max_hamming)
+    corpus = spark.table(f"{index_table}_bands")
+    ham = F.bit_count(F.col("h_n").bitwiseXOR(F.col("h_c")))
+    return (
+        nb.select("blk", "key", F.col("doc_id").alias("doc_n"), F.col("simhash").alias("h_n"))
+        .join(
+            corpus.select(
+                "blk", "key", F.col("doc_id").alias("doc_c"), F.col("simhash").alias("h_c")
+            ),
+            ["blk", "key"],
+        )
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_n", "doc_c")
+        .agg(F.min("hamming").alias("hamming"))
+    )

@@ -432,3 +432,67 @@ def test_stream_incremental_minhash_matches_batch(spark, tmp_path):
         if r.pair_type == "new_corpus"
     }
     assert got == expect and len(got) > 0
+
+
+def test_stream_incremental_hamming_phash_matches_batch(spark, tmp_path):
+    """Streaming banded-hamming day-2 over IMAGE pHashes: arriving
+    images (bit-perturbed variants of corpus images, hamming <= 6 by
+    construction) checked against the stored corpus band index equal
+    the batch incremental path's new-vs-corpus arm (same exact
+    hamming)."""
+    import shutil
+
+    from fagi_gis_spark.functions.dedup import (
+        build_hamming_index,
+        incremental_hamming_pairs,
+    )
+    from fagi_gis_spark.sources.images import generate_images
+    from fagi_gis_spark.streaming.windowed import (
+        start_memory_sink,
+        stream_incremental_hamming,
+    )
+
+    imgs = generate_images(spark, 300, partitions=4).select(
+        F.col("image_id").alias("doc_id"), F.col("phash").alias("simhash")
+    )
+    corpus = imgs
+    # new batch: every 6th corpus image re-ingested with 1-3 phash bits
+    # flipped (re-encode jitter), ids prefixed — hamming to its source
+    # is <= 3 by construction
+    num = F.regexp_extract("doc_id", r"(\d+)", 1).cast("long")
+    new = (
+        imgs.withColumn("n", num)
+        .filter(F.col("n") % 6 == 0)
+        .withColumn("flip", F.expr("1L | shiftleft(1L, cast(pmod(n, 60) + 1 as int))"))
+        .select(
+            F.concat(F.lit("v"), F.col("doc_id")).alias("doc_id"),
+            F.col("simhash").bitwiseXOR(F.col("flip")).alias("simhash"),
+        )
+    )
+    spark.sql("DROP TABLE IF EXISTS stream_hm_idx_bands")
+    shutil.rmtree("spark-warehouse/stream_hm_idx_bands", ignore_errors=True)
+    build_hamming_index(corpus, "stream_hm_idx", max_hamming=6)
+
+    src = str(tmp_path / "phash_stream_src")
+    new.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    pairs = stream_incremental_hamming(stream, "stream_hm_idx", max_hamming=6)
+    q = start_memory_sink(pairs, "incr_hm_out", output_mode="complete")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_n, r.doc_c, r.hamming)
+        for r in spark.sql("SELECT * FROM incr_hm_out").collect()
+    }
+    new_ids = {r.doc_id for r in new.collect()}
+    expect = set()
+    for r in incremental_hamming_pairs(new, "stream_hm_idx", max_hamming=6).filter(
+        F.col("pair_type") == "new_corpus"
+    ).collect():
+        if r.doc_a in new_ids:
+            expect.add((r.doc_a, r.doc_b, r.hamming))
+        else:
+            expect.add((r.doc_b, r.doc_a, r.hamming))
+    assert got == expect and len(got) >= 50  # every variant finds its source
