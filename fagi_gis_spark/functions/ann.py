@@ -261,8 +261,10 @@ def _pq_fit_codebooks(
         Xj = X[:, j * sub : (j + 1) * sub]
         C = Xj[rng.choice(n, size=nc, replace=False)].copy()
         for _ in range(iters):
-            d = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            a = d.argmin(axis=1)
+            # argmin of ||x-c||^2 == argmin of -2x.c + ||c||^2: the
+            # (n, nc) matrix form — never the (n, nc, sub) difference
+            # tensor (~820 MB float64 at 50k x 256 x 8)
+            a = (-2.0 * (Xj @ C.T) + (C * C).sum(axis=1)[None, :]).argmin(axis=1)
             for c in range(nc):
                 pts = Xj[a == c]
                 if len(pts):
@@ -310,14 +312,16 @@ def pq_topk(
     spark = emb.sparkSession
     base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
 
-    # bounded deterministic fit sample (hash-gated, floor like the EM fit)
+    # bounded deterministic fit sample: pure hash gate, NO limit() — an
+    # unordered limit truncates by partition-planning order, so the same
+    # data on a different core count would fit different codebooks (the
+    # EM fit at operators/clustering.py uses the same no-limit contract);
+    # expected sample size overshoots fit_sample_rows only marginally
     total = base.count()
     ppm = min(1_000_000, int(1_000_000 * fit_sample_rows / max(total, 1)) + 1)
-    samp = (
-        base.filter(F.pmod(F.xxhash64(F.col("vid")), F.lit(1_000_000)) < ppm)
-        .limit(fit_sample_rows)
-        .toPandas()
-    )
+    samp = base.filter(
+        F.pmod(F.xxhash64(F.col("vid")), F.lit(1_000_000)) < ppm
+    ).toPandas()
     X = np.vstack([np.asarray(v, dtype=np.float64) for v in samp["v"]])
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     X = X / np.where(norms == 0, 1.0, norms)
@@ -336,8 +340,11 @@ def pq_topk(
         M = M / np.where(nrm == 0, 1.0, nrm)
         codes = np.empty((len(M), m), dtype=np.int32)
         for j in range(m):
-            d = ((M[:, None, j * sub : (j + 1) * sub] - B[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = d.argmin(axis=1)
+            Mj = M[:, j * sub : (j + 1) * sub]
+            # matrix form, not the (batch, nc, sub) difference tensor
+            codes[:, j] = (
+                -2.0 * (Mj @ B[j].T) + (B[j] * B[j]).sum(axis=1)[None, :]
+            ).argmin(axis=1)
         return pd.Series(codes.tolist())
 
     ref = base.select(

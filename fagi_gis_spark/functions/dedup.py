@@ -153,6 +153,47 @@ def _sig_agreement(sig_a, sig_b, n_perm: int):
     return agree / F.lit(float(n_perm))
 
 
+def _write_index_meta(spark, meta_table: str, layout: dict, mode: str) -> None:
+    """Persist the band layout an index was built with (single-row
+    table), so queries can refuse a mismatched layout instead of
+    silently losing recall."""
+    import os
+
+    if mode == "errorifexists":
+        if spark.catalog.tableExists(meta_table):
+            return
+        # a meta DIR from a previous session (in-memory catalog gone,
+        # warehouse dir persists) counts as existing — the registry
+        # re-registers it at query time
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        if os.path.isdir(os.path.join(wh, meta_table.lower())):
+            return
+    import pandas as pd
+
+    spark.createDataFrame(pd.DataFrame([layout])).write.mode(
+        "overwrite" if mode != "errorifexists" else "errorifexists"
+    ).saveAsTable(meta_table)
+
+
+def _check_index_layout(spark, meta_table: str, expected: dict) -> None:
+    """Refuse to query an index with different banding parameters than
+    it was built with — a mismatched layout joins almost no corpus keys
+    and silently drops real duplicates.  Skipped when the meta table is
+    not resolvable in this session (pre-meta index; the registry
+    re-registers meta alongside the data tables)."""
+    if not spark.catalog.tableExists(meta_table):
+        return
+    row = spark.table(meta_table).head()
+    for k, v in expected.items():
+        got = getattr(row, k)
+        if got != v:
+            raise ValueError(
+                f"index {meta_table.removesuffix('_meta')} was built with "
+                f"{k}={got} but queried with {k}={v}; rebuild the index or "
+                f"query at the build layout"
+            )
+
+
 def build_minhash_index(
     sigs: DataFrame,
     table: str,
@@ -188,6 +229,9 @@ def build_minhash_index(
         )
     if not (mode == "errorifexists" and spark.catalog.tableExists(f"{table}_sigs")):
         sigs.write.bucketBy(n_buckets, "doc_id").mode(mode).saveAsTable(f"{table}_sigs")
+    _write_index_meta(
+        spark, f"{table}_meta", {"bands": bands, "rows_per_band": rows_per_band}, mode
+    )
 
 
 def build_digest_index(
@@ -240,6 +284,8 @@ def incremental_exact_dups(
     nc = (
         nd.select("digest", F.col("doc_id").alias("doc_n"))
         .join(corpus.select("digest", F.col("doc_id").alias("doc_c")), "digest")
+        # re-ingested ids (retried batch already folded in) are not pairs
+        .filter(F.col("doc_n") != F.col("doc_c"))
         .select(
             F.least("doc_n", "doc_c").alias("doc_a"),
             F.greatest("doc_n", "doc_c").alias("doc_b"),
@@ -290,32 +336,30 @@ def incremental_minhash_pairs(
     ``minhash_lsh_pairs`` over (corpus ∪ new) restricted to pairs
     touching a new doc (equivalence pytest-asserted)."""
     spark = new_sigs.sparkSession
+    _check_index_layout(spark, f"{table}_meta", {"bands": bands, "rows_per_band": rows_per_band})
     n_perm = bands * rows_per_band
     new_sigs = new_sigs.persist()
     nb = _band_buckets(new_sigs, bands, rows_per_band)
     corpus_b = spark.table(f"{table}_buckets")
     corpus_s = spark.table(f"{table}_sigs")
 
-    # new x new: the standard in-batch LSH path
-    nn_cand = _bucket_candidates(nb)
-    sig_a = new_sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sig_b = new_sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    nn = (
-        nn_cand.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .withColumn("jaccard_est", _sig_agreement(F.col("sig_a"), F.col("sig_b"), n_perm))
-        .filter(F.col("jaccard_est") >= jaccard_threshold)
-        .select("doc_a", "doc_b", "jaccard_est", F.lit("new_new").alias("pair_type"))
-    )
+    # new x new: exactly the standard in-batch LSH path (one pipeline to
+    # keep in sync, not a copy)
+    nn = minhash_lsh_pairs(
+        new_sigs, bands=bands, rows_per_band=rows_per_band, jaccard_threshold=jaccard_threshold
+    ).withColumn("pair_type", F.lit("new_new"))
 
     # new x corpus: candidates are ids only; the stored bucket table's
-    # bucketBy(band, bucket) means only the (small) new side shuffles
+    # bucketBy(band, bucket) means only the (small) new side shuffles.
+    # doc_n != doc_c guards re-ingested ids (a retried batch whose ids
+    # were already folded into the index must not emit self-pairs)
     nc_cand = (
         nb.select("band", "bucket", F.col("doc_id").alias("doc_n"))
         .join(
             corpus_b.select("band", "bucket", F.col("doc_id").alias("doc_c")),
             ["band", "bucket"],
         )
+        .filter(F.col("doc_n") != F.col("doc_c"))
         .select("doc_n", "doc_c")
         .dropDuplicates()
     )
@@ -525,6 +569,7 @@ def build_hamming_index(
             .mode(mode)
             .saveAsTable(f"{table}_bands")
         )
+    _write_index_meta(spark, f"{table}_meta", {"max_hamming": max_hamming}, mode)
 
 
 def incremental_hamming_pairs(
@@ -539,6 +584,7 @@ def incremental_hamming_pairs(
     hamming, pair_type); equals the full-batch ``simhash_near_pairs``
     restricted to pairs touching a new doc."""
     spark = new_sigs.sparkSession
+    _check_index_layout(spark, f"{table}_meta", {"max_hamming": max_hamming})
     nn = simhash_near_pairs(new_sigs, max_hamming=max_hamming).withColumn(
         "pair_type", F.lit("new_new")
     )
@@ -553,6 +599,8 @@ def incremental_hamming_pairs(
             ),
             ["blk", "key"],
         )
+        # re-ingested ids (retried batch already folded in) are not pairs
+        .filter(F.col("doc_n") != F.col("doc_c"))
         .dropDuplicates(["doc_n", "doc_c"])
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)

@@ -939,6 +939,8 @@ def dedup_incremental_minhash(spark, sf_dir):
     specs = {
         f"{tbl}_buckets": ("doc_id BIGINT, band INT, bucket INT", "(band, bucket)", True),
         f"{tbl}_sigs": ("doc_id BIGINT, sig ARRAY<BIGINT>", "(doc_id)", False),
+        # meta is written via pandas -> int64 columns; re-register as BIGINT
+        f"{tbl}_meta": ("bands BIGINT, rows_per_band BIGINT", None, False),
     }
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     need_build = False
@@ -949,18 +951,39 @@ def dedup_incremental_minhash(spark, sf_dir):
         # only a committed write (job-level _SUCCESS marker) may be
         # re-registered: a killed mid-write run leaves partial files
         if _os.path.isdir(path) and _os.path.exists(_os.path.join(path, "_SUCCESS")):
-            sorted_by = f"SORTED BY {cluster} " if sort else ""
+            if cluster is None:
+                bucketing = ""
+            else:
+                sorted_by = f"SORTED BY {cluster} " if sort else ""
+                bucketing = f"CLUSTERED BY {cluster} {sorted_by}INTO 16 BUCKETS "
             try:
                 spark.sql(
                     f"CREATE TABLE {t} ({cols}) USING parquet "
-                    f"CLUSTERED BY {cluster} {sorted_by}INTO 16 BUCKETS "
-                    f"LOCATION '{path}'"
+                    f"{bucketing}LOCATION '{path}'"
                 )
             except Exception:
                 if not spark.catalog.tableExists(t):
                     raise
         else:
-            if _os.path.isdir(path):  # uncommitted partial write: rebuild
+            if _os.path.isdir(path):
+                # uncommitted dir: STALE (abandoned by a killed run) is
+                # rebuilt; FRESH likely belongs to a concurrent writer —
+                # deleting it would fail that run's job commit, so error
+                # out and let the caller retry after it commits
+                newest = max(
+                    [e.stat().st_mtime for e in _os.scandir(path)] or [0],
+                    default=0,
+                )
+                newest = max(newest, _os.stat(path).st_mtime)
+                import time as _time
+
+                if _time.time() - newest < 600:
+                    raise RuntimeError(
+                        f"index path {path} has uncommitted recent writes "
+                        f"(possible concurrent build in progress); retry "
+                        f"after it commits, or remove the directory if it "
+                        f"is abandoned"
+                    )
                 import shutil
 
                 shutil.rmtree(path, ignore_errors=True)

@@ -641,6 +641,11 @@ def _build_huff(bits: list[int], symbols: list[int]):
     arbitrary multi-length tables fall back to the general
     (length, code) -> symbol dict."""
     lengths = [L for L in range(1, 17) if bits[L - 1]]
+    if not lengths:
+        # degenerate DHT (all-zero BITS): legal to carry, error to USE —
+        # the empty fixed table raises ValueError only if a scan decodes
+        # with it, matching the old dict build's contract
+        return ("fixed", 1, [])
     if len(lengths) == 1 and bits[lengths[0] - 1] == len(symbols):
         return ("fixed", lengths[0], list(symbols))
     # multi-length tables (libjpeg-style optimized files): one maxlen-bit

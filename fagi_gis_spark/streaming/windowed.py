@@ -239,19 +239,28 @@ def stream_incremental_minhash(
     number of emitted pairs).  Output (doc_n, doc_c, jaccard_est)."""
     from fagi_gis_spark.functions.dedup import (
         _band_buckets,
+        _check_index_layout,
         _sig_agreement,
         minhash_signatures,
     )
 
     spark = stream.sparkSession
+    _check_index_layout(
+        spark, f"{index_table}_meta", {"bands": bands, "rows_per_band": rows_per_band}
+    )
     n_perm = bands * rows_per_band
     sigs = minhash_signatures(stream, text_col=text_col, id_col=id_col)
     nb = _band_buckets(sigs, bands, rows_per_band, carry=("sig",))
     corpus_b = spark.table(f"{index_table}_buckets")
     corpus_s = spark.table(f"{index_table}_sigs")
-    cand = nb.withColumnRenamed("doc_id", "doc_n").join(
-        corpus_b.select("band", "bucket", F.col("doc_id").alias("doc_c")),
-        ["band", "bucket"],
+    cand = (
+        nb.withColumnRenamed("doc_id", "doc_n")
+        .join(
+            corpus_b.select("band", "bucket", F.col("doc_id").alias("doc_c")),
+            ["band", "bucket"],
+        )
+        # re-ingested ids (already folded into the index) are not pairs
+        .filter(F.col("doc_n") != F.col("doc_c"))
     )
     ver = cand.join(
         corpus_s.select(F.col("doc_id").alias("doc_c"), F.col("sig").alias("sig_c")),
@@ -279,9 +288,10 @@ def stream_incremental_hamming(
     state is the per-pair aggregation collapsing multi-band matches
     (hamming is identical on every band hit, so min == the value).
     Output (doc_n, doc_c, hamming)."""
-    from fagi_gis_spark.functions.dedup import _hamming_bands
+    from fagi_gis_spark.functions.dedup import _check_index_layout, _hamming_bands
 
     spark = stream.sparkSession
+    _check_index_layout(spark, f"{index_table}_meta", {"max_hamming": max_hamming})
     sigs = stream.select(
         F.col(id_col).alias("doc_id"), F.col(sig_col).alias("simhash")
     )
@@ -296,6 +306,8 @@ def stream_incremental_hamming(
             ),
             ["blk", "key"],
         )
+        # re-ingested ids (already folded into the index) are not pairs
+        .filter(F.col("doc_n") != F.col("doc_c"))
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("doc_n", "doc_c")

@@ -849,7 +849,7 @@ def test_incremental_minhash_equals_full_batch(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
-    for t in ("test_mh_idx_buckets", "test_mh_idx_sigs"):
+    for t in ("test_mh_idx_buckets", "test_mh_idx_sigs", "test_mh_idx_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     build_minhash_index(minhash_signatures(corpus), "test_mh_idx")
@@ -936,7 +936,7 @@ def test_minhash_index_append_grows_corpus(spark):
     corpus = docs.filter(F.col("doc_id") % 5 > 1)      # 60%
     batch1 = docs.filter(F.col("doc_id") % 5 == 1)     # 20%
     batch2 = docs.filter(F.col("doc_id") % 5 == 0)     # 20%
-    for t in ("test_mh_app_buckets", "test_mh_app_sigs"):
+    for t in ("test_mh_app_buckets", "test_mh_app_sigs", "test_mh_app_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     build_minhash_index(minhash_signatures(corpus), "test_mh_app")
@@ -1019,8 +1019,9 @@ def test_incremental_hamming_equals_full_batch(spark):
     sigs = simhash_signatures(docs).persist()
     corpus = sigs.filter(F.col("doc_id") % 5 != 0)
     new = sigs.filter(F.col("doc_id") % 5 == 0)
-    spark.sql("DROP TABLE IF EXISTS test_hm_idx_bands")
-    shutil.rmtree("spark-warehouse/test_hm_idx_bands", ignore_errors=True)
+    for t in ("test_hm_idx_bands", "test_hm_idx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     build_hamming_index(corpus, "test_hm_idx", max_hamming=6)
 
     got = {
@@ -1040,3 +1041,45 @@ def test_incremental_hamming_equals_full_batch(spark):
     }
     assert got == want and len(got) > 0
     assert any(t == "new_corpus" for (_, _, _, t) in got)
+
+
+def test_index_layout_mismatch_raises(spark):
+    """Querying a day-2 index with different banding parameters than it
+    was built with must raise (a mismatched layout joins almost no
+    corpus keys — silent recall loss), and re-ingested ids must not
+    emit self-pairs."""
+    import shutil
+
+    import pytest as _pytest
+
+    from fagi_gis_spark.functions.dedup import (
+        build_hamming_index,
+        incremental_hamming_pairs,
+        incremental_minhash_pairs,
+        minhash_signatures,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = simhash_signatures(docs.filter(F.col("doc_id") < 100))
+    for t in ("test_lay_idx_bands", "test_lay_idx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    build_hamming_index(sigs, "test_lay_idx", max_hamming=3)
+    with _pytest.raises(ValueError, match="max_hamming=3"):
+        incremental_hamming_pairs(sigs, "test_lay_idx", max_hamming=6).collect()
+    # re-ingesting the SAME ids yields no self-pairs
+    same = incremental_hamming_pairs(sigs, "test_lay_idx", max_hamming=3)
+    assert same.filter(F.col("doc_a") == F.col("doc_b")).count() == 0
+    # minhash layout guard (test_mh_idx built by the earlier test at the
+    # default 16x4 layout, or rebuilt here)
+    if not spark.catalog.tableExists("test_mh_idx_meta"):
+        from fagi_gis_spark.functions.dedup import build_minhash_index
+
+        build_minhash_index(
+            minhash_signatures(docs.filter(F.col("doc_id") % 5 != 0)), "test_mh_idx"
+        )
+    with _pytest.raises(ValueError, match="bands=16"):
+        incremental_minhash_pairs(
+            minhash_signatures(docs.limit(20)), "test_mh_idx", bands=8, rows_per_band=8
+        ).collect()

@@ -400,7 +400,7 @@ def test_stream_incremental_minhash_matches_batch(spark, tmp_path):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
-    for t in ("stream_mh_idx_buckets", "stream_mh_idx_sigs"):
+    for t in ("stream_mh_idx_buckets", "stream_mh_idx_sigs", "stream_mh_idx_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     build_minhash_index(minhash_signatures(corpus), "stream_mh_idx")
@@ -469,8 +469,9 @@ def test_stream_incremental_hamming_phash_matches_batch(spark, tmp_path):
             F.col("simhash").bitwiseXOR(F.col("flip")).alias("simhash"),
         )
     )
-    spark.sql("DROP TABLE IF EXISTS stream_hm_idx_bands")
-    shutil.rmtree("spark-warehouse/stream_hm_idx_bands", ignore_errors=True)
+    for t in ("stream_hm_idx_bands", "stream_hm_idx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     build_hamming_index(corpus, "stream_hm_idx", max_hamming=6)
 
     src = str(tmp_path / "phash_stream_src")
