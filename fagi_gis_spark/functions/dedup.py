@@ -143,6 +143,70 @@ def minhash_lsh_pairs(
     )
 
 
+def substring_dup_stats(
+    docs: DataFrame,
+    k: int = 30,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-duplication stats: per document, how many of its
+    length-``k`` character windows occur at least ``min_count`` times
+    anywhere in the corpus (including elsewhere in the same document),
+    and how many characters those duplicated windows cover (union of
+    overlapping intervals).  This is the detection half of
+    exact-substring training-data dedup (suffix-array dedup re-expressed
+    as a distributed shingle group-by; the published method removes the
+    covered spans — ``dup_chars`` is exactly the removable budget).
+
+    Plan shape (scale notes):
+    * windows are enumerated in whole-stage codegen — explode(sequence)
+      + substring + two hashes in ONE projection, so the full k-char
+      window text never shuffles: only (doc_id, i, h1, h2) rows do;
+    * duplicated windows are found by groupBy on the 96-bit hash pair
+      (xxhash64 + murmur3) with map-side partial aggregation — hot
+      boilerplate windows partially aggregate before the exchange (a
+      window-function count over (h1, h2) would pull every occurrence
+      of a hot window into one task);
+    * matching on the hash pair instead of the window text is the same
+      convention the MinHash bucket oracle uses: on deterministic data a
+      96-bit collision between different windows is ~2^-96 per pair;
+    * interval union needs no UDF: sort positions per doc, contribution
+      = least(k, next_pos - pos) via lead(), sum per doc — the groupBy
+      reuses the window's hash partitioning on doc_id (one exchange).
+
+    Output: (doc_id, dup_windows, dup_chars), docs with dups only.
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).filter(
+        F.length("text") >= k
+    )
+    win = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(k - 1))).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "i",
+        F.xxhash64(F.expr(f"substring(text, i, {k})")).alias("h1"),
+        F.hash(F.expr(f"substring(text, i, {k})")).alias("h2"),
+    )
+    dup = (
+        win.groupBy("h1", "h2")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("h1", "h2")
+    )
+    dpos = win.join(dup, ["h1", "h2"]).select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    cov = dpos.withColumn(
+        "c", F.least(F.lit(k), F.coalesce(F.lead("i").over(w) - F.col("i"), F.lit(k)))
+    )
+    return cov.groupBy("doc_id").agg(
+        F.count("*").alias("dup_windows"),
+        F.sum("c").cast("bigint").alias("dup_chars"),
+    )
+
+
 def _sig_agreement(sig_a, sig_b, n_perm: int):
     """Estimated Jaccard = fraction of agreeing MinHash slots (the same
     expression for every verification path, so thresholds compare

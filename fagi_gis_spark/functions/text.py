@@ -163,3 +163,54 @@ def pack_documents(
     return d.groupBy("grp").applyInPandas(
         pack, schema="grp long, doc_id long, n_tokens_packed long, seq_id long"
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    rate_denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic stratified downsampling for corpus mixing: every
+    stratum is capped at the floor-mean stratum size, implemented as a
+    per-stratum keep-rate (ppm) applied through a multiplicative-hash
+    gate on the id.  This is the reweighting step a training-data
+    pipeline runs to stop one over-represented domain/language from
+    dominating the mix.
+
+    Determinism contract: the gate is pure integer arithmetic on the id
+    (``((id % 1000003) * 48271 % 1000003) % rate_denom``), so the kept
+    set is a function of the DATA alone — independent of partitioning,
+    core count, and engine (the DuckDB oracle replays it verbatim).
+    Sample sizes are expected-value (hash-gated), not exact-k: exact-k
+    would need a global sort-and-rank shuffle per stratum.
+
+    Scale notes: stratum counts are one partial-aggregated groupBy over
+    a tiny key space; the per-stratum rates broadcast back onto the scan
+    (no second shuffle of the corpus); the gate itself is whole-stage
+    codegen.  Output: (doc_id, strata kept rows) with the applied
+    rate_ppm for audit.
+    """
+    cnts = docs.groupBy(strata_col).agg(F.count("*").alias("n"))
+    tot = cnts.agg(
+        F.expr("sum(n) div count(*)").cast("long").alias("cap")
+    )
+    rates = (
+        cnts.crossJoin(F.broadcast(tot))  # 1-row planning agg
+        .withColumn(
+            "rate_ppm",
+            F.when(F.col("n") <= F.col("cap"), F.lit(rate_denom).cast("long")).otherwise(
+                F.expr(f"({rate_denom} * cap) div n").cast("long")
+            ),
+        )
+        .select(strata_col, "rate_ppm")
+    )
+    gate = (
+        F.pmod(F.pmod(F.col(id_col), F.lit(1000003)) * F.lit(48271), F.lit(1000003))
+        % F.lit(rate_denom)
+    )
+    return (
+        docs.join(F.broadcast(rates), strata_col)
+        .filter(gate < F.col("rate_ppm"))
+        .select(F.col(id_col).alias("doc_id"), F.col(strata_col), F.col("rate_ppm"))
+    )

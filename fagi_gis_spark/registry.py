@@ -73,6 +73,10 @@ _GATE_DEMOTED = [
     # doc_pretrain_pack (new, need driver certification) took
     # oracle-backed slots: all stable since r1, untouched this round
     "literal_typing", "update_position", "materialize_links",
+    # demoted when dedup_substring and corpus_stratified_sample (new,
+    # need driver certification) took oracle-backed slots: both below
+    # were driver-green in r3 AND r4 and their code is untouched in r5
+    "owl_class_insertion", "link_name_jw",
 ]
 
 
@@ -2171,6 +2175,63 @@ def doc_langid(spark, sf_dir):
     from fagi_gis_spark.functions.text import lang_id_heuristic
 
     return lang_id_heuristic(_docs(spark, sf_dir)).select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "dedup_substring",
+    # the oracle groups by the window TEXT itself; the engine groups by a
+    # 96-bit hash pair of the same window (xxhash64 + murmur3) so the
+    # window bytes never shuffle — identical on deterministic data (same
+    # convention as the MinHash bucket oracle).  Interval-union coverage
+    # is exact integer math on both sides: contribution of a duplicated
+    # position = least(k, next_pos - pos), last position contributes k.
+    "WITH pos AS (\n"
+    "  SELECT doc_id, i, substr(text, i, 30) AS w\n"
+    "  FROM documents,\n"
+    "       LATERAL (SELECT unnest(generate_series(1, n_chars - 29)) AS i)\n"
+    "  WHERE n_chars >= 30\n"
+    "),\n"
+    "dupw AS (SELECT w FROM pos GROUP BY w HAVING count(*) >= 2),\n"
+    "dpos AS (SELECT doc_id, i FROM pos JOIN dupw USING (w)),\n"
+    "cov AS (\n"
+    "  SELECT doc_id,\n"
+    "    LEAST(30, COALESCE(LEAD(i) OVER (PARTITION BY doc_id ORDER BY i) - i, 30)) AS c\n"
+    "  FROM dpos)\n"
+    "SELECT doc_id, count(*) AS dup_windows, CAST(sum(c) AS BIGINT) AS dup_chars\n"
+    "FROM cov GROUP BY doc_id",
+)
+def dedup_substring(spark, sf_dir):
+    """Exact substring-duplication stats (the detection half of
+    suffix-array exact-substring training-data dedup, re-expressed as a
+    distributed shingle group-by): per doc, duplicated 30-char windows
+    and the characters they cover (functions/dedup.substring_dup_stats)."""
+    from fagi_gis_spark.functions.dedup import substring_dup_stats
+
+    return substring_dup_stats(_docs(spark, sf_dir), k=30)
+
+
+@register(
+    "corpus_stratified_sample",
+    # integer-only rate math (div) + a multiplicative-hash gate on the id:
+    # the kept set is a function of the data alone, replayed verbatim here
+    "WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),\n"
+    "cap AS (SELECT SUM(n) // COUNT(*) AS cap FROM cnt),\n"
+    "rate AS (\n"
+    "  SELECT lang,\n"
+    "    CASE WHEN n <= cap THEN CAST(1000000 AS BIGINT)\n"
+    "         ELSE CAST((1000000 * cap) // n AS BIGINT) END AS rate_ppm\n"
+    "  FROM cnt, cap)\n"
+    "SELECT d.doc_id, d.lang, r.rate_ppm\n"
+    "FROM documents d JOIN rate r USING (lang)\n"
+    "WHERE ((d.doc_id % 1000003) * 48271 % 1000003) % 1000000 < r.rate_ppm",
+)
+def corpus_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling for corpus mixing: cap every
+    language at the floor-mean stratum size via a hash-gated keep rate
+    (functions/text.stratified_sample)."""
+    from fagi_gis_spark.functions.text import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), strata_col="lang")
 
 
 # --------------------------------------------------------------------------

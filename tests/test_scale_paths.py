@@ -1083,3 +1083,71 @@ def test_index_layout_mismatch_raises(spark):
         incremental_minhash_pairs(
             minhash_signatures(docs.limit(20)), "test_mh_idx", bands=8, rows_per_band=8
         ).collect()
+
+
+def test_substring_dup_stats_matches_bruteforce(spark):
+    """Engine substring-dup stats == a per-corpus brute-force (dict of all
+    k-windows) on handcrafted docs with cross-doc, same-doc, and
+    overlapping-run duplicates."""
+    from collections import Counter
+
+    from fagi_gis_spark.functions.dedup import substring_dup_stats
+
+    k = 10
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog once",
+        2: "xx the quick brown fox sat still yy",   # shares a run with 1
+        3: "zzzzzzzzzzzzzzzzzzzz",                  # self-repeating run
+        4: "completely unique text w/o any repeats",
+        5: "short",                                  # < k: no windows
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    wins = Counter()
+    for t in texts.values():
+        for i in range(len(t) - k + 1):
+            wins[t[i : i + k]] += 1
+    want = {}
+    for did, t in texts.items():
+        pos = [i for i in range(len(t) - k + 1) if wins[t[i : i + k]] >= 2]
+        if not pos:
+            continue
+        cov = set()
+        for p in pos:
+            cov.update(range(p, p + k))
+        want[did] = (len(pos), len(cov))
+    got = {
+        r.doc_id: (r.dup_windows, r.dup_chars)
+        for r in substring_dup_stats(docs, k=k).collect()
+    }
+    assert got == want
+    assert 3 in got and 4 not in got and 5 not in got
+
+
+def test_stratified_sample_partition_invariant(spark):
+    """The hash-gated stratified sample is a function of the data alone:
+    identical kept sets at 1 and 13 partitions; over-mean strata shrink,
+    under-mean strata keep every row."""
+    from fagi_gis_spark.functions.text import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample(docs.repartition(1), "lang").collect()
+    }
+    b = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample(docs.repartition(13), "lang").collect()
+    }
+    assert a == b and len(a) > 0
+    cnts = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    cap = sum(cnts.values()) // len(cnts)
+    kept = {}
+    for _, lang in a:
+        kept[lang] = kept.get(lang, 0) + 1
+    for lang, n in cnts.items():
+        if n <= cap:
+            assert kept.get(lang, 0) == n          # under-mean: all kept
+        else:
+            assert kept.get(lang, 0) < n           # over-mean: downsampled
