@@ -33,6 +33,8 @@ AUDIT = [
     ("ann_pq_topk", "PQ/ADC blocked scan + exact shortlist re-rank"),
     ("learning_pair_features", "BooleanVector features (layer primitives + numpy bins)"),
     ("tag_pair_features", "TagFeatures (primitives only — no per-pair Python parse)"),
+    ("dedup_substring", "exact substring dedup (codegen shingles, hash-pair group-by, broadcast dup set)"),
+    ("corpus_stratified_sample", "stratified sampling (tiny-key agg, broadcast rates, codegen gate)"),
 ]
 
 
