@@ -281,3 +281,58 @@ def raster_to_vector(
         schema="image_id string, component_id int, n_pixels int, "
         "geom_wkt string, lon double, lat double",
     )
+
+
+def exif_geotags(images: DataFrame) -> DataFrame:
+    """Parse the EXIF APP1 / eXIf payload out of each image's BYTES and
+    return the embedded geotag + camera metadata — the realistic inverse
+    of the pHash-seeded synthetic geotag: real corpora arrive with the
+    coordinate already inside the file (JEITA EXIF GPS IFD), and the
+    engine's job is to surface it as columns for the spatial joins.
+
+    Header-only work: ``find_exif`` walks the segment/chunk table (never
+    entropy data), so each row costs a ~200-byte scan regardless of image
+    size — Arrow-batched ``mapInPandas``, scales with partitions.  Rows
+    without EXIF (or with unparseable TIFF) keep their id with null
+    fields, the decode_ok=false idiom.
+
+    Coordinates come back as EXACT micro-degree integers (the generator
+    writes deg/min rationals with integer numerators — sources/exif.py
+    exactness contract), so downstream cell assignment is bit-stable.
+    """
+    from fagi_gis_spark.sources.exif import find_exif, parse_exif
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                payload = find_exif(bytes(data))
+                d = parse_exif(payload) if payload is not None else None
+                if d is None:
+                    rows.append((img_id, None, None, None, None))
+                else:
+                    rows.append(
+                        (
+                            img_id,
+                            d["lat_microdeg"],
+                            d["lon_microdeg"],
+                            d["orientation"],
+                            d["datetime"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id",
+                    "lat_microdeg",
+                    "lon_microdeg",
+                    "orientation",
+                    "exif_datetime",
+                ],
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        op,
+        schema="image_id string, lat_microdeg long, lon_microdeg long, "
+        "orientation int, exif_datetime string",
+    )

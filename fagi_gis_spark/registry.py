@@ -77,6 +77,10 @@ _GATE_DEMOTED = [
     # need driver certification) took oracle-backed slots: both below
     # were driver-green in r3 AND r4 and their code is untouched in r5
     "owl_class_insertion", "link_name_jw",
+    # demoted when image_exif_geotag (new, needs driver certification)
+    # took an oracle-backed slot: stable since r1, driver-green in r4,
+    # code untouched this round
+    "writeback_geometries",
 ]
 
 
@@ -1465,6 +1469,28 @@ _IMAGES_ORACLE_PATH = _os.path.join(
 )
 
 
+def _ensure_images_oracle(spark) -> "DataFrame":
+    """(image_id, phash) of the 1000-row generated corpus, shared by
+    every image oracle: write-once, atomic (temp dir + rename) — the
+    corpus is deterministic, so a hit can't change output, and a
+    concurrent bench sweep / driver gate never sees a half-written
+    directory (mode=overwrite deleted files mid-write while DuckDB
+    globbed them)."""
+    from fagi_gis_spark.sources.images import generate_images
+
+    if not _os.path.isdir(_IMAGES_ORACLE_PATH):
+        import shutil as _shutil
+
+        imgs = generate_images(spark, 1000, partitions=8).select("image_id", "phash")
+        tmp = f"{_IMAGES_ORACLE_PATH}.tmp.{_os.getpid()}"
+        imgs.write.mode("overwrite").parquet(tmp)
+        try:
+            _os.rename(tmp, _IMAGES_ORACLE_PATH)
+        except OSError:  # lost a concurrent race: the winner's is equal
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(_IMAGES_ORACLE_PATH)
+
+
 def _image_hex_rollup_oracle() -> str:
     """DuckDB replay of the full image-geotag-hex pipeline over the SAME
     parquet the Spark query writes: pmod geotag arithmetic (pmod(x, m)
@@ -1500,23 +1526,8 @@ def image_hex_rollup(spark, sf_dir):
     unified half-up hex assignment end-to-end."""
     from fagi_gis_spark.operators.geotag import geotag_cols
     from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
-    from fagi_gis_spark.sources.images import generate_images
 
-    imgs = generate_images(spark, 1000, partitions=8).select("image_id", "phash")
-    # write-once, atomic (temp dir + rename): the corpus is deterministic,
-    # so a hit can't change output, and a concurrent bench sweep / driver
-    # gate never sees a half-written directory (mode=overwrite deleted
-    # files mid-write while DuckDB globbed them)
-    if not _os.path.isdir(_IMAGES_ORACLE_PATH):
-        import shutil as _shutil
-
-        tmp = f"{_IMAGES_ORACLE_PATH}.tmp.{_os.getpid()}"
-        imgs.write.mode("overwrite").parquet(tmp)
-        try:
-            _os.rename(tmp, _IMAGES_ORACLE_PATH)
-        except OSError:  # lost a concurrent race: the winner's is equal
-            _shutil.rmtree(tmp, ignore_errors=True)
-    imgs = spark.read.parquet(_IMAGES_ORACLE_PATH)
+    imgs = _ensure_images_oracle(spark)
     lon, lat = geotag_cols(F.col("phash"))
     geo = imgs.withColumn("lon", lon).withColumn("lat", lat)
     q, r = _hex_qr_cols(F.col("lon"), F.col("lat"), 9)
@@ -1525,6 +1536,74 @@ def image_hex_rollup(spark, sf_dir):
         .groupBy("cell_hex7")
         .agg(F.count("*").alias("n"))
     )
+
+
+def _image_exif_geotag_oracle() -> str:
+    """Ground-truth replay WITHOUT touching the binary: the generator
+    embeds the pHash-seeded lattice coordinate (exif_fields_for) into
+    each file's EXIF, so DuckDB recomputes lat/lon micro-degrees from the
+    stored phash, orientation/datetime from the id's integer, and the
+    half-up hex cell from the coordinate — while the Spark side gets ALL
+    of them by parsing the TIFF payload out of the bytes.  A transposed
+    rational, wrong byte order, off-by-one IFD offset, or a broken sign
+    (S/W refs) mismatches the value hash immediately."""
+    from fagi_gis_spark.index.hexgrid import hex_cell_sql
+
+    lon_md = "((((phash % 2000000) + 2000000) % 2000000) - 1000000)"
+    lat_md = (
+        "(50000000 + ((((((phash % 2147483647) + 2147483647) % 2147483647) "
+        "* 2654435761) % 2000000) + 2000000) % 2000000)"
+    )
+    src = (
+        "SELECT image_id, CAST(SUBSTR(image_id, 5, 8) AS INT) AS i, "
+        f"{lat_md} AS lat_microdeg, {lon_md} AS lon_microdeg "
+        f"FROM read_parquet('{_IMAGES_ORACLE_PATH}/*.parquet')"
+    )
+    cells = hex_cell_sql(
+        "SELECT image_id, lon_microdeg / 1e6 AS lon, lat_microdeg / 1e6 AS lat "
+        "FROM __meta",
+        "image_id",
+        "lon",
+        "lat",
+        9,
+    )
+    return (
+        f"WITH __meta AS ({src}),\n"
+        f"{cells.lstrip()}\n"
+        "SELECT m.image_id, m.lat_microdeg, m.lon_microdeg,\n"
+        "       CAST(1 + m.i % 8 AS INT) AS orientation,\n"
+        "       printf('2023:%02d:%02d %02d:%02d:%02d',\n"
+        "              1 + m.i % 12, 1 + m.i % 28, m.i % 24, m.i % 60,\n"
+        "              (m.i * 7) % 60) AS exif_datetime,\n"
+        "       h.cell_id AS cell_hex7\n"
+        "FROM __meta m JOIN __hex_out h USING (image_id)"
+    )
+
+
+@register("image_exif_geotag", _image_exif_geotag_oracle())
+def image_exif_geotag(spark, sf_dir):
+    """EXIF ingestion, the realistic geotag source (image x geospatial
+    core of the north star): every generated JPEG carries a real APP1
+    EXIF segment and every PNG an eXIf chunk (sources/exif.py, from-
+    scratch TIFF 6.0 build/parse), holding the pHash-seeded lattice
+    coordinate as exact deg/min rationals plus orientation + DateTime.
+    The query parses the geotag OUT OF THE BYTES (header-only Arrow
+    batches, operators/multimodal.exif_geotags) and assigns the half-up
+    hex7 cell — oracle-checked against phash/id arithmetic that never
+    sees the binary.  Reference analog: FAGI-gis consumes WGS84 POI
+    coordinates from its link inputs (fagi-gis geometry literals,
+    VirtuosoImporter.java); here the coordinate rides inside the image
+    payload, as a real image+caption corpus would deliver it."""
+    from fagi_gis_spark.operators.multimodal import exif_geotags
+    from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
+    from fagi_gis_spark.sources.images import generate_images
+
+    _ensure_images_oracle(spark)  # the oracle replays from (id, phash)
+    parsed = exif_geotags(generate_images(spark, 1000, partitions=8))
+    lon = F.col("lon_microdeg") / F.lit(1e6)
+    lat = F.col("lat_microdeg") / F.lit(1e6)
+    q, r = _hex_qr_cols(lon, lat, 9)
+    return parsed.withColumn("cell_hex7", _hex_pack(q, r, 9))
 
 
 @register("raster_vector_tiles")  # codec-side raster decode: rows-only

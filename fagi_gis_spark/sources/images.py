@@ -124,6 +124,34 @@ def phash64(pixels: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def exif_fields_for(i: int, phash: int) -> tuple[int, int, int, str]:
+    """Deterministic EXIF metadata for generated row ``i``: the GPS
+    coordinate is EXACTLY the pHash-seeded geotag lattice point
+    (operators/geotag.geotag_cols, micro-degree integers — Python ``%``
+    on a positive modulus == Spark/DuckDB pmod), so parsing the binary
+    EXIF back must reproduce what the column arithmetic computes.
+    Returns (lat_microdeg, lon_microdeg, orientation, datetime)."""
+    lon_md = phash % 2_000_000 - 1_000_000
+    lat_md = 50_000_000 + (phash % 2147483647) * 2654435761 % 2_000_000
+    orientation = 1 + i % 8
+    dt = f"2023:{1 + i % 12:02d}:{1 + i % 28:02d} {i % 24:02d}:{i % 60:02d}:{i * 7 % 60:02d}"
+    return lat_md, lon_md, orientation, dt
+
+
+def _finish_row(i: int, w: int, h: int, fmt: str) -> tuple[bytes, int]:
+    """(payload bytes WITH embedded EXIF GPS, phash) for one row.  The
+    EXIF segment/chunk is container metadata — pixels, and therefore the
+    stored phash, are unchanged by it (asserted in pytest)."""
+    from fagi_gis_spark.sources.exif import build_exif, embed_exif_jpeg, embed_exif_png
+
+    data, px_dec = _encode_row(i, w, h, fmt)
+    ph = phash64(px_dec)
+    lat_md, lon_md, orient, dt = exif_fields_for(i, ph)
+    payload = build_exif(lat_md, lon_md, orientation=orient, datetime=dt)
+    embed = embed_exif_jpeg if fmt == "jpeg" else embed_exif_png
+    return embed(data, payload), ph
+
+
 def generate_images_pdf(n: int) -> pd.DataFrame:
     """Driver-side generator (used for tests/bench at tiny/small sizes;
     at real scale this table is the pre-existing Iceberg input)."""
@@ -132,7 +160,7 @@ def generate_images_pdf(n: int) -> pd.DataFrame:
         w = _W_CYCLE[i % 3]
         h = _H_CYCLE[i % 3]
         fmt = "png" if i % 2 == 0 else "jpeg"
-        data, px_dec = _encode_row(i, w, h, fmt)
+        data, ph = _finish_row(i, w, h, fmt)
         rows.append(
             {
                 "image_id": f"img_{i:08d}",
@@ -141,7 +169,7 @@ def generate_images_pdf(n: int) -> pd.DataFrame:
                 "h": h,
                 "fmt": fmt,
                 "caption": caption_for(i),
-                "phash": phash64(px_dec),
+                "phash": ph,
             }
         )
     return pd.DataFrame(rows)
@@ -181,10 +209,8 @@ def generate_images(spark: SparkSession, n: int, partitions: int = 8) -> DataFra
                 i = int(i)
                 w, h = _W_CYCLE[i % 3], _H_CYCLE[i % 3]
                 fmt = "png" if i % 2 == 0 else "jpeg"
-                data, px_dec = _encode_row(i, w, h, fmt)
-                out.append(
-                    (f"img_{i:08d}", data, w, h, fmt, caption_for(i), phash64(px_dec))
-                )
+                data, ph = _finish_row(i, w, h, fmt)
+                out.append((f"img_{i:08d}", data, w, h, fmt, caption_for(i), ph))
             yield pd.DataFrame(
                 out, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
             )

@@ -802,3 +802,101 @@ def test_jpeg_rejects_unsupported_component_count_even_for_gray():
     for gray in (True, False):
         with pytest.raises(ValueError, match="1- or 3-component"):
             decode_jpeg(bytes(data3), gray=gray)
+
+
+def test_exif_build_parse_roundtrip_and_containers():
+    """sources/exif.py: exact micro-degree round-trip across signs and
+    lattice edges, big-endian + arbitrary-denominator parse, container
+    embed/find for both JPEG APP1 and PNG eXIf, and — critically —
+    pixels (therefore pHash) untouched by the embed."""
+    import struct
+
+    from fagi_gis_spark.sources.exif import (
+        EXIF_HEADER,
+        build_exif,
+        embed_exif_jpeg,
+        embed_exif_png,
+        find_exif,
+        parse_exif,
+    )
+    from fagi_gis_spark.sources.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from fagi_gis_spark.sources.png import decode_png_gray, encode_png_gray
+
+    for lat_md, lon_md in [
+        (51234567, -999999),
+        (50000000, 0),
+        (51999999, 999999),
+        (50500000, -1000000),
+        (50000001, 123456),
+        (-1, 1),  # southern-hemisphere sign path
+    ]:
+        p = build_exif(lat_md, lon_md, orientation=6, datetime="2023:05:07 08:09:10")
+        d = parse_exif(p)
+        assert (d["lat_microdeg"], d["lon_microdeg"]) == (lat_md, lon_md)
+        assert d["orientation"] == 6 and d["datetime"] == "2023:05:07 08:09:10"
+
+    # foreign payload: big-endian (MM), deg expressed as (101, 2) — a
+    # denominator our writer never emits; S ref flips the sign
+    def be_entry(tag, typ, cnt, val):
+        return struct.pack(">HHI", tag, typ, cnt) + val.ljust(4, b"\x00")
+
+    t = bytearray(b"MM\x00*" + struct.pack(">I", 8))
+    t += struct.pack(">H", 1)
+    t += be_entry(0x8825, 4, 1, struct.pack(">I", 26))
+    t += struct.pack(">I", 0)
+    lat_off = 26 + 2 + 2 * 12 + 4
+    t += struct.pack(">H", 2)
+    t += be_entry(0x0001, 2, 2, b"S\x00")
+    t += be_entry(0x0002, 5, 3, struct.pack(">I", lat_off))
+    t += struct.pack(">I", 0)
+    t += struct.pack(">IIIIII", 101, 2, 0, 1, 0, 1)  # 50.5 deg
+    assert parse_exif(EXIF_HEADER + bytes(t))["lat_microdeg"] == -50500000
+
+    # junk never parses
+    assert parse_exif(b"Exif\x00\x00garbage") is None
+    assert parse_exif(b"nope") is None
+
+    px = (np.arange(64 * 48).reshape(48, 64) % 251).astype(np.uint8)
+    pay = build_exif(51000001, -42, 3)
+    j, p = encode_jpeg_gray(px), encode_png_gray(px)
+    j2, p2 = embed_exif_jpeg(j, pay), embed_exif_png(p, pay)
+    assert find_exif(j2) == pay
+    assert parse_exif(find_exif(p2)) == parse_exif(pay)
+    assert find_exif(j) is None and find_exif(p) is None
+    assert (decode_jpeg_gray(j2) == decode_jpeg_gray(j)).all()
+    assert (decode_png_gray(p2) == decode_png_gray(p)).all()
+
+
+def test_exif_geotags_operator_matches_generator_truth(spark):
+    """The binary-parse path (operators/multimodal.exif_geotags) must
+    reproduce the generator's ground truth for every row — JPEG gray,
+    JPEG color, and PNG containers alike — and the third-party JDK
+    ImageIO codec must still read the EXIF-bearing files (the embed is
+    spec-valid container metadata, not private framing)."""
+    from fagi_gis_spark.operators.multimodal import exif_geotags
+    from fagi_gis_spark.sources.images import exif_fields_for, generate_images
+
+    imgs = generate_images(spark, 60, partitions=4)
+    got = {
+        r["image_id"]: r
+        for r in exif_geotags(imgs).collect()
+    }
+    raw = imgs.select("image_id", "bytes", "phash", "fmt").collect()
+    assert len(got) == 60
+    for row in raw:
+        i = int(row["image_id"][4:])
+        lat, lon, orient, dt = exif_fields_for(i, row["phash"])
+        g = got[row["image_id"]]
+        assert (
+            g["lat_microdeg"],
+            g["lon_microdeg"],
+            g["orientation"],
+            g["exif_datetime"],
+        ) == (lat, lon, orient, dt), row["image_id"]
+
+    # JDK ImageIO (independent codec) still decodes EXIF-bearing bytes
+    jvm = spark._jvm
+    for row in raw[:6]:
+        bais = jvm.java.io.ByteArrayInputStream(bytes(row["bytes"]))
+        img = jvm.javax.imageio.ImageIO.read(bais)
+        assert img is not None and img.getWidth() > 0, row["image_id"]
