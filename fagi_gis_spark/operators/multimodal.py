@@ -336,3 +336,85 @@ def exif_geotags(images: DataFrame) -> DataFrame:
         schema="image_id string, lat_microdeg long, lon_microdeg long, "
         "orientation int, exif_datetime string",
     )
+
+
+def quality_stats(images: DataFrame) -> DataFrame:
+    """Per-image quality signals for corpus filtering — the image-side
+    analog of functions/text.doc_quality (length/punct/stopword gates):
+
+    - ``lap_var``: variance of the 4-neighbour Laplacian — the classic
+      blur detector (low = out-of-focus / flat).
+    - ``entropy_bits``: Shannon entropy of the 256-bin intensity
+      histogram (low = synthetic / near-constant content).
+    - ``clip_dark`` / ``clip_bright``: fraction of pixels at the
+      exposure rails (<= 2 / >= 253) — over/under-exposure detectors.
+    - ``rms_contrast``: intensity standard deviation.
+    - ``quality_ok``: the composed gate (thresholds in the column expr
+      below, tunable per corpus).
+
+    All kernels are whole-image numpy slices inside Arrow batches — no
+    per-pixel Python.  Rows whose payload doesn't decode emit
+    decode_ok=false with null stats (skip idiom), so one corrupt file
+    never fails the task."""
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                px = try_decode_pixels(bytes(data))
+                if px is None:
+                    rows.append((img_id, False, None, None, None, None, None))
+                    continue
+                f = px.astype(np.float64)
+                if px.shape[0] >= 3 and px.shape[1] >= 3:
+                    lap = (
+                        f[1:-1, :-2]
+                        + f[1:-1, 2:]
+                        + f[:-2, 1:-1]
+                        + f[2:, 1:-1]
+                        - 4.0 * f[1:-1, 1:-1]
+                    )
+                    lap_var = float(lap.var())
+                else:  # too small for an interior — report unblurrable
+                    lap_var = 0.0
+                hist = np.bincount(px.reshape(-1), minlength=256)
+                p = hist[hist > 0] / px.size
+                entropy = float(-(p * np.log2(p)).sum())
+                rows.append(
+                    (
+                        img_id,
+                        True,
+                        lap_var,
+                        entropy,
+                        float((px <= 2).mean()),
+                        float((px >= 253).mean()),
+                        float(f.std()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id",
+                    "decode_ok",
+                    "lap_var",
+                    "entropy_bits",
+                    "clip_dark",
+                    "clip_bright",
+                    "rms_contrast",
+                ],
+            )
+
+    stats = images.select("image_id", "bytes").mapInPandas(
+        op,
+        schema="image_id string, decode_ok boolean, lap_var double, "
+        "entropy_bits double, clip_dark double, clip_bright double, "
+        "rms_contrast double",
+    )
+    gate = (
+        F.col("decode_ok")
+        & (F.col("lap_var") >= F.lit(25.0))
+        & (F.col("entropy_bits") >= F.lit(3.0))
+        & (F.col("clip_dark") <= F.lit(0.5))
+        & (F.col("clip_bright") <= F.lit(0.5))
+    )
+    return stats.withColumn("quality_ok", gate)

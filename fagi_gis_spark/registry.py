@@ -1606,6 +1606,22 @@ def image_exif_geotag(spark, sf_dir):
     return parsed.withColumn("cell_hex7", _hex_pack(q, r, 9))
 
 
+@register("image_quality_filter")  # codec-side decode: rows-only
+def image_quality_filter(spark, sf_dir):
+    """Image-corpus quality gate (training-data pipeline first-class op,
+    the image twin of doc_quality): decode each payload, score blur
+    (Laplacian variance), information content (histogram entropy),
+    exposure clipping and RMS contrast, and emit the composed
+    quality_ok verdict (operators/multimodal.quality_stats).  Rows-only
+    — the decode step has no SQL oracle; the pytest twin anchors each
+    kernel on hand-computed fixtures (flat / checkerboard / half-half)
+    and cross-checks the Spark run against driver-side numpy."""
+    from fagi_gis_spark.operators.multimodal import quality_stats
+    from fagi_gis_spark.sources.images import generate_images
+
+    return quality_stats(generate_images(spark, 1000, partitions=8))
+
+
 @register("raster_vector_tiles")  # codec-side raster decode: rows-only
 def raster_vector_tiles(spark, sf_dir):
     """Raster -> vector -> tiles, the north star's full arrow: decode

@@ -900,3 +900,78 @@ def test_exif_geotags_operator_matches_generator_truth(spark):
         bais = jvm.java.io.ByteArrayInputStream(bytes(row["bytes"]))
         img = jvm.javax.imageio.ImageIO.read(bais)
         assert img is not None and img.getWidth() > 0, row["image_id"]
+
+
+def test_image_quality_stats_kernels_and_spark_run(spark):
+    """quality_stats: each kernel anchored on a hand-computed fixture
+    (flat tile -> zero Laplacian variance and zero entropy; checkerboard
+    -> exactly 1 bit of entropy and rails-clipped halves; half-black /
+    half-white -> 0.5 clip fractions), the corrupt-payload skip idiom,
+    and a Spark-vs-driver-side differential over the generated corpus."""
+    import pandas as pd
+
+    from fagi_gis_spark.operators.multimodal import quality_stats
+    from fagi_gis_spark.sources.images import IMAGES_SCHEMA, generate_images
+    from fagi_gis_spark.sources.png import encode_png_gray
+
+    flat = np.full((8, 8), 77, np.uint8)
+    checker = (np.indices((8, 8)).sum(0) % 2 * 255).astype(np.uint8)
+    half = np.zeros((8, 8), np.uint8)
+    half[:, 4:] = 255
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["flat", "checker", "half", "corrupt"],
+            "bytes": [
+                encode_png_gray(flat),
+                encode_png_gray(checker),
+                encode_png_gray(half),
+                b"\x89PNG\r\n\x1a\njunk",
+            ],
+            "w": [8] * 4,
+            "h": [8] * 4,
+            "fmt": ["png"] * 4,
+            "caption": [""] * 4,
+            "phash": [0] * 4,
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)
+    got = {r["image_id"]: r for r in quality_stats(df).collect()}
+    f = got["flat"]
+    assert f["lap_var"] == 0.0 and f["entropy_bits"] == 0.0
+    assert not f["quality_ok"]  # flat: blurry AND informationless
+    c = got["checker"]
+    assert c["entropy_bits"] == 1.0
+    assert c["clip_dark"] == 0.5 and c["clip_bright"] == 0.5
+    assert c["lap_var"] > 1e5  # maximal high-frequency content
+    h = got["half"]
+    assert h["clip_dark"] == 0.5 and h["clip_bright"] == 0.5
+    assert h["entropy_bits"] == 1.0
+    bad = got["corrupt"]
+    assert bad["decode_ok"] is False and bad["lap_var"] is None
+    assert bad["quality_ok"] is False or bad["quality_ok"] is None
+
+    # differential: Spark stats == driver-side numpy over the real corpus
+    from fagi_gis_spark.sources.images import decode_pixels, generate_images_pdf
+
+    imgs = generate_images(spark, 40, partitions=4)
+    got = {r["image_id"]: r for r in quality_stats(imgs).collect()}
+    src = generate_images_pdf(40)
+    for _, row in src.iterrows():
+        px = decode_pixels(bytes(row["bytes"]))
+        fpx = px.astype(np.float64)
+        lap = (
+            fpx[1:-1, :-2]
+            + fpx[1:-1, 2:]
+            + fpx[:-2, 1:-1]
+            + fpx[2:, 1:-1]
+            - 4.0 * fpx[1:-1, 1:-1]
+        )
+        hist = np.bincount(px.reshape(-1), minlength=256)
+        p = hist[hist > 0] / px.size
+        g = got[row["image_id"]]
+        assert g["decode_ok"] and abs(g["lap_var"] - lap.var()) < 1e-9
+        assert abs(g["entropy_bits"] - (-(p * np.log2(p)).sum())) < 1e-12
+        assert g["rms_contrast"] == fpx.std()
+    # the synthetic gradient+noise corpus is sharp and informative:
+    # every row should clear the composed gate
+    assert all(r["quality_ok"] for r in got.values())
