@@ -28,8 +28,8 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def decode_stats(images: DataFrame) -> DataFrame:
     """Decode every payload and emit pixel statistics + a pHash
     verification bit (decoded pHash == stored pHash). Real decode for
-    PNG and baseline JPEG (both from-scratch codecs); containers beyond
-    those emit decode_ok = false (stubbed)."""
+    PNG, baseline JPEG, BMP, GIF and baseline TIFF (all from-scratch
+    codecs); containers beyond those emit decode_ok = false (stubbed)."""
 
     def op(batches):
         for pdf in batches:

@@ -1622,6 +1622,30 @@ def image_quality_filter(spark, sf_dir):
     return quality_stats(generate_images(spark, 1000, partitions=8))
 
 
+@register("multimodal_format_ingest")  # codec-side decode: rows-only
+def multimodal_format_ingest(spark, sf_dir):
+    """Container-dispatch ingest over the realistic crawl mix: a corpus
+    cycling png / jpeg / bmp / gif / tiff (ALL real from-scratch codecs
+    — sources/{png,jpeg,bmp,gif,tiff}.py) flows through decode_stats,
+    and the rollup proves every container decodes (decode_ok) with the
+    stored pHash reproduced from the decoded pixels (phash_ok).
+    Rows-only; the pytest twin asserts 100% decode/phash success per
+    format and JDK ImageIO interop covers the codecs themselves."""
+    from fagi_gis_spark.operators.multimodal import decode_stats
+    from fagi_gis_spark.sources.images import generate_images_mixed
+
+    imgs = generate_images_mixed(spark, 500, partitions=8)
+    stats = decode_stats(imgs.select("image_id", "bytes", "phash")).join(
+        imgs.select("image_id", "fmt"), "image_id"
+    )
+    return stats.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("decode_ok").cast("int")).alias("n_decoded"),
+        F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
+        F.avg("px_mean").alias("avg_px_mean"),
+    )
+
+
 @register("raster_vector_tiles")  # codec-side raster decode: rows-only
 def raster_vector_tiles(spark, sf_dir):
     """Raster -> vector -> tiles, the north star's full arrow: decode

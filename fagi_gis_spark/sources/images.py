@@ -219,15 +219,66 @@ def generate_images(spark: SparkSession, n: int, partitions: int = 8) -> DataFra
     return ids.mapInPandas(gen, schema=IMAGES_SCHEMA)
 
 
+def _gray_of(px: np.ndarray) -> np.ndarray:
+    """RGB -> ITU-R BT.601 integer luma (the same rounding the JPEG
+    encoder uses); gray passes through."""
+    if px.ndim == 2:
+        return px
+    r = px[..., 0].astype(np.int64)
+    g = px[..., 1].astype(np.int64)
+    b = px[..., 2].astype(np.int64)
+    return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+
+
+def generate_images_mixed(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Mixed-container corpus — the realistic crawl mix: rows cycle
+    through png / jpeg / bmp / gif / tiff (all real from-scratch
+    codecs).  Pixels are the same deterministic tiles as
+    ``generate_images``; the four lossless containers store them
+    exactly, jpeg rows carry the usual lossy bytes with the stored
+    phash computed on the decoded luma.  The MAIN corpus stays
+    png/jpeg (its write-once oracle parquet depends on that mix); this
+    one exists to exercise container dispatch at ingest."""
+    from fagi_gis_spark.sources.bmp import encode_bmp_gray
+    from fagi_gis_spark.sources.gif import encode_gif_gray
+    from fagi_gis_spark.sources.tiff import encode_tiff_gray
+
+    fmts = ("png", "jpeg", "bmp", "gif", "tiff")
+    enc = {"png": encode_png_gray, "bmp": encode_bmp_gray, "gif": encode_gif_gray, "tiff": encode_tiff_gray}
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["i"]:
+                i = int(i)
+                w, h = _W_CYCLE[i % 3], _H_CYCLE[i % 3]
+                fmt = fmts[i % 5]
+                if fmt == "jpeg":
+                    data, px_dec = _encode_row(i, w, h, "jpeg")
+                else:
+                    px_dec = _pixels_for(i, w, h)
+                    data = enc[fmt](px_dec)
+                out.append(
+                    (f"mix_{i:08d}", data, w, h, fmt, caption_for(i), phash64(px_dec))
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    ids = spark.range(0, n, 1, partitions).withColumnRenamed("id", "i")
+    return ids.mapInPandas(gen, schema=IMAGES_SCHEMA)
+
+
 def decode_pixels(data: bytes) -> np.ndarray:
     """Decode an image payload to GRAY pixels, dispatching on the
-    container magic: PNG (sources/png.py, lossless) and baseline JPEG
+    container magic: PNG (sources/png.py, lossless), baseline JPEG
     (sources/jpeg.py, real from-scratch T.81 decoder — gray files
-    directly, color files via the full-resolution luma plane, no
-    chroma work) are implemented; WebP/audio/video remain deliberate
-    stubs (no codec libs in this sandbox) — the Spark-side plumbing
-    (binary column, Arrow batching, schema) is identical for any
-    codec."""
+    directly, color files via the full-resolution luma plane), BMP
+    (sources/bmp.py), GIF incl. LZW + interlace (sources/gif.py) and
+    uncompressed baseline TIFF (sources/tiff.py) are all implemented
+    from scratch; WebP/audio/video remain deliberate stubs (no codec
+    libs in this sandbox) — the Spark-side plumbing (binary column,
+    Arrow batching, schema) is identical for any codec."""
     data = bytes(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_gray(data)
@@ -235,22 +286,51 @@ def decode_pixels(data: bytes) -> np.ndarray:
         from fagi_gis_spark.sources.jpeg import decode_jpeg_gray
 
         return decode_jpeg_gray(data)
-    raise NotImplementedError("codecs beyond PNG/JPEG are stubbed in this sandbox")
+    if data[:2] == b"BM":
+        from fagi_gis_spark.sources.bmp import decode_bmp
+
+        return _gray_of(decode_bmp(data))
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from fagi_gis_spark.sources.gif import decode_gif
+
+        return _gray_of(decode_gif(data))
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from fagi_gis_spark.sources.tiff import decode_tiff
+
+        return _gray_of(decode_tiff(data))
+    raise NotImplementedError(
+        "codecs beyond PNG/JPEG/BMP/GIF/TIFF are stubbed in this sandbox"
+    )
 
 
 def decode_pixels_rgb(data: bytes) -> np.ndarray:
     """Decode an image payload to (h, w, 3) RGB: color JPEGs decode
-    natively (YCbCr 4:2:0, fancy upsampling); gray payloads replicate
-    the single channel — the typed color surface for multimodal ops."""
+    natively (YCbCr 4:2:0, fancy upsampling), color BMP/GIF/TIFF decode
+    to their stored RGB; gray payloads replicate the single channel —
+    the typed color surface for multimodal ops."""
     data = bytes(data)
+    px = None
     if data[:2] == b"\xff\xd8":
         from fagi_gis_spark.sources.jpeg import decode_jpeg
 
         px = decode_jpeg(data)
-        if px.ndim == 3:
-            return px
-        return np.repeat(px[..., None], 3, axis=-1)
-    return np.repeat(decode_pixels(data)[..., None], 3, axis=-1)
+    elif data[:2] == b"BM":
+        from fagi_gis_spark.sources.bmp import decode_bmp
+
+        px = decode_bmp(data)
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        from fagi_gis_spark.sources.gif import decode_gif
+
+        px = decode_gif(data)
+    elif data[:4] in (b"II*\x00", b"MM\x00*"):
+        from fagi_gis_spark.sources.tiff import decode_tiff
+
+        px = decode_tiff(data)
+    if px is None:
+        px = decode_pixels(data)
+    if px.ndim == 3:
+        return px
+    return np.repeat(px[..., None], 3, axis=-1)
 
 
 def try_decode_pixels(data: bytes) -> np.ndarray | None:

@@ -975,3 +975,102 @@ def test_image_quality_stats_kernels_and_spark_run(spark):
     # the synthetic gradient+noise corpus is sharp and informative:
     # every row should clear the composed gate
     assert all(r["quality_ok"] for r in got.values())
+
+
+def test_bmp_gif_tiff_roundtrip_and_jdk_interop(spark):
+    """BMP / GIF / TIFF codecs (sources/{bmp,gif,tiff}.py): lossless
+    round-trips across odd shapes, THIRD-PARTY interop with the JVM's
+    javax.imageio in both directions (our files read by an independent
+    codec suite; its files read by ours), and dispatch through
+    decode_pixels/try_decode_pixels."""
+    from fagi_gis_spark.sources.bmp import decode_bmp, encode_bmp_gray, encode_bmp_rgb
+    from fagi_gis_spark.sources.gif import decode_gif, encode_gif_gray
+    from fagi_gis_spark.sources.images import decode_pixels, try_decode_pixels
+    from fagi_gis_spark.sources.tiff import decode_tiff, encode_tiff_gray, encode_tiff_rgb
+
+    rng = np.random.default_rng(11)
+    jvm = spark._jvm
+
+    def jdk_read(data: bytes) -> np.ndarray | None:
+        img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(data))
+        if img is None:
+            return None
+        h, w = img.getHeight(), img.getWidth()
+        if img.getType() == jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY:
+            # getRGB on TYPE_BYTE_GRAY converts linear-gray -> sRGB
+            # (gamma); read the raw raster bytes instead
+            buf = bytes(img.getRaster().getDataBuffer().getData())
+            gray = np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+            return np.repeat(gray[..., None], 3, axis=-1)
+        out = np.empty((h, w, 3), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                rgb = img.getRGB(x, y)
+                out[y, x] = ((rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255)
+        return out
+
+    def jdk_write(px: np.ndarray, fmt: str) -> bytes:
+        h, w = px.shape
+        img = jvm.java.awt.image.BufferedImage(
+            w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        )
+        img.getRaster().setDataElements(0, 0, w, h, bytearray(px.tobytes()))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(img, fmt, baos)
+        return bytes(baos.toByteArray())
+
+    g = rng.integers(0, 256, size=(13, 21)).astype(np.uint8)
+    c = rng.integers(0, 256, size=(9, 14, 3)).astype(np.uint8)
+
+    # ours -> JDK (gray + color where our encoder writes color)
+    for payload, truth in [
+        (encode_bmp_gray(g), np.repeat(g[..., None], 3, -1)),
+        (encode_bmp_rgb(c), c),
+        (encode_gif_gray(g), np.repeat(g[..., None], 3, -1)),
+        (encode_tiff_gray(g), np.repeat(g[..., None], 3, -1)),
+        (encode_tiff_rgb(c), c),
+    ]:
+        got = jdk_read(payload)
+        assert got is not None and (got == truth).all()
+
+    # JDK -> ours
+    for fmt, decoder in [("bmp", decode_bmp), ("gif", decode_gif), ("tiff", decode_tiff)]:
+        data = jdk_write(g, fmt)
+        got = decoder(data)
+        if got.ndim == 3:
+            got = got[..., 0]
+        assert (got == g).all(), fmt
+        assert (decode_pixels(data) == g).all(), fmt
+
+    # dispatch + skip idiom
+    assert (decode_pixels(encode_bmp_gray(g)) == g).all()
+    assert (decode_pixels(encode_gif_gray(g)) == g).all()
+    assert (decode_pixels(encode_tiff_gray(g)) == g).all()
+    assert try_decode_pixels(encode_bmp_gray(g)[:20]) is None
+    assert try_decode_pixels(encode_gif_gray(g)[:30]) is None
+    assert try_decode_pixels(encode_tiff_gray(g)[:10]) is None
+    # interlaced GIF from the JDK? ImageIO writes sequential; cover
+    # interlace by rewriting our own stream's flag + row order
+    from fagi_gis_spark.sources.gif import _INTERLACE_PASSES
+
+    rows = np.concatenate([np.arange(s, 13, st) for s, st in _INTERLACE_PASSES])
+    seq = encode_gif_gray(g[rows])  # pixel data already in pass order
+    inter = bytearray(seq)
+    # image descriptor starts after 6+7+768 bytes: set interlace bit
+    desc = 6 + 7 + 768
+    assert inter[desc] == 0x2C
+    inter[desc + 9] |= 0x40
+    assert (decode_gif(bytes(inter)) == g).all()
+
+
+def test_mixed_format_corpus_ingest(spark):
+    """generate_images_mixed cycles all five real containers; every row
+    decodes and reproduces its stored pHash from the decoded pixels."""
+    from fagi_gis_spark.registry import _QUERIES
+
+    rows = {r["fmt"]: r for r in _QUERIES["multimodal_format_ingest"](spark, "").collect()}
+    assert set(rows) == {"png", "jpeg", "bmp", "gif", "tiff"}
+    assert sum(r["n"] for r in rows.values()) == 500
+    for fmt, r in rows.items():
+        assert r["n_decoded"] == r["n"], fmt
+        assert r["n_phash_ok"] == r["n"], fmt
