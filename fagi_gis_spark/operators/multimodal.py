@@ -418,3 +418,69 @@ def quality_stats(images: DataFrame) -> DataFrame:
         & (F.col("clip_bright") <= F.lit(0.5))
     )
     return stats.withColumn("quality_ok", gate)
+
+
+def _apply_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """EXIF orientation -> upright pixels (TIFF/EXIF tag 274 semantics:
+    the tag names the transform that maps STORED pixels to display)."""
+    o = orientation or 1
+    if o == 2:
+        return px[:, ::-1]
+    if o == 3:
+        return px[::-1, ::-1]
+    if o == 4:
+        return px[::-1, :]
+    if o == 5:
+        return px.T
+    if o == 6:
+        return np.rot90(px, k=3)  # 90 deg clockwise
+    if o == 7:
+        return np.rot90(px, k=2).T
+    if o == 8:
+        return np.rot90(px, k=1)  # 90 deg counter-clockwise
+    return px
+
+
+def orientation_normalize(images: DataFrame) -> DataFrame:
+    """Upright every image per its EXIF orientation tag — the mandatory
+    ingest step before perceptual hashing (a rotated duplicate hashes
+    differently; after normalization it doesn't).  Parses the tag from
+    the BYTES (sources/exif.py), applies the 8-case transform to the
+    decoded gray pixels, re-encodes PNG, and emits the normalized pHash
+    next to the original.  Rows without EXIF pass through as
+    orientation 1."""
+    from fagi_gis_spark.sources.exif import find_exif, parse_exif
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for img_id, data, ph in zip(pdf["image_id"], pdf["bytes"], pdf["phash"]):
+                raw = bytes(data)
+                px = try_decode_pixels(raw)
+                if px is None:
+                    rows.append((img_id, None, None, None, None, None))
+                    continue
+                payload = find_exif(raw)
+                meta = parse_exif(payload) if payload is not None else None
+                o = (meta or {}).get("orientation") or 1
+                up = np.ascontiguousarray(_apply_orientation(px, o))
+                rows.append(
+                    (
+                        img_id,
+                        int(o),
+                        encode_png_gray(up),
+                        int(up.shape[1]),
+                        int(up.shape[0]),
+                        int(phash64(up)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "orientation", "bytes", "w", "h", "phash_upright"],
+            )
+
+    return images.select("image_id", "bytes", "phash").mapInPandas(
+        op,
+        schema="image_id string, orientation int, bytes binary, "
+        "w int, h int, phash_upright long",
+    )

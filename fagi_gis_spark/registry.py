@@ -1622,6 +1622,27 @@ def image_quality_filter(spark, sf_dir):
     return quality_stats(generate_images(spark, 1000, partitions=8))
 
 
+@register("image_orientation_normalize")  # codec-side decode: rows-only
+def image_orientation_normalize(spark, sf_dir):
+    """Orientation-normalized ingest: parse each file's EXIF orientation
+    tag out of the bytes, upright the decoded pixels (8-case TIFF tag
+    274 transform), re-encode and re-hash (operators/multimodal.
+    orientation_normalize) — the mandatory step before perceptual dedup
+    on a real corpus (a rotated duplicate hashes differently until it's
+    uprighted).  Rollup proves every orientation value occurs and every
+    row normalizes.  Rows-only; the pytest twin proves exact upright
+    recovery for all 8 orientations and pHash collapse of rotated
+    duplicates."""
+    from fagi_gis_spark.operators.multimodal import orientation_normalize
+    from fagi_gis_spark.sources.images import generate_images
+
+    up = orientation_normalize(generate_images(spark, 1000, partitions=8))
+    return up.groupBy("orientation").agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.col("phash_upright")).alias("n_distinct_phash"),
+    )
+
+
 @register("multimodal_format_ingest")  # codec-side decode: rows-only
 def multimodal_format_ingest(spark, sf_dir):
     """Container-dispatch ingest over the realistic crawl mix: a corpus

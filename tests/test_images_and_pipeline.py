@@ -1074,3 +1074,56 @@ def test_mixed_format_corpus_ingest(spark):
     for fmt, r in rows.items():
         assert r["n_decoded"] == r["n"], fmt
         assert r["n_phash_ok"] == r["n"], fmt
+
+
+def test_orientation_normalize_recovers_upright(spark):
+    """For every EXIF orientation 1-8: store T_inv(upright) with the tag,
+    normalize, get the upright image back exactly — and a rotated
+    duplicate pair collapses to the same upright pHash."""
+    import pandas as pd
+
+    from fagi_gis_spark.operators.multimodal import (
+        _apply_orientation,
+        orientation_normalize,
+    )
+    from fagi_gis_spark.sources.exif import build_exif, embed_exif_png
+    from fagi_gis_spark.sources.images import IMAGES_SCHEMA, phash64
+    from fagi_gis_spark.sources.png import decode_png_gray, encode_png_gray
+
+    rng = np.random.default_rng(5)
+    upright = rng.integers(0, 256, size=(24, 16)).astype(np.uint8)  # asymmetric
+    inverse = {  # T_inv such that _apply_orientation(T_inv(U), o) == U
+        1: lambda p: p,
+        2: lambda p: p[:, ::-1],
+        3: lambda p: p[::-1, ::-1],
+        4: lambda p: p[::-1, :],
+        5: lambda p: p.T,
+        6: lambda p: np.rot90(p, k=1),
+        7: lambda p: np.rot90(p.T, k=2),
+        8: lambda p: np.rot90(p, k=3),
+    }
+    recs = []
+    for o, t_inv in inverse.items():
+        stored = np.ascontiguousarray(t_inv(upright))
+        assert (_apply_orientation(stored, o) == upright).all(), o
+        data = embed_exif_png(encode_png_gray(stored), build_exif(50000000, 0, o))
+        recs.append(
+            {
+                "image_id": f"o{o}",
+                "bytes": data,
+                "w": stored.shape[1],
+                "h": stored.shape[0],
+                "fmt": "png",
+                "caption": "",
+                "phash": phash64(stored),
+            }
+        )
+    df = spark.createDataFrame(pd.DataFrame(recs), schema=IMAGES_SCHEMA)
+    got = {r["image_id"]: r for r in orientation_normalize(df).collect()}
+    target = phash64(upright)
+    for o in inverse:
+        r = got[f"o{o}"]
+        assert r["orientation"] == o
+        assert (decode_png_gray(bytes(r["bytes"])) == upright).all(), o
+        assert r["phash_upright"] == target, o  # rotated dupes collapse
+        assert (r["w"], r["h"]) == (16, 24)
