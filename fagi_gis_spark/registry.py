@@ -81,6 +81,10 @@ _GATE_DEMOTED = [
     # took an oracle-backed slot: stable since r1, driver-green in r4,
     # code untouched this round
     "writeback_geometries",
+    # demoted when image_exif_tile_assign (new, needs driver
+    # certification) took an oracle-backed slot: stable since r1,
+    # driver-green in r4, code untouched this round
+    "doc_token_budget",
 ]
 
 
@@ -1620,6 +1624,54 @@ def image_quality_filter(spark, sf_dir):
     from fagi_gis_spark.sources.images import generate_images
 
     return quality_stats(generate_images(spark, 1000, partitions=8))
+
+
+def _image_exif_tile_assign_oracle() -> str:
+    lon_md = "((((phash % 2000000) + 2000000) % 2000000) - 1000000)"
+    lat_md = (
+        "(50000000 + ((((((phash % 2147483647) + 2147483647) % 2147483647) "
+        "* 2654435761) % 2000000) + 2000000) % 2000000)"
+    )
+    src = (
+        f"SELECT image_id, {lon_md} / 1e6 AS lon, {lat_md} / 1e6 AS lat "
+        f"FROM read_parquet('{_IMAGES_ORACLE_PATH}/*.parquet')"
+    )
+    selects = []
+    for z in range(tiles.MIN_RES, tiles.MAX_RES + 1):
+        selects.append(
+            f"SELECT image_id, {z} AS z, {tiles.tile_x_sql('lon', z)} AS x,\n"
+            f"       {tiles.tile_y_sql('lat', z)} AS y FROM __geo"
+        )
+    return f"WITH __geo AS ({src})\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("image_exif_tile_assign", _image_exif_tile_assign_oracle())
+def image_exif_tile_assign(spark, sf_dir):
+    """The north star's tiling arrow fed from the binary: parse each
+    image's EXIF GPS out of its bytes (operators/multimodal.
+    exif_geotags) and assign WebMercator z/x/y tiles at every res 7..11
+    — JVM column math after the one header-parse pass.  The oracle
+    replays tile arithmetic from the stored (id, phash) parquet without
+    ever seeing the bytes, so the binary parse is value-checked end to
+    end at all five zoom levels."""
+    from fagi_gis_spark.operators.multimodal import exif_geotags
+    from fagi_gis_spark.sources.images import generate_images
+
+    _ensure_images_oracle(spark)
+    parsed = exif_geotags(generate_images(spark, 1000, partitions=8))
+    lon = F.col("lon_microdeg") / F.lit(1e6)
+    lat = F.col("lat_microdeg") / F.lit(1e6)
+    parts = [
+        F.struct(
+            F.lit(z).alias("z"),
+            tiles.tile_x_col(lon, z).alias("x"),
+            tiles.tile_y_col(lat, z).alias("y"),
+        )
+        for z in range(tiles.MIN_RES, tiles.MAX_RES + 1)
+    ]
+    return parsed.select("image_id", F.explode(F.array(*parts)).alias("t")).select(
+        "image_id", F.col("t.z").cast("int").alias("z"), "t.x", "t.y"
+    )
 
 
 @register("image_orientation_normalize")  # codec-side decode: rows-only
