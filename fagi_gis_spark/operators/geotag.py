@@ -74,3 +74,68 @@ def image_poi_layers(images: DataFrame) -> tuple[DataFrame, DataFrame]:
         "phash",
     )
     return a, b
+
+
+def exif_time_key(dt: Column) -> Column:
+    """Monotone integer key for the corpus's EXIF DateTime strings
+    ("yyyy:MM:dd HH:mm:ss"): a calendar-free fixed-radix encoding
+    (month*31+day, then base-24/60/60) — pure substring + cast column
+    math, identical in any SQL engine, no timezone/calendar semantics
+    to diverge on.  Real-world data would use to_timestamp; for
+    same-format strings this key orders identically."""
+    month = F.substring(dt, 6, 2).cast("int")
+    day = F.substring(dt, 9, 2).cast("int")
+    hour = F.substring(dt, 12, 2).cast("int")
+    minute = F.substring(dt, 15, 2).cast("int")
+    sec = F.substring(dt, 18, 2).cast("int")
+    return (
+        ((((month * F.lit(31) + day) * F.lit(24) + hour) * F.lit(60) + minute)
+         * F.lit(60) + sec)
+        .cast("long")
+    )
+
+
+def burst_groups(parsed: DataFrame, res: int = 9, gap_s: int = 300) -> DataFrame:
+    """Photo-burst grouping over EXIF geotag + time: images in the SAME
+    hex7 cell whose capture times are within ``gap_s`` seconds chain
+    into one burst; the chronologically-first frame of each burst is the
+    keeper (burst dedup — a phone shoots 10 near-identical frames, the
+    corpus wants one).
+
+    Input: exif_geotags output (lat/lon micro-degrees + exif_datetime).
+    Output: every image with (cell_hex7, burst_id, is_keeper, ts_key) —
+    burst_id is a running count of gap-breaks per cell, keeper = first
+    row of its burst under the deterministic (ts_key, image_id) order.
+
+    Scale: one window per cell partition — cells are bounded and small
+    (a burst is a handful of frames), so the sort never sees skew the
+    hot-cell salting joins worry about; everything is JVM window/lag
+    arithmetic after the one header-parse pass."""
+    from pyspark.sql import Window as W
+
+    from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
+
+    lon = F.col("lon_microdeg") / F.lit(1e6)
+    lat = F.col("lat_microdeg") / F.lit(1e6)
+    q, r = _hex_qr_cols(lon, lat, res)
+    g = parsed.withColumn("cell_hex7", _hex_pack(q, r, res)).withColumn(
+        "ts_key", exif_time_key(F.col("exif_datetime"))
+    )
+    w = W.partitionBy("cell_hex7").orderBy("ts_key", "image_id")
+    is_break = (
+        F.when(
+            F.lag("ts_key").over(w).isNull()
+            | (F.col("ts_key") - F.lag("ts_key").over(w) > F.lit(gap_s)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    g = g.withColumn("burst_id", F.sum(is_break).over(w).cast("long"))
+    wb = W.partitionBy("cell_hex7", "burst_id").orderBy("ts_key", "image_id")
+    return g.select(
+        "image_id",
+        "cell_hex7",
+        "burst_id",
+        "ts_key",
+        (F.row_number().over(wb) == F.lit(1)).alias("is_keeper"),
+    )

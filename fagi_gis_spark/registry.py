@@ -85,6 +85,10 @@ _GATE_DEMOTED = [
     # certification) took an oracle-backed slot: stable since r1,
     # driver-green in r4, code untouched this round
     "doc_token_budget",
+    # demoted when image_burst_dedup (new, needs driver certification)
+    # took an oracle-backed slot: stable since r1, driver-green in r4,
+    # code untouched this round
+    "doc_langid",
 ]
 
 
@@ -1672,6 +1676,80 @@ def image_exif_tile_assign(spark, sf_dir):
     return parsed.select("image_id", F.explode(F.array(*parts)).alias("t")).select(
         "image_id", F.col("t.z").cast("int").alias("z"), "t.x", "t.y"
     )
+
+
+def _image_burst_dedup_oracle() -> str:
+    from fagi_gis_spark.index.hexgrid import hex_cell_sql
+
+    lon_md = "((((phash % 2000000) + 2000000) % 2000000) - 1000000)"
+    lat_md = (
+        "(50000000 + ((((((phash % 2147483647) + 2147483647) % 2147483647) "
+        "* 2654435761) % 2000000) + 2000000) % 2000000)"
+    )
+    src = (
+        "SELECT image_id, CAST(SUBSTR(image_id, 5, 8) AS INT) AS i, "
+        f"{lat_md} AS lat_microdeg, {lon_md} AS lon_microdeg "
+        f"FROM read_parquet('{_IMAGES_ORACLE_PATH}/*.parquet')"
+    )
+    # the same calendar-free fixed-radix key as operators/geotag.
+    # exif_time_key, computed directly from the id's integer (the
+    # generator's datetime formula) — integer math end to end
+    ts = (
+        "(((((1 + i % 12) * 31 + (1 + i % 28)) * 24 + i % 24) * 60 "
+        "+ i % 60) * 60 + (i * 7) % 60)"
+    )
+    cells = hex_cell_sql(
+        "SELECT image_id, lon_microdeg / 1e6 AS lon, lat_microdeg / 1e6 AS lat "
+        "FROM __meta",
+        "image_id",
+        "lon",
+        "lat",
+        9,
+    )
+    return (
+        f"WITH __meta AS ({src}),\n"
+        f"{cells.lstrip()},\n"
+        "__g AS (\n"
+        f"  SELECT m.image_id, h.cell_id AS cell_hex7, CAST({ts} AS BIGINT) AS ts_key\n"
+        "  FROM __meta m JOIN __hex_out h USING (image_id)\n"
+        "),\n"
+        "__b AS (\n"
+        "  SELECT *, CASE WHEN lag(ts_key) OVER "
+        "(PARTITION BY cell_hex7 ORDER BY ts_key, image_id) IS NULL\n"
+        "       OR ts_key - lag(ts_key) OVER "
+        "(PARTITION BY cell_hex7 ORDER BY ts_key, image_id) > 300\n"
+        "       THEN 1 ELSE 0 END AS brk\n"
+        "  FROM __g\n"
+        "),\n"
+        "__c AS (\n"
+        "  SELECT *, SUM(brk) OVER "
+        "(PARTITION BY cell_hex7 ORDER BY ts_key, image_id) AS burst_id\n"
+        "  FROM __b\n"
+        ")\n"
+        "SELECT image_id, cell_hex7, CAST(burst_id AS BIGINT) AS burst_id, ts_key,\n"
+        "       ROW_NUMBER() OVER "
+        "(PARTITION BY cell_hex7, burst_id ORDER BY ts_key, image_id) = 1 "
+        "AS is_keeper\n"
+        "FROM __c"
+    )
+
+
+@register("image_burst_dedup", _image_burst_dedup_oracle())
+def image_burst_dedup(spark, sf_dir):
+    """Geo-temporal burst dedup (image x geospatial x time): EXIF GPS +
+    DateTime parsed out of the bytes chain same-cell images captured
+    within 300 s into bursts; the first frame of each burst is the
+    keeper (operators/geotag.burst_groups) — the phone-burst / repeated-
+    scrape collapse a real image corpus needs before training.  The
+    oracle replays cell, time key, gap-break windows and keeper choice
+    from (id, phash) arithmetic without seeing the binary."""
+    from fagi_gis_spark.operators.geotag import burst_groups
+    from fagi_gis_spark.operators.multimodal import exif_geotags
+    from fagi_gis_spark.sources.images import generate_images
+
+    _ensure_images_oracle(spark)
+    parsed = exif_geotags(generate_images(spark, 1000, partitions=8))
+    return burst_groups(parsed, res=9, gap_s=300)
 
 
 @register("image_orientation_normalize")  # codec-side decode: rows-only

@@ -1127,3 +1127,44 @@ def test_orientation_normalize_recovers_upright(spark):
         assert (decode_png_gray(bytes(r["bytes"])) == upright).all(), o
         assert r["phash_upright"] == target, o  # rotated dupes collapse
         assert (r["w"], r["h"]) == (16, 24)
+
+
+def test_burst_groups_chaining_and_keepers(spark):
+    """burst_groups: transitive chaining (each gap <= 300 s joins the
+    burst even when first-to-last exceeds 300 s), a >300 s gap starts a
+    new burst, different cells never chain, keeper = chronologically
+    first frame."""
+    import pandas as pd
+
+    from fagi_gis_spark.operators.geotag import burst_groups
+
+    def dt(sec: int) -> str:
+        return f"2023:01:01 {sec // 3600:02d}:{sec % 3600 // 60:02d}:{sec % 60:02d}"
+
+    rows = [
+        # cell A: 0s, 250s, 500s chain (adjacent gaps 250 <= 300) even
+        # though 500 - 0 > 300; 900s breaks (gap 400)
+        ("a0", 50_500_000, 100_000, dt(0)),
+        ("a1", 50_500_000, 100_000, dt(250)),
+        ("a2", 50_500_000, 100_000, dt(500)),
+        ("a3", 50_500_000, 100_000, dt(900)),
+        # far-away cell at the same instants: never chains with A
+        ("b0", 51_500_000, -900_000, dt(0)),
+        ("b1", 51_500_000, -900_000, dt(100)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["image_id", "lat_microdeg", "lon_microdeg", "exif_datetime"]
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "orientation", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1)
+    )
+    got = {r["image_id"]: r for r in burst_groups(df, res=9, gap_s=300).collect()}
+    a_cell = {got[i]["cell_hex7"] for i in ("a0", "a1", "a2", "a3")}
+    b_cell = {got[i]["cell_hex7"] for i in ("b0", "b1")}
+    assert len(a_cell) == 1 and len(b_cell) == 1 and a_cell != b_cell
+    assert got["a0"]["burst_id"] == got["a1"]["burst_id"] == got["a2"]["burst_id"]
+    assert got["a3"]["burst_id"] == got["a0"]["burst_id"] + 1
+    assert got["b0"]["burst_id"] == got["b1"]["burst_id"]
+    assert got["a0"]["is_keeper"] and got["a3"]["is_keeper"] and got["b0"]["is_keeper"]
+    assert not got["a1"]["is_keeper"] and not got["a2"]["is_keeper"]
+    assert not got["b1"]["is_keeper"]
