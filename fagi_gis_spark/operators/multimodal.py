@@ -4,9 +4,10 @@ frame-sample over opaque binary payloads.
 Image/audio/video bytes stay an opaque ``binary`` column with typed
 metadata (the input_hint shape); the operators below are Arrow-batched
 ``mapInPandas`` stages, so the Spark-side plumbing — schema, batching,
-partition flow — is identical for any codec. PNG (sources/png.py) and
-baseline JPEG (sources/jpeg.py) decode for real — both from-scratch
-codecs; WebP/audio/video decode remains a deliberate stub
+partition flow — is identical for any codec. PNG, JPEG (baseline +
+progressive, gray + color), BMP, GIF and baseline TIFF all decode for
+real (sources/{png,jpeg,bmp,gif,tiff}.py — from-scratch codecs);
+WebP/audio/video decode remains a deliberate stub
 (`NotImplementedError` / deterministic fake) per the driver instruction —
 swapping in a real codec library changes only the kernel body, not the
 plan.
