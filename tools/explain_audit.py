@@ -35,6 +35,8 @@ AUDIT = [
     ("tag_pair_features", "TagFeatures (primitives only — no per-pair Python parse)"),
     ("dedup_substring", "exact substring dedup (codegen shingles, hash-pair group-by, broadcast dup set)"),
     ("corpus_stratified_sample", "stratified sampling (tiny-key agg, broadcast rates, codegen gate)"),
+    ("image_exif_geotag", "EXIF parse from bytes (one header-only Arrow pass) + JVM hex assignment"),
+    ("image_burst_dedup", "EXIF geo-temporal burst windows (lag + running sum, all JVM after parse)"),
 ]
 
 
