@@ -313,3 +313,46 @@ def stream_incremental_hamming(
         .groupBy("doc_n", "doc_c")
         .agg(F.min("hamming").alias("hamming"))
     )
+
+
+def stream_exif_hex_rollup(
+    stream: DataFrame,
+    res: int = 9,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming EXIF ingest rollup — files arrive as (image_id, bytes,
+    ts) and the geotag comes OUT OF THE BYTES: an Arrow-batched
+    header-only EXIF parse (sources/exif.py — mapInPandas is stateless,
+    so it applies to a readStream unchanged), then the same watermarked
+    hex-cell windowed counts as the batch/stream pHash rollups.  Rows
+    without a parseable EXIF GPS are dropped (the decode_ok idiom);
+    state stays bounded by watermark x occupied cells."""
+    import pandas as pd
+
+    from fagi_gis_spark.sources.exif import find_exif, parse_exif
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for img_id, data, ts in zip(pdf["image_id"], pdf["bytes"], pdf[ts_col]):
+                payload = find_exif(bytes(data))
+                d = parse_exif(payload) if payload is not None else None
+                if d is None or d["lat_microdeg"] is None or d["lon_microdeg"] is None:
+                    continue
+                rows.append((img_id, d["lat_microdeg"], d["lon_microdeg"], ts))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "lat_microdeg", "lon_microdeg", ts_col]
+            )
+
+    parsed = stream.select("image_id", "bytes", ts_col).mapInPandas(
+        op,
+        schema=f"image_id string, lat_microdeg long, lon_microdeg long, {ts_col} timestamp",
+    )
+    s = parsed.withColumn("lon", F.col("lon_microdeg") / F.lit(1e6)).withColumn(
+        "lat", F.col("lat_microdeg") / F.lit(1e6)
+    )
+    return stream_hex_cell_counts(
+        s, res=res, window=window, watermark=watermark, ts_col=ts_col
+    )

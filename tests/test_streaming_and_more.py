@@ -497,3 +497,53 @@ def test_stream_incremental_hamming_phash_matches_batch(spark, tmp_path):
         else:
             expect.add((r.doc_b, r.doc_a, r.hamming))
     assert got == expect and len(got) >= 50  # every variant finds its source
+
+
+def test_stream_exif_hex_rollup_matches_batch(spark, tmp_path):
+    """Streaming EXIF ingest (files arrive, the geotag is INSIDE the
+    bytes): hex rollup over a readStream equals the batch exif_geotags
+    path on the same rows — and equals the pHash-geotag rollup, since
+    the generator embeds the pHash-seeded coordinate as the EXIF GPS."""
+    from fagi_gis_spark.operators.multimodal import exif_geotags
+    from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
+    from fagi_gis_spark.sources.images import generate_images
+    from fagi_gis_spark.streaming.windowed import (
+        start_memory_sink,
+        stream_exif_hex_rollup,
+    )
+
+    batch = generate_images(spark, 300, partitions=4).select(
+        "image_id",
+        "bytes",
+        "phash",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.abs(F.hash("image_id")) % 3600
+        ).alias("ts"),
+    )
+    src = str(tmp_path / "exif_stream_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = stream_exif_hex_rollup(stream)
+    q = start_memory_sink(agg, "exif_hex_out", output_mode="complete")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.cell_hex7, r.n)
+        for r in spark.sql(
+            "SELECT cell_hex7, sum(n) AS n FROM exif_hex_out GROUP BY cell_hex7"
+        ).collect()
+    }
+    parsed = exif_geotags(batch.select("image_id", "bytes"))
+    lon = F.col("lon_microdeg") / F.lit(1e6)
+    lat = F.col("lat_microdeg") / F.lit(1e6)
+    qc, rc = _hex_qr_cols(lon, lat, 9)
+    expect = {
+        (r.cell_hex7, r.n)
+        for r in parsed.withColumn("cell_hex7", _hex_pack(qc, rc, 9))
+        .groupBy("cell_hex7")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect and len(expect) > 10
