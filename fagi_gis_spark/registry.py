@@ -89,6 +89,10 @@ _GATE_DEMOTED = [
     # took an oracle-backed slot: stable since r1, driver-green in r4,
     # code untouched this round
     "doc_langid",
+    # demoted when image_exif_poi_join (new, needs driver certification)
+    # took an oracle-backed slot: stable since r1, driver-green in r4,
+    # code untouched this round
+    "events_sessionize",
 ]
 
 
@@ -132,7 +136,14 @@ def layers(spark: SparkSession, sf_dir: str):
 _HOT_CACHE: dict = {}
 
 
-def _hot_for(spark, sf_dir: str, strategy: str, build: DataFrame, radius_m: float):
+def _hot_for(
+    spark,
+    sf_dir: str,
+    strategy: str,
+    build: DataFrame,
+    radius_m: float,
+    layer: str = "poi_b",
+):
     from fagi_gis_spark.operators.spatial_join import build_hot_cells
 
     app = spark.sparkContext.applicationId
@@ -140,7 +151,10 @@ def _hot_for(spark, sf_dir: str, strategy: str, build: DataFrame, radius_m: floa
     # contexts and would otherwise pin memory for the process lifetime
     for k in [k for k in _HOT_CACHE if k[0] != app]:
         del _HOT_CACHE[k]
-    key = (app, sf_dir, strategy, radius_m)
+    # ``layer`` names the build side in the key — two queries sharing a
+    # (strategy, radius) but building on different layers must not read
+    # each other's hot sets
+    key = (app, sf_dir, strategy, radius_m, layer)
     if key not in _HOT_CACHE:
         _HOT_CACHE[key] = build_hot_cells(build, radius_m, strategy=strategy)
     return _HOT_CACHE[key]
@@ -1675,6 +1689,67 @@ def image_exif_tile_assign(spark, sf_dir):
     ]
     return parsed.select("image_id", F.explode(F.array(*parts)).alias("t")).select(
         "image_id", F.col("t.z").cast("int").alias("z"), "t.x", "t.y"
+    )
+
+
+def _image_exif_poi_join_oracle() -> str:
+    from fagi_gis_spark.sources.layers import oracle_ctes
+
+    lon_md = "((((phash % 2000000) + 2000000) % 2000000) - 1000000)"
+    lat_md = (
+        "(50000000 + ((((((phash % 2147483647) + 2147483647) % 2147483647) "
+        "* 2654435761) % 2000000) + 2000000) % 2000000)"
+    )
+    dist = (
+        "sqrt((i.lon - b.lon) * (i.lon - b.lon) + "
+        "(i.lat - b.lat) * (i.lat - b.lat)) * 111195.0"
+    )
+    return (
+        f"WITH {oracle_ctes()},\n"
+        "__img AS (\n"
+        f"  SELECT image_id, {lon_md} / 1e6 AS lon, {lat_md} / 1e6 AS lat\n"
+        f"  FROM read_parquet('{_IMAGES_ORACLE_PATH}/*.parquet')\n"
+        ")\n"
+        "SELECT i.image_id, b.subject AS poi,\n"
+        f"       round({dist}, 4) AS dist_m_r\n"
+        "FROM __img i, poi_a b\n"
+        f"WHERE {dist} <= 1500.0"
+    )
+
+
+@register("image_exif_poi_join", _image_exif_poi_join_oracle())
+def image_exif_poi_join(spark, sf_dir):
+    """The north star's conflation arrow fed from the binary: EXIF GPS
+    parsed out of each image's bytes becomes the probe side of the
+    cell-bucketed 1.5 km radius join against the POI layer — geotagged
+    photos matched to the places they depict, end to end from file
+    bytes to join rows.  Same salted ring-1 join as radius_join_150m
+    (probe side is the small image corpus; the layer is the build
+    side); the oracle replays the probe coordinates from (id, phash)
+    and the full cross-distance filter in SQL."""
+    from fagi_gis_spark.operators.multimodal import exif_geotags
+    from fagi_gis_spark.operators.spatial_join import radius_join
+    from fagi_gis_spark.sources.images import generate_images
+
+    _ensure_images_oracle(spark)
+    parsed = exif_geotags(generate_images(spark, 1000, partitions=8))
+    probe = parsed.select(
+        "image_id",
+        (F.col("lon_microdeg") / F.lit(1e6)).alias("lon"),
+        (F.col("lat_microdeg") / F.lit(1e6)).alias("lat"),
+    )
+    L = layers(spark, sf_dir)
+    out = radius_join(
+        probe,
+        L["poi_a"],
+        1500.0,
+        left_cols=("image_id", "lon", "lat"),
+        hot_cells=_hot_for(spark, sf_dir, "tile", L["poi_a"], 1500.0, layer="poi_a"),
+    )
+    return out.select(
+        F.col("l_key").alias("image_id"),
+        F.col("r_key").alias("poi"),
+        F.round(F.col("dist_m"), 4).alias("dist_m_r"),
     )
 
 
