@@ -1443,6 +1443,60 @@ def image_caption_fusion(spark, sf_dir):
     )
 
 
+@register("image_clean_corpus")  # codec-side composition: rows-only
+def image_clean_corpus(spark, sf_dir):
+    """The image twin of clean_corpus — the full training-data cleaning
+    pipeline for an image corpus, composed from this round's operators:
+
+      1. quality gate  (quality_stats: blur / entropy / exposure)
+      2. burst dedup   (EXIF GPS+time: keep the first frame per burst)
+      3. perceptual near-dup demotion (pHash banded hamming: of each
+         surviving duplicate pair, the lexicographically later id drops
+         — the same precedence rule clean_corpus uses for text)
+
+    Survivors emit (image_id, cell_hex7, lap_var, entropy_bits).  Every
+    stage is an existing tested operator; the composition is one plan —
+    the quality and burst branches share the generated corpus, and the
+    near-dup demotion joins on ids only.  Rows-only (decode + hash
+    inside); each stage has its own oracle or pytest twin."""
+    from fagi_gis_spark.operators.geotag import burst_groups
+    from fagi_gis_spark.operators.multimodal import (
+        exif_geotags,
+        phash_neardup_pairs,
+        quality_stats,
+    )
+    from fagi_gis_spark.sources.images import generate_images
+
+    base = generate_images(spark, 1000, partitions=8)
+    # inject exact duplicates (every 10th image re-ingested under a new
+    # id, bytes identical — the re-scrape case): the clean pipeline must
+    # collapse each pair to ONE surviving row
+    dups = base.filter(
+        F.substring("image_id", 5, 8).cast("int") % 10 == 0
+    ).withColumn("image_id", F.concat(F.lit("dup:"), F.col("image_id")))
+    imgs = base.unionByName(dups).persist()
+    q = quality_stats(imgs).filter(F.col("quality_ok")).select(
+        "image_id", "lap_var", "entropy_bits"
+    )
+    # exact duplicates share EXIF GPS + DateTime, so they land in the
+    # same burst and only one keeper survives
+    keepers = burst_groups(exif_geotags(imgs), res=9, gap_s=300).filter(
+        F.col("is_keeper")
+    ).select("image_id", "cell_hex7")
+    # banded-hamming duplicate pairs -> demote the later id of each pair
+    dropped = (
+        phash_neardup_pairs(imgs, max_hamming=6)
+        .filter(~F.col("image_a").startswith("v:") & ~F.col("image_b").startswith("v:"))
+        .select(F.greatest("image_a", "image_b").alias("image_id"))
+        .distinct()
+    )
+    return (
+        q.join(keepers, "image_id")
+        .join(dropped, "image_id", "left_anti")
+        .select("image_id", "cell_hex7", "lap_var", "entropy_bits")
+    )
+
+
 @register("image_consensus_dedup")  # composition over generated images: rows-only
 def image_consensus_dedup(spark, sf_dir):
     """Multimodal consensus near-dup: an image pair is a dedup candidate

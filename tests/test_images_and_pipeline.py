@@ -1168,3 +1168,22 @@ def test_burst_groups_chaining_and_keepers(spark):
     assert got["a0"]["is_keeper"] and got["a3"]["is_keeper"] and got["b0"]["is_keeper"]
     assert not got["a1"]["is_keeper"] and not got["a2"]["is_keeper"]
     assert not got["b1"]["is_keeper"]
+
+
+def test_image_clean_corpus_collapses_injected_duplicates(spark):
+    """image_clean_corpus: an 1100-row corpus (1000 originals + 100
+    exact re-ingests under dup: ids) collapses to exactly 1000 survivors
+    — one per distinct image — via burst dedup (shared EXIF GPS+time)
+    plus pHash near-dup demotion; quality gate passes the sharp
+    synthetic corpus."""
+    from fagi_gis_spark.registry import _QUERIES
+
+    rows = _QUERIES["image_clean_corpus"](spark, "").collect()
+    ids = {r["image_id"] for r in rows}
+    assert len(rows) == 1000 and len(ids) == 1000
+    # exactly one of each duplicated pair survives, never both
+    for i in range(0, 1000, 10):
+        orig, dup = f"img_{i:08d}", f"dup:img_{i:08d}"
+        assert (orig in ids) != (dup in ids), (orig, dup)
+    # non-duplicated images all survive untouched
+    assert all(f"img_{i:08d}" in ids for i in range(1, 1000, 10))
