@@ -708,3 +708,158 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def build_cosine_index(
+    emb: DataFrame,
+    table: str,
+    n_tables: int = 16,
+    bits_per_table: int | str = "auto",
+    dim: int = 64,
+    quantize: int = 1000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+    mode: str = "errorifexists",
+) -> None:
+    """Persist the embedding-cosine day-2 index — the fourth quadrant of
+    the incremental-dedup matrix (exact digests / MinHash-Jaccard /
+    banded-hamming / embedding-cosine all share the same shape): the
+    corpus's hyperplane bucket rows land in ``{table}_buckets``
+    (storage-bucketed by ``bucket``, so a new batch's candidate join is
+    exchange-free on the corpus side) and the quantized vectors in
+    ``{table}_vecs`` (bucketed by id, so the exact verify re-attach is
+    exchange-free too).  The resolved LSH layout (auto bits resolve
+    HERE, against the corpus size) persists in ``{table}_meta`` —
+    day-2 batches inherit it instead of re-deriving against a
+    different n."""
+    from fagi_gis_spark.functions.dedup import _write_index_meta
+
+    spark = emb.sparkSession
+    if bits_per_table == "auto":
+        import math
+
+        n_rows = emb.count()
+        bits_per_table = min(16, max(4, math.ceil(math.log2(max(n_rows, 2) / 24.0))))
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    if not (mode == "errorifexists" and spark.catalog.tableExists(f"{table}_buckets")):
+        sig = hyperplane_signatures(
+            base, n_tables=n_tables, bits_per_table=bits_per_table, dim=dim, seed=seed
+        )
+        (
+            sig.select("bucket", "vec_id")
+            .write.bucketBy(n_buckets, "bucket")
+            .sortBy("bucket")
+            .mode(mode)
+            .saveAsTable(f"{table}_buckets")
+        )
+    if not (mode == "errorifexists" and spark.catalog.tableExists(f"{table}_vecs")):
+        (
+            _quantized(base, "vec_id", "embedding", quantize)
+            .select(F.col("vid").alias("vec_id"), F.col("v").alias("qvec"))
+            .write.bucketBy(n_buckets, "vec_id")
+            .sortBy("vec_id")
+            .mode(mode)
+            .saveAsTable(f"{table}_vecs")
+        )
+    _write_index_meta(
+        spark,
+        f"{table}_meta",
+        {
+            "n_tables": n_tables,
+            "bits_per_table": int(bits_per_table),
+            "dim": dim,
+            "quantize": quantize,
+            "seed": seed,
+        },
+        mode,
+    )
+
+
+def incremental_cosine_pairs(
+    new_emb: DataFrame,
+    table: str,
+    threshold: float = 0.8,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs (cos >= threshold) of a NEW batch against
+    itself and a stored ``build_cosine_index`` corpus.  The LSH layout
+    comes from the index meta (built-at layout, never re-derived), the
+    corpus side of the bucket join reads pre-bucketed storage
+    (exchange-free), and every candidate passes the SAME exact
+    integer-quantized cosine verify as ``cosine_near_dup_pairs`` — so
+    emitted cos_sim values are bit-identical to a full-batch run, and
+    new-side multiprobe covers both probe directions (bucket-flip
+    adjacency is symmetric: probe(new) hits exact(corpus) iff
+    probe(corpus) would hit exact(new)).  Output (id_a, id_b, cos_sim,
+    pair_type); cost scales with the batch, not the stored corpus."""
+    spark = new_emb.sparkSession
+    meta = spark.table(f"{table}_meta").head()
+    n_tables, bits, dim = meta.n_tables, meta.bits_per_table, meta.dim
+    quantize, seed = meta.quantize, meta.seed
+
+    nn = cosine_near_dup_pairs(
+        new_emb,
+        threshold=threshold,
+        quantize=quantize,
+        id_col=id_col,
+        vec_col=vec_col,
+        blocking="lsh",
+        n_tables=n_tables,
+        bits_per_table=bits,
+        dim=dim,
+        multiprobe=multiprobe,
+        seed=seed,
+    ).withColumn("pair_type", F.lit("new_new"))
+
+    base = new_emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    sig = hyperplane_signatures(
+        base, n_tables=n_tables, bits_per_table=bits, dim=dim, seed=seed
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)],
+        )
+        l = sig.select(F.explode(probes).alias("bucket"), F.col("vec_id").alias("id_n"))
+    else:
+        l = sig.select("bucket", F.col("vec_id").alias("id_n"))
+    corpus = spark.table(f"{table}_buckets").select(
+        "bucket", F.col("vec_id").alias("id_c")
+    )
+    cand = (
+        l.join(corpus, "bucket")
+        # a retried batch whose ids already folded into the index must
+        # not emit self-pairs
+        .filter(F.col("id_n") != F.col("id_c"))
+        .select("id_n", "id_c")
+        .dropDuplicates(["id_n", "id_c"])
+    )
+    new_vecs = (
+        _quantized(base, "vec_id", "embedding", quantize)
+        .select(F.col("vid").alias("id_n"), F.col("v").alias("vn"))
+        .withColumn("nn2", _dot(F.col("vn"), F.col("vn")))
+    )
+    corpus_vecs = (
+        spark.table(f"{table}_vecs")
+        .select(F.col("vec_id").alias("id_c"), F.col("qvec").alias("vc"))
+        .withColumn("nc2", _dot(F.col("vc"), F.col("vc")))
+    )
+    cand = cand.join(new_vecs, "id_n").join(corpus_vecs, "id_c")
+    cos = _dot(F.col("vn"), F.col("vc")).cast("double") / F.sqrt(
+        F.col("nn2").cast("double") * F.col("nc2").cast("double")
+    )
+    nc = (
+        cand.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .select(
+            F.least("id_n", "id_c").alias("id_a"),
+            F.greatest("id_n", "id_c").alias("id_b"),
+            "cos_sim",
+            F.lit("new_corpus").alias("pair_type"),
+        )
+    )
+    return nn.unionByName(nc)

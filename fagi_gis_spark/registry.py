@@ -916,17 +916,72 @@ def dedup_minhash_lsh(spark, sf_dir):
 _INCR_SPLIT_MOD = 5
 
 
-def _minhash_index_table(sf_dir: str) -> str:
-    """Content-keyed table name for the persisted corpus index: keyed by
-    the documents parquet's identity (path + size + mtime) so a
-    regenerated dataset can never read a stale index."""
+def _index_table_tag(sf_dir: str, dataset: str) -> str:
+    """Content key for a persisted corpus index: the source parquet's
+    identity (path + size + mtime), so a regenerated dataset can never
+    read a stale index."""
     import hashlib
     import os
 
-    p = f"{sf_dir.rstrip('/')}/documents.parquet"
+    p = f"{sf_dir.rstrip('/')}/{dataset}.parquet"
     st = os.stat(p)
-    tag = hashlib.md5(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode()).hexdigest()[:10]
-    return f"minhash_idx_{tag}"
+    return hashlib.md5(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode()).hexdigest()[:10]
+
+
+def _minhash_index_table(sf_dir: str) -> str:
+    return f"minhash_idx_{_index_table_tag(sf_dir, 'documents')}"
+
+
+def _ensure_index_tables(spark, specs: dict) -> bool:
+    """Re-register committed index dirs from a previous session (the
+    in-memory catalog does not survive sessions but the warehouse dirs
+    do; bucket ids live in file names, so bucketed reads work on the
+    re-registered external table).  Returns True when any table is
+    genuinely missing and must be BUILT.  Only a committed write
+    (job-level _SUCCESS marker) may be re-registered: a killed mid-write
+    run leaves partial files — stale uncommitted dirs are removed,
+    fresh ones (a concurrent writer) raise for a later retry."""
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    need_build = False
+    for t, (cols, cluster, sort) in specs.items():
+        if spark.catalog.tableExists(t):
+            continue
+        path = _os.path.join(wh, t)
+        if _os.path.isdir(path) and _os.path.exists(_os.path.join(path, "_SUCCESS")):
+            if cluster is None:
+                bucketing = ""
+            else:
+                sorted_by = f"SORTED BY {cluster} " if sort else ""
+                bucketing = f"CLUSTERED BY {cluster} {sorted_by}INTO 16 BUCKETS "
+            try:
+                spark.sql(
+                    f"CREATE TABLE {t} ({cols}) USING parquet "
+                    f"{bucketing}LOCATION '{path}'"
+                )
+            except Exception:
+                if not spark.catalog.tableExists(t):
+                    raise
+        else:
+            if _os.path.isdir(path):
+                newest = max(
+                    [e.stat().st_mtime for e in _os.scandir(path)] or [0],
+                    default=0,
+                )
+                newest = max(newest, _os.stat(path).st_mtime)
+                import time as _time
+
+                if _time.time() - newest < 600:
+                    raise RuntimeError(
+                        f"index path {path} has uncommitted recent writes "
+                        f"(possible concurrent build in progress); retry "
+                        f"after it commits, or remove the directory if it "
+                        f"is abandoned"
+                    )
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+            need_build = True
+    return need_build
 
 
 @register(
@@ -972,53 +1027,7 @@ def dedup_incremental_minhash(spark, sf_dir):
         # meta is written via pandas -> int64 columns; re-register as BIGINT
         f"{tbl}_meta": ("bands BIGINT, rows_per_band BIGINT", None, False),
     }
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    need_build = False
-    for t, (cols, cluster, sort) in specs.items():
-        if spark.catalog.tableExists(t):
-            continue
-        path = _os.path.join(wh, t)
-        # only a committed write (job-level _SUCCESS marker) may be
-        # re-registered: a killed mid-write run leaves partial files
-        if _os.path.isdir(path) and _os.path.exists(_os.path.join(path, "_SUCCESS")):
-            if cluster is None:
-                bucketing = ""
-            else:
-                sorted_by = f"SORTED BY {cluster} " if sort else ""
-                bucketing = f"CLUSTERED BY {cluster} {sorted_by}INTO 16 BUCKETS "
-            try:
-                spark.sql(
-                    f"CREATE TABLE {t} ({cols}) USING parquet "
-                    f"{bucketing}LOCATION '{path}'"
-                )
-            except Exception:
-                if not spark.catalog.tableExists(t):
-                    raise
-        else:
-            if _os.path.isdir(path):
-                # uncommitted dir: STALE (abandoned by a killed run) is
-                # rebuilt; FRESH likely belongs to a concurrent writer —
-                # deleting it would fail that run's job commit, so error
-                # out and let the caller retry after it commits
-                newest = max(
-                    [e.stat().st_mtime for e in _os.scandir(path)] or [0],
-                    default=0,
-                )
-                newest = max(newest, _os.stat(path).st_mtime)
-                import time as _time
-
-                if _time.time() - newest < 600:
-                    raise RuntimeError(
-                        f"index path {path} has uncommitted recent writes "
-                        f"(possible concurrent build in progress); retry "
-                        f"after it commits, or remove the directory if it "
-                        f"is abandoned"
-                    )
-                import shutil
-
-                shutil.rmtree(path, ignore_errors=True)
-            need_build = True
-    if need_build:
+    if _ensure_index_tables(spark, specs):
         corpus = docs.filter(F.col("doc_id") % _INCR_SPLIT_MOD != 0)
         try:
             build_minhash_index(minhash_signatures(corpus), tbl)
@@ -1031,6 +1040,51 @@ def dedup_incremental_minhash(spark, sf_dir):
     return incremental_minhash_pairs(
         minhash_signatures(new), tbl, jaccard_threshold=0.35
     )
+
+
+@register("dedup_incremental_cosine")  # LSH recall has no SQL oracle: rows-only
+def dedup_incremental_cosine(spark, sf_dir):
+    """Day-2 EMBEDDING dedup — the fourth quadrant of the incremental
+    family (exact digest / MinHash / banded-hamming / embedding-cosine):
+    near-dup pairs of a new vector batch against itself and a PERSISTED
+    hyperplane-bucket index (functions/ann.build_cosine_index).  Corpus
+    vectors are never rescanned; both the candidate join (bucket) and
+    the exact-verify re-attach (vec_id) read storage-bucketed tables
+    exchange-free, so cost scales with the batch.  Rows-only (LSH
+    candidate recall is not SQL-expressible); the pytest twin proves
+    incremental == full-batch cosine_near_dup_pairs restricted to pairs
+    touching a new vector, with bit-identical cos_sim."""
+    from fagi_gis_spark.functions.ann import (
+        build_cosine_index,
+        incremental_cosine_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    new = emb.filter(F.col("vec_id") % _INCR_SPLIT_MOD == 0)
+    tbl = f"cosine_idx_{_index_table_tag(sf_dir, 'embeddings')}"
+    specs = {
+        f"{tbl}_buckets": ("bucket BIGINT, vec_id BIGINT", "(bucket)", True),
+        f"{tbl}_vecs": ("vec_id BIGINT, qvec ARRAY<BIGINT>", "(vec_id)", True),
+        f"{tbl}_meta": (
+            "n_tables BIGINT, bits_per_table BIGINT, dim BIGINT, "
+            "quantize BIGINT, seed BIGINT",
+            None,
+            False,
+        ),
+    }
+    if _ensure_index_tables(spark, specs):
+        corpus = emb.filter(F.col("vec_id") % _INCR_SPLIT_MOD != 0)
+        try:
+            build_cosine_index(corpus, tbl, bits_per_table=6)
+        except Exception:
+            if not (
+                spark.catalog.tableExists(f"{tbl}_buckets")
+                and spark.catalog.tableExists(f"{tbl}_vecs")
+            ):
+                raise
+    return incremental_cosine_pairs(new, tbl, threshold=0.3)
 
 
 _SIMHASH_ORACLE = r"""

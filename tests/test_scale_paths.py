@@ -1151,3 +1151,55 @@ def test_stratified_sample_partition_invariant(spark):
             assert kept.get(lang, 0) == n          # under-mean: all kept
         else:
             assert kept.get(lang, 0) < n           # over-mean: downsampled
+
+
+def test_incremental_cosine_equals_full_batch(spark):
+    """Embedding-cosine day-2 (the fourth incremental-dedup quadrant): a
+    new batch against itself + the stored hyperplane-bucket index equals
+    the full-batch cosine_near_dup_pairs(blocking='lsh') restricted to
+    pairs touching a new vector, with bit-identical cos_sim — new-side
+    multiprobe covers both probe directions (flip adjacency is
+    symmetric).  Layout comes from the index meta; mismatch impossible
+    by construction (no caller-supplied layout)."""
+    import shutil
+
+    from fagi_gis_spark.functions.ann import (
+        build_cosine_index,
+        cosine_near_dup_pairs,
+        incremental_cosine_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    for t in ("test_cs_idx_buckets", "test_cs_idx_vecs", "test_cs_idx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    build_cosine_index(corpus, "test_cs_idx", bits_per_table=6)
+
+    thr = 0.3  # synthetic embeddings: neighbor cos ~0.29-0.4
+    got = {
+        (r.id_a, r.id_b, round(r.cos_sim, 12), r.pair_type)
+        for r in incremental_cosine_pairs(new, "test_cs_idx", threshold=thr).collect()
+    }
+    full = cosine_near_dup_pairs(
+        emb, threshold=thr, blocking="lsh", bits_per_table=6
+    ).collect()
+    want = {
+        (
+            r.id_a,
+            r.id_b,
+            round(r.cos_sim, 12),
+            "new_new" if (r.id_a % 5 == 0 and r.id_b % 5 == 0) else "new_corpus",
+        )
+        for r in full
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    assert got == want and len(got) > 0
+    assert any(t == "new_corpus" for (_, _, _, t) in got)
+    # re-ingesting ids already in the index emits no self-pairs
+    same = incremental_cosine_pairs(corpus.limit(20), "test_cs_idx", threshold=thr)
+    assert same.filter(F.col("id_a") == F.col("id_b")).count() == 0
+    # the corpus side of the candidate join reads pre-bucketed storage
+    plan = incremental_cosine_pairs(new, "test_cs_idx", threshold=thr)._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan
