@@ -356,3 +356,73 @@ def stream_exif_hex_rollup(
     return stream_hex_cell_counts(
         s, res=res, window=window, watermark=watermark, ts_col=ts_col
     )
+
+
+def stream_incremental_cosine(
+    stream: DataFrame,
+    index_table: str,
+    threshold: float = 0.8,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming day-2 for the embedding family: each ARRIVING vector is
+    checked against the stored ``build_cosine_index`` corpus.  The
+    hyperplane signature is a stateless Arrow projection, the bucket
+    probe (with new-side multiprobe — flip adjacency is symmetric, so
+    it covers both directions) is a stream-STATIC join against the
+    bucketed index, the exact integer-quantized cosine verifies per
+    candidate, and the only state is the per-pair aggregation
+    collapsing multi-bucket matches (cos_sim is identical on every
+    hit).  Output (vec_n, vec_c, cos_sim)."""
+    from fagi_gis_spark.functions.ann import _dot, hyperplane_signatures
+
+    spark = stream.sparkSession
+    meta = spark.table(f"{index_table}_meta").head()
+    n_tables, bits, dim = int(meta.n_tables), int(meta.bits_per_table), int(meta.dim)
+    quantize, seed = int(meta.quantize), int(meta.seed)
+
+    base = stream.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    sig = hyperplane_signatures(
+        base, n_tables=n_tables, bits_per_table=bits, dim=dim, seed=seed
+    )
+    # the arriving vector rides through the bucket probe (no second
+    # stream branch, no stateful dedup): quantization is a pure column
+    # transform — the identical rule the index build used
+    qn = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * quantize).cast("long")
+    )
+    sig = sig.withColumn("vn", qn).withColumn("nn2", _dot(F.col("vn"), F.col("vn")))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)],
+        )
+        l = sig.select(
+            F.explode(probes).alias("bucket"),
+            F.col("vec_id").alias("vec_n"),
+            "vn",
+            "nn2",
+        )
+    else:
+        l = sig.select("bucket", F.col("vec_id").alias("vec_n"), "vn", "nn2")
+    corpus = spark.table(f"{index_table}_buckets").select(
+        "bucket", F.col("vec_id").alias("vec_c")
+    )
+    vecs = (
+        spark.table(f"{index_table}_vecs")
+        .select(F.col("vec_id").alias("vec_c"), F.col("qvec").alias("vc"))
+        .withColumn("nc2", _dot(F.col("vc"), F.col("vc")))
+    )
+    cos = _dot(F.col("vn"), F.col("vc")).cast("double") / F.sqrt(
+        F.col("nn2").cast("double") * F.col("nc2").cast("double")
+    )
+    return (
+        l.join(corpus, "bucket")
+        .filter(F.col("vec_n") != F.col("vec_c"))  # re-ingested ids: no self-pairs
+        .join(vecs, "vec_c")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .groupBy("vec_n", "vec_c")
+        .agg(F.min("cos_sim").alias("cos_sim"))
+    )

@@ -1203,3 +1203,49 @@ def test_incremental_cosine_equals_full_batch(spark):
     # the corpus side of the candidate join reads pre-bucketed storage
     plan = incremental_cosine_pairs(new, "test_cs_idx", threshold=thr)._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount" in plan
+
+
+def test_stream_incremental_cosine_matches_batch(spark, tmp_path):
+    """Streaming day-2 for the embedding family: arriving vectors vs the
+    stored hyperplane-bucket index equal the batch incremental path's
+    new-corpus pairs exactly (same cos_sim) — the whole plan is
+    stateless stream-static joins plus one per-pair collapse."""
+    from fagi_gis_spark.functions.ann import (
+        build_cosine_index,
+        incremental_cosine_pairs,
+    )
+    from fagi_gis_spark.streaming.windowed import (
+        start_memory_sink,
+        stream_incremental_cosine,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    if not spark.catalog.tableExists("test_cs_idx_meta"):
+        build_cosine_index(corpus, "test_cs_idx", bits_per_table=6)
+
+    src = str(tmp_path / "vec_stream_src")
+    new.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    out = stream_incremental_cosine(stream, "test_cs_idx", threshold=0.3)
+    q = start_memory_sink(out, "cs_day2_out", output_mode="complete")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.vec_n, r.vec_c, round(r.cos_sim, 12))
+        for r in spark.sql("SELECT * FROM cs_day2_out").collect()
+    }
+    want = {
+        (
+            r.id_a if r.id_a % 5 == 0 else r.id_b,
+            r.id_b if r.id_a % 5 == 0 else r.id_a,
+            round(r.cos_sim, 12),
+        )
+        for r in incremental_cosine_pairs(new, "test_cs_idx", threshold=0.3)
+        .filter(F.col("pair_type") == "new_corpus")
+        .collect()
+    }
+    assert got == want and len(got) > 0
