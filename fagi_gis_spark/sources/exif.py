@@ -203,7 +203,9 @@ def parse_exif(payload: bytes) -> dict | None:
                         md = -md
                 out[key] = md
         return out
-    except (struct.error, IndexError, UnicodeDecodeError):
+    except (struct.error, IndexError, UnicodeDecodeError, ZeroDivisionError):
+        # ZeroDivisionError: a malformed GPS rational with denominator 0
+        # (seen in the wild) must skip, not kill the Arrow batch
         return None
 
 

@@ -1187,3 +1187,16 @@ def test_image_clean_corpus_collapses_injected_duplicates(spark):
         assert (orig in ids) != (dup in ids), (orig, dup)
     # non-duplicated images all survive untouched
     assert all(f"img_{i:08d}" in ids for i in range(1, 1000, 10))
+
+
+def test_exif_zero_denominator_skips():
+    """A malformed GPS rational with denominator 0 (seen in real
+    corpora) must parse to None — never raise into the Arrow batch."""
+    import struct
+
+    from fagi_gis_spark.sources.exif import build_exif, parse_exif
+
+    p = bytearray(build_exif(51000000, 500000))
+    tail = len(p) - 48  # 6 rationals (lat 3 + lon 3) close the payload
+    struct.pack_into("<I", p, tail + 4, 0)  # lat deg denominator -> 0
+    assert parse_exif(bytes(p)) is None
