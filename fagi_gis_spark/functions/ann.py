@@ -737,6 +737,22 @@ def build_cosine_index(
     from fagi_gis_spark.functions.dedup import _write_index_meta
 
     spark = emb.sparkSession
+    have = {
+        part: spark.catalog.tableExists(f"{table}_{part}")
+        for part in ("buckets", "vecs", "meta")
+    }
+    if mode == "errorifexists":
+        if all(have.values()):
+            return  # complete index: nothing to do, no count() job
+        if have["buckets"] and not have["meta"]:
+            # a crashed build left buckets without their layout record:
+            # auto bits would re-resolve against TODAY'S corpus size and
+            # could mismatch the stored keys — exactly the silent recall
+            # loss the meta guard exists to prevent
+            raise RuntimeError(
+                f"index {table} is partial (buckets without meta) — drop "
+                f"{table}_buckets/{table}_vecs and rebuild"
+            )
     if bits_per_table == "auto":
         import math
 
@@ -835,8 +851,22 @@ def incremental_cosine_pairs(
         # a retried batch whose ids already folded into the index must
         # not emit self-pairs
         .filter(F.col("id_n") != F.col("id_c"))
+        # dedup on the CANONICAL pair while keeping the (batch, corpus)
+        # roles: when both members are in the batch AND the index
+        # (re-ingest), the probe yields both directions — directed
+        # dedup would keep both and double-emit; either survivor's
+        # roles resolve (both ids exist on both vector sides then)
+        .withColumn("__pa", F.least("id_n", "id_c"))
+        .withColumn("__pb", F.greatest("id_n", "id_c"))
+        .dropDuplicates(["__pa", "__pb"])
+        # ...and the batch-internal branch already reports such pairs
+        # as new_new; the corpus echo would be a duplicate row
+        .join(
+            nn.select(F.col("id_a").alias("__pa"), F.col("id_b").alias("__pb")),
+            ["__pa", "__pb"],
+            "left_anti",
+        )
         .select("id_n", "id_c")
-        .dropDuplicates(["id_n", "id_c"])
     )
     new_vecs = (
         _quantized(base, "vec_id", "embedding", quantize)

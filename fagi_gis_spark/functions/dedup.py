@@ -424,8 +424,20 @@ def incremental_minhash_pairs(
             ["band", "bucket"],
         )
         .filter(F.col("doc_n") != F.col("doc_c"))
+        # dedup on the CANONICAL pair, keeping the (batch, corpus) roles
+        # for the signature joins: a re-ingested pair whose both members
+        # are in the batch AND the index arrives in both directions
+        .withColumn("__pa", F.least("doc_n", "doc_c"))
+        .withColumn("__pb", F.greatest("doc_n", "doc_c"))
+        .dropDuplicates(["__pa", "__pb"])
+        # ...and such pairs are already reported as new_new — the
+        # corpus echo would be a duplicate row
+        .join(
+            nn.select(F.col("doc_a").alias("__pa"), F.col("doc_b").alias("__pb")),
+            ["__pa", "__pb"],
+            "left_anti",
+        )
         .select("doc_n", "doc_c")
-        .dropDuplicates()
     )
     nc = (
         nc_cand.join(
@@ -665,15 +677,22 @@ def incremental_hamming_pairs(
         )
         # re-ingested ids (retried batch already folded in) are not pairs
         .filter(F.col("doc_n") != F.col("doc_c"))
-        .dropDuplicates(["doc_n", "doc_c"])
-        .withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
+        # dedup on the CANONICAL pair: a re-ingested pair whose both
+        # members are in the batch AND the index arrives in both
+        # directions — directed dedup would keep both rows
         .select(
             F.least("doc_n", "doc_c").alias("doc_a"),
             F.greatest("doc_n", "doc_c").alias("doc_b"),
-            "hamming",
-            F.lit("new_corpus").alias("pair_type"),
+            F.col("h_n"),
+            F.col("h_c"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
+        # ...and such pairs are already reported as new_new by the
+        # batch-internal branch; the corpus echo would be a duplicate
+        .join(nn.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming", F.lit("new_corpus").alias("pair_type"))
     )
     return nn.unionByName(nc)
 

@@ -77,22 +77,39 @@ def image_poi_layers(images: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def exif_time_key(dt: Column) -> Column:
-    """Monotone integer key for the corpus's EXIF DateTime strings
+    """Monotone integer key for EXIF DateTime strings
     ("yyyy:MM:dd HH:mm:ss"): a calendar-free fixed-radix encoding
-    (month*31+day, then base-24/60/60) — pure substring + cast column
-    math, identical in any SQL engine, no timezone/calendar semantics
-    to diverge on.  Real-world data would use to_timestamp; for
-    same-format strings this key orders identically."""
+    (year, month, 31-slot day, then base-24/60/60) — pure substring +
+    cast column math, identical in any SQL engine, no timezone/calendar
+    semantics to diverge on.  Ordering matches chronological order for
+    same-format strings (the radix includes the YEAR — frames a year
+    apart must never key near each other).  Gap arithmetic is
+    conservative at month boundaries: the 31-slot day radix makes a
+    cross-boundary gap read LARGER than real, which can split (never
+    merge) a burst spanning midnight on the 30th/31st — burst dedup
+    errs toward keeping frames.  Real-world data wanting exact gaps
+    would use to_timestamp; this key exists for engine-exact parity."""
+    # long from the first term: the radix product tops int32 at the
+    # minutes stage (ANSI mode raises on int overflow, never wraps)
+    year = F.substring(dt, 1, 4).cast("long")
     month = F.substring(dt, 6, 2).cast("int")
     day = F.substring(dt, 9, 2).cast("int")
     hour = F.substring(dt, 12, 2).cast("int")
     minute = F.substring(dt, 15, 2).cast("int")
     sec = F.substring(dt, 18, 2).cast("int")
     return (
-        ((((month * F.lit(31) + day) * F.lit(24) + hour) * F.lit(60) + minute)
-         * F.lit(60) + sec)
-        .cast("long")
-    )
+        (
+            (
+                ((year * F.lit(12) + month - F.lit(1)) * F.lit(31) + day - F.lit(1))
+                * F.lit(24)
+                + hour
+            )
+            * F.lit(60)
+            + minute
+        )
+        * F.lit(60)
+        + sec
+    ).cast("long")
 
 
 def burst_groups(parsed: DataFrame, res: int = 9, gap_s: int = 300) -> DataFrame:

@@ -1521,14 +1521,17 @@ def image_clean_corpus(spark, sf_dir):
     )
     from fagi_gis_spark.sources.images import generate_images
 
-    base = generate_images(spark, 1000, partitions=8)
+    # persist the GENERATOR output (the expensive side: JPEG entropy
+    # encode + EXIF embed per row) — persisting the union instead would
+    # fill the cache by running the generator once per union branch
+    base = generate_images(spark, 1000, partitions=8).persist()
     # inject exact duplicates (every 10th image re-ingested under a new
     # id, bytes identical — the re-scrape case): the clean pipeline must
     # collapse each pair to ONE surviving row
     dups = base.filter(
         F.substring("image_id", 5, 8).cast("int") % 10 == 0
     ).withColumn("image_id", F.concat(F.lit("dup:"), F.col("image_id")))
-    imgs = base.unionByName(dups).persist()
+    imgs = base.unionByName(dups)
     q = quality_stats(imgs).filter(F.col("quality_ok")).select(
         "image_id", "lap_var", "entropy_bits"
     )
@@ -1875,11 +1878,13 @@ def _image_burst_dedup_oracle() -> str:
         f"FROM read_parquet('{_IMAGES_ORACLE_PATH}/*.parquet')"
     )
     # the same calendar-free fixed-radix key as operators/geotag.
-    # exif_time_key, computed directly from the id's integer (the
-    # generator's datetime formula) — integer math end to end
+    # exif_time_key (year included), computed directly from the id's
+    # integer (the generator's datetime formula: year pinned to 2023,
+    # month 1+i%12, day 1+i%28) — integer math end to end
     ts = (
-        "(((((1 + i % 12) * 31 + (1 + i % 28)) * 24 + i % 24) * 60 "
-        "+ i % 60) * 60 + (i * 7) % 60)"
+        "(((((CAST(2023 AS BIGINT) * 12 + (1 + i % 12) - 1) * 31 "
+        "+ (1 + i % 28) - 1) * 24 "
+        "+ i % 24) * 60 + i % 60) * 60 + (i * 7) % 60)"
     )
     cells = hex_cell_sql(
         "SELECT image_id, lon_microdeg / 1e6 AS lon, lat_microdeg / 1e6 AS lat "

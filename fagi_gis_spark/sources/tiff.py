@@ -18,6 +18,7 @@ _T_LONG = 4
 
 _W, _H, _BPS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
+_PLANAR = 284
 
 
 def _entries(data: bytes, e: str, off: int) -> dict[int, tuple[int, int, int]]:
@@ -68,6 +69,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError(f"compressed TIFF (Compression={comp}) not supported")
     if photo not in (0, 1, 2) or spp not in (1, 3):
         raise ValueError(f"TIFF photometric {photo}/spp {spp} not supported")
+    if one(_PLANAR, 1) != 1:
+        # planar (RRR..GGG..BBB) strips would reshape to garbled pixels
+        # while passing every other guard — refuse, don't garble
+        raise ValueError("planar-configuration TIFF not supported")
     typ, cnt, voff = f[_BPS]
     if any(b != 8 for b in _values(data, e, typ, cnt, voff)):
         raise ValueError("only 8-bit TIFF samples supported")

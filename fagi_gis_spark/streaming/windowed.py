@@ -374,7 +374,11 @@ def stream_incremental_cosine(
     bucketed index, the exact integer-quantized cosine verifies per
     candidate, and the only state is the per-pair aggregation
     collapsing multi-bucket matches (cos_sim is identical on every
-    hit).  Output (vec_n, vec_c, cos_sim)."""
+    hit).  Output (vec_n, vec_c, cos_sim) — DIRECTIONAL by design
+    (each arriving vector reports its corpus matches, like the hamming
+    twin): if a retried batch re-ingests BOTH members of an indexed
+    pair, each direction appears once; the batch day-2 path
+    (incremental_cosine_pairs) canonicalizes instead."""
     from fagi_gis_spark.functions.ann import _dot, hyperplane_signatures
 
     spark = stream.sparkSession

@@ -1223,6 +1223,14 @@ def test_stream_incremental_cosine_matches_batch(spark, tmp_path):
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     new = emb.filter(F.col("vec_id") % 5 == 0)
     if not spark.catalog.tableExists("test_cs_idx_meta"):
+        # standalone run in a fresh session: stale warehouse dirs from a
+        # previous run are invisible to the in-memory catalog but block
+        # saveAsTable — clear them before building
+        import shutil
+
+        for t in ("test_cs_idx_buckets", "test_cs_idx_vecs", "test_cs_idx_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
         build_cosine_index(corpus, "test_cs_idx", bits_per_table=6)
 
     src = str(tmp_path / "vec_stream_src")
