@@ -37,6 +37,8 @@ AUDIT = [
     ("corpus_stratified_sample", "stratified sampling (tiny-key agg, broadcast rates, codegen gate)"),
     ("image_exif_geotag", "EXIF parse from bytes (one header-only Arrow pass) + JVM hex assignment"),
     ("image_burst_dedup", "EXIF geo-temporal burst windows (lag + running sum, all JVM after parse)"),
+    ("image_exif_poi_join", "EXIF probe side of the salted cell-bucketed radius join vs poi_a"),
+    ("dedup_incremental_cosine", "day-2 cosine: bucketed index probe + exchange-free exact verify"),
 ]
 
 
