@@ -1961,6 +1961,65 @@ def image_orientation_normalize(spark, sf_dir):
     )
 
 
+@register("multimodal_frame_sample")  # codec-side decode: rows-only
+def multimodal_frame_sample(spark, sf_dir):
+    """REAL multi-frame sampling (the frame_sample plumbing with a real
+    codec behind it): a corpus of animated GIFs — 4 frames each, built
+    from the deterministic tiles — flows through gif_frame_sample
+    (decode all frames, keep every 2nd, re-encode PNG).  The video
+    demuxer remains the one sanctioned stub; GIF animations exercise
+    the full decode -> sample -> re-encode arrow for real.  Rows-only;
+    the pytest twin checks sampled frames pixel-exact against
+    driver-side decode, JDK ImageIO per-frame interop covers the
+    codec."""
+    import pandas as pd_  # noqa: F401
+
+    from fagi_gis_spark.operators.multimodal import gif_frame_sample
+    from fagi_gis_spark.sources.gif import encode_gif_animation
+    from fagi_gis_spark.sources.images import IMAGES_SCHEMA, _pixels_for
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                frames = [
+                    np.roll(_pixels_for(i, 24, 16), shift, axis=1)
+                    for shift in (0, 2, 4, 6)
+                ]
+                rows.append(
+                    (
+                        f"anim_{i:08d}",
+                        encode_gif_animation(frames),
+                        24,
+                        16,
+                        "gif",
+                        "",
+                        0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    import numpy as np
+
+    anims = (
+        spark.range(0, 300, 1, 8)
+        .withColumnRenamed("id", "i")
+        .mapInPandas(gen, schema=IMAGES_SCHEMA)
+    )
+    sampled = gif_frame_sample(anims, every_n=2)
+    return sampled.groupBy("frame_idx").agg(
+        F.count("*").alias("n"),
+        F.min("n_frames").alias("min_frames"),
+        F.max("n_frames").alias("max_frames"),
+    )
+
+
 @register("multimodal_format_ingest")  # codec-side decode: rows-only
 def multimodal_format_ingest(spark, sf_dir):
     """Container-dispatch ingest over the realistic crawl mix: a corpus

@@ -1,10 +1,11 @@
 """From-scratch GIF87a/89a decode + encode — public GIF spec (CompuServe
 1989 / W3C note) LZW with variable code width.
 
-Decode covers what a crawler actually meets in still images: global and
-local color tables, interlaced (4-pass) and sequential images, GCE
-transparency ignored (alpha is out of the engine's typed surface), the
-FIRST image of an animation (the corpus treats GIFs as stills).  The
+Decode covers what a crawler actually meets: global and local color
+tables, interlaced (4-pass) and sequential images, and ANIMATIONS —
+``decode_gif`` returns the first composited canvas (the still view),
+``decode_gif_frames`` every frame with disposal none/background and GCE
+transparency honored (alpha itself stays out of the typed surface).  The
 LZW inner loop is per-code Python over small dictionaries — the same
 honest trade the JPEG entropy decoder makes; batches stay Arrow-sized.
 
@@ -176,4 +177,114 @@ def encode_gif_gray(px: np.ndarray) -> bytes:
         out.append(len(block))
         out += block
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """ALL frames of a GIF87a/89a stream (animation support): each image
+    block decodes at its own position/size/color-table and composites
+    onto the logical-screen canvas.  Disposal semantics cover the two
+    methods real still-burst GIFs use — "none/keep" (default: frames
+    paint over the previous canvas) and "restore to background" (method
+    2: the frame's own rect clears before the NEXT frame paints);
+    transparency (GCE flag) leaves underlying pixels visible.  Returns a
+    list of (h, w) gray or (h, w, 3) RGB uint8 canvases, one per frame.
+    ``decode_gif`` stays the single-frame fast path (first canvas)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # Graphic Control Extension
+                packed = data[pos + 1]
+                disposal = (packed >> 2) & 7
+                transparent = data[pos + 4] if packed & 1 else None
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        x, y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            ct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image without a color table")
+        min_code = data[pos]
+        pos += 1
+        chunks = []
+        while data[pos] != 0:
+            ln = data[pos]
+            chunks.append(data[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(min_code, b"".join(chunks), w * h).reshape(h, w)
+        if iflags & 0x40:
+            rows = np.concatenate(
+                [np.arange(start, h, step) for start, step in _INTERLACE_PASSES]
+            )
+            deinter = np.empty_like(idx)
+            deinter[rows] = idx
+            idx = deinter
+        rect = canvas[y : y + h, x : x + w]
+        if transparent is not None:
+            opaque = idx != transparent
+            rect[opaque] = ct[idx][opaque]
+        else:
+            rect[...] = ct[idx]
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore the frame rect to background
+            canvas[y : y + h, x : x + w] = bg_rgb
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    out = []
+    for f in frames:
+        if (f[..., 0] == f[..., 1]).all() and (f[..., 1] == f[..., 2]).all():
+            out.append(np.ascontiguousarray(f[..., 0]))
+        else:
+            out.append(np.ascontiguousarray(f))
+    return out
+
+
+def encode_gif_animation(frames: list[np.ndarray]) -> bytes:
+    """Multi-frame GIF89a (gray frames, full-canvas, disposal none) —
+    the untabled-LZW writer applied per frame."""
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+    for v in range(256):
+        out += bytes((v, v, v))
+    for px in frames:
+        if px.shape != (h, w):
+            raise ValueError("all frames must share the canvas size")
+        # GCE: disposal none, no transparency, 10cs delay
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        one = encode_gif_gray(px)
+        # splice the image block (descriptor..terminator) out of the
+        # single-frame writer's output: after header+LSD+GCT
+        start = 6 + 7 + 768
+        out += one[start:-1]  # keep the 0x00 block terminator, drop the trailer
+    out += b"\x3b"
     return bytes(out)
