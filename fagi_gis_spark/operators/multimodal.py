@@ -523,3 +523,60 @@ def gif_frame_sample(images: DataFrame, every_n: int = 2) -> DataFrame:
         op,
         schema="image_id string, frame_idx int, n_frames int, frame_png binary",
     )
+
+
+def audio_stats(audio: DataFrame) -> DataFrame:
+    """Audio feature extraction over opaque WAV payloads — the audio
+    column's REAL decode path (sources/wav.py: RIFF/PCM needs no codec
+    library): duration, RMS level, peak, zero-crossing rate and channel
+    count per clip, all vectorized numpy over the decoded sample matrix.
+    Compressed audio stays behind the decode_ok=false idiom."""
+    from fagi_gis_spark.sources.wav import decode_wav
+
+    def op(batches):
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for clip_id, data in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    samples, rate = decode_wav(bytes(data))
+                except (ValueError, struct.error, IndexError):
+                    rows.append((clip_id, False, None, None, None, None, None))
+                    continue
+                f = samples.astype(np.float64)
+                if samples.dtype == np.uint8:
+                    f -= 128.0
+                mono = f.mean(axis=1)
+                zc = 0.0
+                if len(mono) > 1:
+                    zc = float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean())
+                rows.append(
+                    (
+                        clip_id,
+                        True,
+                        float(len(samples) / rate),
+                        float(np.sqrt((f**2).mean())),
+                        float(np.abs(f).max()) if f.size else 0.0,
+                        zc,
+                        int(samples.shape[1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id",
+                    "decode_ok",
+                    "duration_s",
+                    "rms",
+                    "peak",
+                    "zero_cross_rate",
+                    "channels",
+                ],
+            )
+
+    return audio.select("clip_id", "bytes").mapInPandas(
+        op,
+        schema="clip_id string, decode_ok boolean, duration_s double, "
+        "rms double, peak double, zero_cross_rate double, channels int",
+    )

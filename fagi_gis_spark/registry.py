@@ -2020,6 +2020,51 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+@register("multimodal_audio_stats")  # codec-side decode: rows-only
+def multimodal_audio_stats(spark, sf_dir):
+    """REAL audio ingest (the audio binary column's decode path —
+    sources/wav.py RIFF/PCM, no codec library involved): a deterministic
+    corpus of WAV clips (seeded tone + noise, varying rate/channels)
+    flows through operators/multimodal.audio_stats for duration / RMS /
+    peak / zero-crossing features.  Rows-only; the pytest twin anchors
+    the features on closed-form clips (silence, full-scale square) and
+    proves javax.sound interop both directions."""
+    from fagi_gis_spark.operators.multimodal import audio_stats
+    from fagi_gis_spark.sources.wav import encode_wav
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                rng = np.random.default_rng(1000 + i)
+                rate = (8000, 16000, 22050)[i % 3]
+                ch = 1 + i % 2
+                n = 400 + (i % 7) * 100
+                t = np.arange(n)[:, None]
+                tone = 8000.0 * np.sin(2 * np.pi * (110.0 + i) * t / rate)
+                noise = rng.integers(-2000, 2000, size=(n, ch))
+                clip = np.clip(tone + noise, -32768, 32767).astype(np.int16)
+                rows.append((f"clip_{i:06d}", encode_wav(clip, rate)))
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes"])
+
+    clips = (
+        spark.range(0, 500, 1, 8)
+        .withColumnRenamed("id", "i")
+        .mapInPandas(gen, schema="clip_id string, bytes binary")
+    )
+    stats = audio_stats(clips)
+    return stats.groupBy("channels").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("decode_ok").cast("int")).alias("n_decoded"),
+        F.avg("duration_s").alias("avg_duration_s"),
+        F.avg("zero_cross_rate").alias("avg_zcr"),
+    )
+
+
 @register("multimodal_format_ingest")  # codec-side decode: rows-only
 def multimodal_format_ingest(spark, sf_dir):
     """Container-dispatch ingest over the realistic crawl mix: a corpus

@@ -1276,3 +1276,67 @@ def test_animated_gif_frames_and_real_frame_sampling(spark):
         r = by_key[("anim_0", idx)]
         assert r["n_frames"] == 5
         assert (decode_png_gray(bytes(r["frame_png"])) == frames[idx]).all()
+
+
+def test_wav_codec_and_audio_stats(spark):
+    """WAV/PCM (sources/wav.py): round-trips, javax.sound interop BOTH
+    directions (the JVM's audio stack is an independent implementation),
+    chunk-walk robustness (LIST chunk skipped, EXTENSIBLE unwrapped),
+    and audio_stats anchored on closed-form clips."""
+    import pandas as pd
+    import struct as _struct
+
+    from fagi_gis_spark.operators.multimodal import audio_stats
+    from fagi_gis_spark.sources.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(14)
+    s = rng.integers(-32768, 32767, size=(500, 2)).astype(np.int16)
+    data = encode_wav(s, 16000)
+
+    jvm = spark._jvm
+    # ours -> JDK
+    ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        jvm.java.io.ByteArrayInputStream(data)
+    )
+    f = ais.getFormat()
+    assert f.getChannels() == 2 and int(f.getSampleRate()) == 16000
+    assert f.getSampleSizeInBits() == 16
+    buf = bytes(ais.readAllBytes())  # py4j copies arg arrays: read(buf) can't mutate back
+    assert len(buf) == 500 * 4
+    jdk_samples = np.frombuffer(buf, dtype="<i2").reshape(500, 2)
+    assert (jdk_samples == s).all()
+    # JDK -> ours: write the same samples through AudioSystem
+    fmt = jvm.javax.sound.sampled.AudioFormat(16000.0, 16, 2, True, False)
+    raw = s.astype("<i2").tobytes()
+    ais2 = jvm.javax.sound.sampled.AudioInputStream(
+        jvm.java.io.ByteArrayInputStream(raw), fmt, 500
+    )
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ftype = jvm.javax.sound.sampled.AudioFileFormat.Type.WAVE
+    jvm.javax.sound.sampled.AudioSystem.write(ais2, ftype, baos)
+    got, rate = decode_wav(bytes(baos.toByteArray()))
+    assert rate == 16000 and (got == s).all()
+
+    # chunk walk: LIST chunk between fmt and data is skipped
+    body = data[12:]
+    listed = data[:12] + b"LIST" + _struct.pack("<I", 4) + b"INFO" + body
+    got2, _ = decode_wav(listed)
+    assert (got2 == s).all()
+
+    # closed-form anchors through the Spark operator
+    silence = np.zeros((1600, 1), np.int16)
+    square = np.tile(np.array([[20000], [-20000]], np.int16), (800, 1))
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["silence", "square", "corrupt"],
+            "bytes": [encode_wav(silence, 16000), encode_wav(square, 16000), b"RIFFjunk"],
+        }
+    )
+    out = {r["clip_id"]: r for r in audio_stats(spark.createDataFrame(pdf)).collect()}
+    sil = out["silence"]
+    assert sil["decode_ok"] and sil["rms"] == 0.0 and sil["zero_cross_rate"] == 0.0
+    assert sil["duration_s"] == 0.1
+    sq = out["square"]
+    assert sq["rms"] == 20000.0 and sq["peak"] == 20000.0
+    assert abs(sq["zero_cross_rate"] - 1.0) < 1e-9  # flips every sample
+    assert out["corrupt"]["decode_ok"] is False
