@@ -165,6 +165,127 @@ def pack_documents(
     )
 
 
+def word_ngram_col(words: Column, n: int) -> Column:
+    """Word ``n``-grams from a split-words array, entirely in whole-stage
+    codegen (``transform(sequence(...), slice + concat_ws)``) — no UDF, no
+    self-join.  Documents shorter than ``n`` words yield an empty array
+    (``sequence`` would otherwise count DOWN and fabricate grams)."""
+    if n == 1:
+        return words
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast(T.ArrayType(T.StringType()))
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3),
+    max_top_frac: float = 0.20,
+    max_dup_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition filter signals (Rae et al. 2021, table A1):
+    for each word-``n``-gram size, the fraction of gram occurrences that
+    are duplicates (``dup_{n}gram_frac``) and the fraction taken by the
+    single most frequent gram (``top_{n}gram_frac``).  ``repetition_ok``
+    gates on top-gram share for the smallest n and duplicate share for the
+    largest n — the classic "same phrase repeated" spam signal a
+    training-data pipeline filters before tokenization.
+
+    Scale shape: one gram explode (codegen ``transform`` + ``explode``),
+    one partially-aggregated groupBy on (doc_id, n, gram) — the map-side
+    combine collapses per-doc repeats before the shuffle — then a groupBy
+    on doc_id alone.  No UDFs, no self-joins, row count always equals the
+    input (docs with < min(ns) words come back with fracs of 0.0).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    grams = None
+    for n in ns:
+        part = base.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(word_ngram_col(F.col("w"), n)).alias("gram"),
+        )
+        grams = part if grams is None else grams.unionAll(part)
+    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    aggs = []
+    for n in ns:
+        cn = F.when(F.col("n") == n, F.col("c"))
+        tot = F.sum(cn)
+        aggs.append(
+            F.round(F.coalesce((tot - F.count(cn)) / tot, F.lit(0.0)), 6).alias(
+                f"dup_{n}gram_frac"
+            )
+        )
+        aggs.append(
+            F.round(F.coalesce(F.max(cn) / tot, F.lit(0.0)), 6).alias(f"top_{n}gram_frac")
+        )
+    sig = counts.groupBy("doc_id").agg(*aggs)
+    out = df.select(F.col(id_col).alias("doc_id")).join(sig, "doc_id", "left")
+    frac_cols = [c for c in sig.columns if c != "doc_id"]
+    for c in frac_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    ok = (F.col(f"top_{ns[0]}gram_frac") <= max_top_frac) & (
+        F.col(f"dup_{ns[-1]}gram_frac") <= max_dup_frac
+    )
+    return out.withColumn("repetition_ok", ok.cast("int"))
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-``n``-gram with a held-out benchmark/eval set (the standard
+    n-gram-overlap decontamination step, e.g. GPT-3 appendix C uses
+    13-grams; this synthetic corpus's ~40-word vocabulary needs a smaller
+    default to exercise the path).
+
+    Scale shape: the benchmark side is eval suites — tiny relative to the
+    corpus — so its distinct gram set broadcasts (``broadcast_bench``,
+    default on) and the training corpus never shuffles: gram explode →
+    broadcast hash join → per-doc distinct-hit count.  Set
+    ``broadcast_bench=False`` for a giant benchmark side to fall back to a
+    shuffle join.  Output keeps every training doc (left join):
+    (doc_id, n_hit_grams, contaminated).
+    """
+
+    def grams(d: DataFrame) -> DataFrame:
+        w = F.split(F.trim(F.col(text_col)), r"\s+")
+        return d.select(
+            F.col(id_col).alias("doc_id"), F.explode(word_ngram_col(w, n)).alias("gram")
+        )
+
+    bg = grams(bench).select("gram").distinct()
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    hits = (
+        grams(train)
+        .join(bg, "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_grams"), F.lit(0).cast("long")).alias("n_hit_grams"),
+            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     strata_col: str = "lang",

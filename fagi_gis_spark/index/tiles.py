@@ -63,6 +63,54 @@ def cell_id_col(lon: Column, lat: Column, z: int) -> Column:
     )
 
 
+def pixel_x_col(lon: Column, z: int, px: int) -> Column:
+    """Pixel column within the tile (0..px-1): the fractional part of the
+    continuous tile coordinate times ``px``.  Same double math as
+    :func:`tile_x_col`, so a point's (tile, pixel) pair is consistent."""
+    n = float(2**z)
+    fx = (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)
+    return F.floor((fx - F.floor(fx)) * F.lit(float(px))).cast("long")
+
+
+def pixel_y_col(lat: Column, z: int, px: int) -> Column:
+    n = float(2**z)
+    rad = F.radians(F.greatest(F.lit(-MAX_LAT), F.least(F.lit(MAX_LAT), lat)))
+    fy = (
+        (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi))
+        / F.lit(2.0)
+        * F.lit(n)
+    )
+    return F.floor((fy - F.floor(fy)) * F.lit(float(px))).cast("long")
+
+
+def pixel_x_sql(lon_expr: str, z: int, px: int) -> str:
+    n = float(2**z)
+    fx = f"(({lon_expr} + 180.0) / 360.0 * {n!r})"
+    return f"CAST(floor(({fx} - floor({fx})) * {float(px)!r}) AS BIGINT)"
+
+
+def pixel_y_sql(lat_expr: str, z: int, px: int) -> str:
+    n = float(2**z)
+    clamped = f"greatest(-{MAX_LAT!r}, least({MAX_LAT!r}, {lat_expr}))"
+    fy = (
+        f"((1.0 - ln(tan(radians({clamped})) + 1.0/cos(radians({clamped})))"
+        f" / pi()) / 2.0 * {n!r})"
+    )
+    return f"CAST(floor(({fy} - floor({fy})) * {float(px)!r}) AS BIGINT)"
+
+
+def pixel_xy_np(
+    lon: np.ndarray, lat: np.ndarray, z: int, px: int
+) -> tuple[np.ndarray, np.ndarray]:
+    n = float(2**z)
+    fx = (lon + 180.0) / 360.0 * n
+    rad = np.radians(np.clip(lat, -MAX_LAT, MAX_LAT))
+    fy = (1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / math.pi) / 2.0 * n
+    x = np.floor((fx - np.floor(fx)) * px).astype(np.int64)
+    y = np.floor((fy - np.floor(fy)) * px).astype(np.int64)
+    return x, y
+
+
 # ---------------------------------------------------------------- numpy side
 def tile_xy_np(lon: np.ndarray, lat: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
     n = float(2**z)

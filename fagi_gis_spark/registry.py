@@ -93,6 +93,12 @@ _GATE_DEMOTED = [
     # took an oracle-backed slot: stable since r1, driver-green in r4,
     # code untouched this round
     "events_sessionize",
+    # demoted when doc_repetition, doc_decontaminate, and tile_heatmap
+    # (new, need driver certification) took oracle-backed slots: all
+    # three below were driver-green in BOTH r3 and r4 and their
+    # implementation files (filters.py, fusion.py, metadata.py) are
+    # untouched this round
+    "links_type_filter", "fuse_cluster_keep_b", "metadata_rest_properties",
 ]
 
 
@@ -396,6 +402,43 @@ def tile_assign(spark, sf_dir):
         .select("subject", F.explode(F.array(*parts)).alias("t"))
         .select("subject", F.col("t.z").cast("int").alias("z"), "t.x", "t.y")
     )
+
+
+_HEAT_Z, _HEAT_PX = 9, 64
+
+
+@register(
+    "tile_heatmap",
+    _o(
+        f"SELECT {tiles.tile_x_sql('lon', _HEAT_Z)} AS x,\n"
+        f"       {tiles.tile_y_sql('lat', _HEAT_Z)} AS y,\n"
+        f"       {tiles.pixel_x_sql('lon', _HEAT_Z, _HEAT_PX)} AS px_x,\n"
+        f"       {tiles.pixel_y_sql('lat', _HEAT_Z, _HEAT_PX)} AS px_y,\n"
+        "       count(*) AS cnt\n"
+        "FROM poi_a GROUP BY 1, 2, 3, 4"
+    ),
+)
+def tile_heatmap_q(spark, sf_dir):
+    """Rasterized density: per-(tile, pixel) point counts at z=9 with a
+    64x64 grid — the aggregation half of the geo→image heatmap sink.
+    One codegen projection + one partially-aggregated groupBy."""
+    from fagi_gis_spark.operators.heatmap import tile_heatmap
+
+    L = layers(spark, sf_dir)
+    return tile_heatmap(L["poi_a"], z=_HEAT_Z, px=_HEAT_PX)
+
+
+@register("tile_heatmap_png")  # PNG bytes: codec side is pytest-verified
+def tile_heatmap_png(spark, sf_dir):
+    """Full geo→image sink: the z=9 heatmap rendered to one grayscale
+    PNG tile per (x, y) via the from-scratch PNG encoder.  Rows-only
+    driver check; tests/test_heatmap.py replays the raster pixel-exact
+    through the numpy twin and decodes the PNG back."""
+    from fagi_gis_spark.operators.heatmap import render_heatmap_png, tile_heatmap
+
+    L = layers(spark, sf_dir)
+    heat = tile_heatmap(L["poi_a"], z=_HEAT_Z, px=_HEAT_PX)
+    return render_heatmap_png(heat, px=_HEAT_PX).drop("png")
 
 
 # --------------------------------------------------------------------------
@@ -808,6 +851,92 @@ def doc_quality(spark, sf_dir):
     from fagi_gis_spark.functions.text import quality_score
 
     return quality_score(_docs(spark, sf_dir)).select("doc_id", "stop_hits", "quality")
+
+
+_REP_NS = (2, 3)
+
+
+def _repetition_oracle() -> str:
+    per_n = []
+    for n in _REP_NS:
+        cn = f"CASE WHEN n = {n} THEN c END"
+        per_n.append(
+            f"    round(coalesce((sum({cn}) - count({cn})) / sum({cn}), 0.0), 6)"
+            f" AS dup_{n}gram_frac,\n"
+            f"    round(coalesce(max({cn}) / sum({cn}), 0.0), 6) AS top_{n}gram_frac"
+        )
+    # per-n UNION ALL arms (a VALUES-join with a LATERAL referencing the
+    # VALUES column trips a DuckDB binder internal error)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {n} AS n,"
+        f" array_to_string(list_slice(words, i, i + {n} - 1), ' ') AS gram\n"
+        f"      FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - {n} + 1))"
+        f" AS i) s{n}\n"
+        f"      WHERE len(words) >= {n}"
+        for n in _REP_NS
+    )
+    outer = ",\n".join(
+        f"  coalesce(s.dup_{n}gram_frac, 0.0) AS dup_{n}gram_frac,\n"
+        f"  coalesce(s.top_{n}gram_frac, 0.0) AS top_{n}gram_frac"
+        for n in _REP_NS
+    )
+    return (
+        "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words\n"
+        "           FROM documents),\n"
+        f"g AS ({arms}),\n"
+        "c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram),\n"
+        "s AS (SELECT doc_id,\n" + ",\n".join(per_n) + "\n      FROM c GROUP BY doc_id)\n"
+        f"SELECT d.doc_id,\n{outer},\n"
+        f"  CAST(coalesce(s.top_{_REP_NS[0]}gram_frac, 0.0) <= 0.20\n"
+        f"   AND coalesce(s.dup_{_REP_NS[-1]}gram_frac, 0.0) <= 0.18 AS INT) AS repetition_ok\n"
+        "FROM documents d LEFT JOIN s USING (doc_id)"
+    )
+
+
+@register("doc_repetition", _repetition_oracle())
+def doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dup/top word-n-gram fractions,
+    n=2,3) + the repetition_ok gate — the spam-phrase filter a
+    pretraining pipeline runs before tokenization."""
+    from fagi_gis_spark.functions.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir), ns=_REP_NS)
+
+
+#: decontamination gram size for the synthetic word-soup corpus (tiny
+#: vocabulary, so real-world 8..13-gram windows would never collide);
+#: the operator default stays 8
+_DECON_N = 4
+#: deterministic benchmark slice: doc_id % 97 == 0 plays the eval set
+_DECON_MOD = 97
+
+
+@register(
+    "doc_decontaminate",
+    "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words\n"
+    "           FROM documents),\n"
+    "g AS (SELECT doc_id, array_to_string(list_slice(words, i, i + {n} - 1), ' ') AS gram\n"
+    "      FROM w,\n"
+    "      LATERAL (SELECT unnest(generate_series(1, len(words) - {n} + 1)) AS i) s\n"
+    "      WHERE len(words) >= {n}),\n"
+    "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {m} = 0),\n"
+    "h AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_hit_grams\n"
+    "      FROM g JOIN b USING (gram) WHERE g.doc_id % {m} <> 0 GROUP BY g.doc_id)\n"
+    "SELECT d.doc_id, CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,\n"
+    "       CAST(coalesce(h.n_hit_grams, 0) > 0 AS INT) AS contaminated\n"
+    "FROM documents d LEFT JOIN h USING (doc_id)\n"
+    "WHERE d.doc_id % {m} <> 0".format(n=_DECON_N, m=_DECON_MOD),
+)
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any word-4-gram
+    with the deterministic eval slice (doc_id % 97 == 0) are flagged.
+    The benchmark gram set broadcasts; the corpus never shuffles."""
+    from fagi_gis_spark.functions.text import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    train = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return decontaminate(train, bench, n=_DECON_N)
 
 
 @register(

@@ -1,0 +1,154 @@
+"""Tile raster heatmap (geo→image sink) + Gopher-repetition and
+decontamination corpus filters: brute-force/numpy differentials and a
+PNG decode round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_TINY
+
+
+# ------------------------------------------------------------------ heatmap
+def test_tile_heatmap_matches_numpy_replay(spark):
+    from fagi_gis_spark.index.tiles import pixel_xy_np, tile_xy_np
+    from fagi_gis_spark.operators.heatmap import tile_heatmap
+    from fagi_gis_spark.registry import layers
+
+    z, px = 9, 64
+    pts = layers(spark, SF_TINY)["poi_a"].select("lon", "lat")
+    got = tile_heatmap(pts, z=z, px=px).toPandas()
+
+    pdf = pts.toPandas()
+    tx, ty = tile_xy_np(pdf.lon.to_numpy(), pdf.lat.to_numpy(), z)
+    qx, qy = pixel_xy_np(pdf.lon.to_numpy(), pdf.lat.to_numpy(), z, px)
+    exp = (
+        pd.DataFrame({"x": tx, "y": ty, "px_x": qx, "px_y": qy})
+        .groupby(["x", "y", "px_x", "px_y"], as_index=False)
+        .size()
+        .rename(columns={"size": "cnt"})
+    )
+    key = ["x", "y", "px_x", "px_y"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got[key + ["cnt"]].to_numpy() == exp[key + ["cnt"]].to_numpy()).all()
+    assert (got.px_x.between(0, px - 1)).all() and (got.px_y.between(0, px - 1)).all()
+
+
+def test_render_heatmap_png_roundtrip(spark):
+    from fagi_gis_spark.operators.heatmap import render_heatmap_png, tile_heatmap
+    from fagi_gis_spark.registry import layers
+    from fagi_gis_spark.sources.png import decode_png_gray
+
+    z, px = 9, 32
+    pts = layers(spark, SF_TINY)["poi_a"].select("lon", "lat")
+    heat = tile_heatmap(pts, z=z, px=px)
+    hp = heat.toPandas()
+    tiles_out = render_heatmap_png(heat, px=px).toPandas()
+    assert len(tiles_out) == hp.groupby(["x", "y"]).ngroups
+    for _, row in tiles_out.iterrows():
+        img = decode_png_gray(bytes(row.png))
+        assert img.shape == (px, px)
+        sub = hp[(hp.x == row.x) & (hp.y == row.y)]
+        grid = np.zeros((px, px), dtype=np.float64)
+        grid[sub.px_y.to_numpy(), sub.px_x.to_numpy()] = sub.cnt.to_numpy()
+        m = grid.max()
+        exp = np.floor(grid * (255.0 / m) + 0.5).astype(np.uint8)
+        assert (img == exp).all()
+        assert int(row.max_cnt) == int(m)
+        assert int(row.n_points) == int(sub.cnt.sum())
+        # the hottest pixel renders full-white; empties render black
+        assert img.max() == 255 and (img[grid == 0] == 0).all()
+
+
+# --------------------------------------------------------------- repetition
+def _brute_repetition(text: str, ns=(2, 3)):
+    words = text.strip().split()
+    out = {}
+    for n in ns:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        if not grams:
+            out[f"dup_{n}gram_frac"] = 0.0
+            out[f"top_{n}gram_frac"] = 0.0
+            continue
+        from collections import Counter
+
+        c = Counter(grams)
+        tot = sum(c.values())
+        out[f"dup_{n}gram_frac"] = round((tot - len(c)) / tot, 6)
+        out[f"top_{n}gram_frac"] = round(max(c.values()) / tot, 6)
+    return out
+
+
+def test_repetition_signals_brute_force(spark):
+    from fagi_gis_spark.functions.text import repetition_signals
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").limit(40)
+    got = repetition_signals(docs).toPandas().set_index("doc_id").sort_index()
+    src = docs.select("doc_id", "text").toPandas()
+    for _, r in src.iterrows():
+        exp = _brute_repetition(r.text)
+        for k, v in exp.items():
+            assert got.loc[r.doc_id, k] == pytest.approx(v, abs=1e-9), (r.doc_id, k)
+
+
+def test_repetition_gate_flags_spam(spark):
+    clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 1
+    spam = "buy now " * 30  # one dominating 2-gram, massive dup 3-grams
+    short = "word"
+    df = spark.createDataFrame(
+        [(0, clean), (1, spam), (2, short)], "doc_id long, text string"
+    )
+    from fagi_gis_spark.functions.text import repetition_signals
+
+    got = repetition_signals(df).toPandas().set_index("doc_id")
+    assert len(got) == 3  # short doc (no grams) still present
+    assert got.loc[0, "repetition_ok"] == 1
+    assert got.loc[1, "repetition_ok"] == 0
+    assert got.loc[1, "top_2gram_frac"] > 0.4
+    assert got.loc[2, "dup_2gram_frac"] == 0.0 and got.loc[2, "repetition_ok"] == 1
+
+
+# ----------------------------------------------------------- decontaminate
+def test_decontaminate_brute_force(spark):
+    from fagi_gis_spark.functions.text import decontaminate
+
+    n = 4
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    got = decontaminate(train, bench, n=n).toPandas().set_index("doc_id").sort_index()
+
+    def grams(t):
+        w = t.strip().split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    bset = set()
+    for _, r in pdf[pdf.doc_id % 7 == 0].iterrows():
+        bset |= grams(r.text)
+    tr = pdf[pdf.doc_id % 7 != 0]
+    assert len(got) == len(tr)
+    for _, r in tr.iterrows():
+        hits = len(grams(r.text) & bset)
+        assert got.loc[r.doc_id, "n_hit_grams"] == hits
+        assert got.loc[r.doc_id, "contaminated"] == int(hits > 0)
+    # the synthetic corpus must actually exercise both branches
+    assert got.contaminated.sum() > 0 or len(tr) < 50
+
+
+def test_decontaminate_broadcast_plan(spark):
+    """The benchmark gram set must broadcast — the corpus side never
+    shuffles for the join (scale contract of the operator)."""
+    from fagi_gis_spark.functions.text import decontaminate
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    out = decontaminate(
+        docs.filter("doc_id % 7 != 0"), docs.filter("doc_id % 7 = 0"), n=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
