@@ -51,6 +51,49 @@ def tile_heatmap(
     )
 
 
+def heatmap_pyramid(
+    heat: DataFrame, z_base: int, z_min: int, px: int = 64
+) -> DataFrame:
+    """Tile-pyramid build from the finest-zoom raster: each coarser level
+    is the standard 2x2 pixel box-sum of its four child tiles — child
+    tile (x, y) fills the (x%2, y%2) quadrant of parent (x/2, y/2), and
+    two child pixels collapse into one parent pixel per axis.
+
+    This is how tile servers build zoom pyramids, and the scale shape is
+    the right one: each level derives from the PREVIOUS level (bounded
+    key space = tiles x px², independent of input row count), never from
+    the raw points, so the raw data is scanned exactly once no matter how
+    many levels are emitted.  All arithmetic is integer codegen; one
+    partially-aggregated groupBy per level.
+
+    Output: (z, x, y, px_x, px_y, cnt) for z in [z_min, z_base].
+    """
+    half = px // 2
+    level = heat.select(
+        F.lit(z_base).alias("z"), "x", "y", "px_x", "px_y", "cnt"
+    )
+    out = level
+    for z in range(z_base - 1, z_min - 1, -1):
+        level = (
+            level.select(
+                F.lit(z).alias("z"),
+                (F.col("x") / 2).cast("long").alias("x"),
+                (F.col("y") / 2).cast("long").alias("y"),
+                (F.pmod(F.col("x"), F.lit(2)) * half + (F.col("px_x") / 2).cast("long")).alias(
+                    "px_x"
+                ),
+                (F.pmod(F.col("y"), F.lit(2)) * half + (F.col("px_y") / 2).cast("long")).alias(
+                    "px_y"
+                ),
+                F.col("cnt"),
+            )
+            .groupBy("z", "x", "y", "px_x", "px_y")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        out = out.unionAll(level)
+    return out
+
+
 def render_heatmap_png(heat: DataFrame, px: int = 64) -> DataFrame:
     """Render per-tile count grids to grayscale PNG bytes.  Linear
     normalization: 255 * cnt / max(cnt in tile), rounded half-up; empty

@@ -99,6 +99,10 @@ _GATE_DEMOTED = [
     # implementation files (filters.py, fusion.py, metadata.py) are
     # untouched this round
     "links_type_filter", "fuse_cluster_keep_b", "metadata_rest_properties",
+    # demoted when tile_heatmap_pyramid (new, needs driver certification)
+    # took an oracle-backed slot: driver-green in r3 AND r4, importer.py
+    # untouched this round
+    "import_geometries_linked",
 ]
 
 
@@ -426,6 +430,45 @@ def tile_heatmap_q(spark, sf_dir):
 
     L = layers(spark, sf_dir)
     return tile_heatmap(L["poi_a"], z=_HEAT_Z, px=_HEAT_PX)
+
+
+_PYR_Z_MIN = 7
+
+
+def _heatmap_pyramid_oracle() -> str:
+    half = _HEAT_PX // 2
+    ctes = [
+        f"h{_HEAT_Z} AS (SELECT {_HEAT_Z} AS z, {tiles.tile_x_sql('lon', _HEAT_Z)} AS x,\n"
+        f"  {tiles.tile_y_sql('lat', _HEAT_Z)} AS y,\n"
+        f"  {tiles.pixel_x_sql('lon', _HEAT_Z, _HEAT_PX)} AS px_x,\n"
+        f"  {tiles.pixel_y_sql('lat', _HEAT_Z, _HEAT_PX)} AS px_y,\n"
+        "  count(*) AS cnt FROM poi_a GROUP BY 1, 2, 3, 4, 5)"
+    ]
+    for z in range(_HEAT_Z - 1, _PYR_Z_MIN - 1, -1):
+        ctes.append(
+            f"h{z} AS (SELECT {z} AS z, x // 2 AS x, y // 2 AS y,\n"
+            f"  (x % 2) * {half} + px_x // 2 AS px_x,\n"
+            f"  (y % 2) * {half} + px_y // 2 AS px_y,\n"
+            f"  sum(cnt) AS cnt FROM h{z + 1} GROUP BY 1, 2, 3, 4, 5)"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT z, x, y, px_x, px_y, CAST(cnt AS BIGINT) AS cnt FROM h{z}"
+        for z in range(_HEAT_Z, _PYR_Z_MIN - 1, -1)
+    )
+    # _o_rec is defined further down the module; compose the same shape
+    return f"WITH {oracle_ctes()},\n" + ",\n".join(ctes) + "\n" + union
+
+
+@register("tile_heatmap_pyramid", _heatmap_pyramid_oracle())
+def tile_heatmap_pyramid(spark, sf_dir):
+    """Zoom-pyramid build: the z=9 raster rolled up to z=8 and z=7 by
+    2x2 pixel box-sums — each level derives from the previous one
+    (bounded key space), the raw points are scanned exactly once."""
+    from fagi_gis_spark.operators.heatmap import heatmap_pyramid, tile_heatmap
+
+    L = layers(spark, sf_dir)
+    heat = tile_heatmap(L["poi_a"], z=_HEAT_Z, px=_HEAT_PX)
+    return heatmap_pyramid(heat, z_base=_HEAT_Z, z_min=_PYR_Z_MIN, px=_HEAT_PX)
 
 
 @register("tile_heatmap_png")  # PNG bytes: codec side is pytest-verified

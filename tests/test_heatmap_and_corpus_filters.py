@@ -65,6 +65,40 @@ def test_render_heatmap_png_roundtrip(spark):
         assert img.max() == 255 and (img[grid == 0] == 0).all()
 
 
+def test_heatmap_pyramid_box_sums(spark):
+    from fagi_gis_spark.operators.heatmap import heatmap_pyramid, tile_heatmap
+    from fagi_gis_spark.registry import layers
+
+    z, px = 9, 64
+    pts = layers(spark, SF_TINY)["poi_a"].select("lon", "lat")
+    heat = tile_heatmap(pts, z=z, px=px)
+    pyr = heatmap_pyramid(heat, z_base=z, z_min=7, px=px).toPandas()
+    n_pts = pts.count()
+    # mass conservation: every level re-sums to the full point count
+    assert (pyr.groupby("z").cnt.sum() == n_pts).all()
+    # each coarser pixel is the exact 2x2 box-sum of its children
+    base = pyr[pyr.z == z]
+    for zc in (8, 7):
+        child = pyr[pyr.z == zc + 1]
+        px_x = (child.x % 2) * (px // 2) + child.px_x // 2
+        px_y = (child.y % 2) * (px // 2) + child.px_y // 2
+        exp = (
+            pd.DataFrame(
+                {"x": child.x // 2, "y": child.y // 2, "px_x": px_x, "px_y": px_y,
+                 "cnt": child.cnt}
+            )
+            .groupby(["x", "y", "px_x", "px_y"], as_index=False)
+            .cnt.sum()
+        )
+        got = pyr[pyr.z == zc][["x", "y", "px_x", "px_y", "cnt"]]
+        key = ["x", "y", "px_x", "px_y"]
+        got = got.sort_values(key).reset_index(drop=True)
+        exp = exp.sort_values(key).reset_index(drop=True)
+        assert len(got) == len(exp)
+        assert (got.to_numpy() == exp.to_numpy()).all()
+    assert base.cnt.sum() == n_pts
+
+
 # --------------------------------------------------------------- repetition
 def _brute_repetition(text: str, ns=(2, 3)):
     words = text.strip().split()
