@@ -103,6 +103,10 @@ _GATE_DEMOTED = [
     # took an oracle-backed slot: driver-green in r3 AND r4, importer.py
     # untouched this round
     "import_geometries_linked",
+    # demoted when doc_filter_funnel (new, needs driver certification)
+    # took an oracle-backed slot: driver-green in r3 AND r4, fusion.py
+    # untouched this round
+    "fusion_scores",
 ]
 
 
@@ -899,7 +903,9 @@ def doc_quality(spark, sf_dir):
 _REP_NS = (2, 3)
 
 
-def _repetition_oracle() -> str:
+def _repetition_ctes() -> str:
+    """CTE body (w / g / c / s) shared by doc_repetition and the filter
+    funnel: words split, per-n grams, gram counts, per-doc signal row."""
     per_n = []
     for n in _REP_NS:
         cn = f"CASE WHEN n = {n} THEN c END"
@@ -918,20 +924,33 @@ def _repetition_oracle() -> str:
         f"      WHERE len(words) >= {n}"
         for n in _REP_NS
     )
+    return (
+        "w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words\n"
+        "           FROM documents),\n"
+        f"g AS ({arms}),\n"
+        "c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram),\n"
+        "s AS (SELECT doc_id,\n" + ",\n".join(per_n) + "\n      FROM c GROUP BY doc_id)"
+    )
+
+
+#: the repetition_ok gate as a SQL predicate over the s CTE (shared by
+#: doc_repetition and the filter funnel)
+_REP_OK_SQL = (
+    f"coalesce(s.top_{_REP_NS[0]}gram_frac, 0.0) <= 0.20\n"
+    f"   AND coalesce(s.dup_{_REP_NS[-1]}gram_frac, 0.0) <= 0.18"
+)
+
+
+def _repetition_oracle() -> str:
     outer = ",\n".join(
         f"  coalesce(s.dup_{n}gram_frac, 0.0) AS dup_{n}gram_frac,\n"
         f"  coalesce(s.top_{n}gram_frac, 0.0) AS top_{n}gram_frac"
         for n in _REP_NS
     )
     return (
-        "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words\n"
-        "           FROM documents),\n"
-        f"g AS ({arms}),\n"
-        "c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram),\n"
-        "s AS (SELECT doc_id,\n" + ",\n".join(per_n) + "\n      FROM c GROUP BY doc_id)\n"
+        f"WITH {_repetition_ctes()}\n"
         f"SELECT d.doc_id,\n{outer},\n"
-        f"  CAST(coalesce(s.top_{_REP_NS[0]}gram_frac, 0.0) <= 0.20\n"
-        f"   AND coalesce(s.dup_{_REP_NS[-1]}gram_frac, 0.0) <= 0.18 AS INT) AS repetition_ok\n"
+        f"  CAST({_REP_OK_SQL} AS INT) AS repetition_ok\n"
         "FROM documents d LEFT JOIN s USING (doc_id)"
     )
 
@@ -3218,6 +3237,89 @@ def clean_corpus(spark, sf_dir):
     )
     survivors = dedup_survivors(kept, connected_components(edges))
     return survivors.filter(F.col("n_tokens") <= 80).select("doc_id", "n_tokens", "quality")
+
+
+def _filter_funnel_oracle() -> str:
+    quality_case = (
+        "CAST(CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 40 ELSE 10 END\n"
+        "     + CASE WHEN n_tokens > 0 THEN least(30, stop_hits * 3) ELSE 0 END\n"
+        "     + CASE WHEN n_chars > 0 THEN (CASE WHEN n_punct * 5 <= n_chars THEN 30 ELSE 5 END)"
+        " ELSE 0 END AS BIGINT)"
+    )
+    return (
+        f"WITH {_repetition_ctes()},\n"
+        f"q AS (SELECT doc_id, CAST({quality_case} >= 70 AS INT) AS quality_ok\n"
+        f"      FROM ({_QUALITY_SQL}) raw),\n"
+        f"g4 AS (SELECT doc_id, array_to_string(list_slice(words, i, i + {_DECON_N} - 1), ' ')"
+        " AS gram\n"
+        f"       FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - {_DECON_N} + 1))"
+        " AS i) s4\n"
+        f"       WHERE len(words) >= {_DECON_N}),\n"
+        f"bset AS (SELECT DISTINCT gram FROM g4 WHERE doc_id % {_DECON_MOD} = 0),\n"
+        "hits AS (SELECT g4.doc_id FROM g4 JOIN bset USING (gram)\n"
+        f"         WHERE g4.doc_id % {_DECON_MOD} <> 0 GROUP BY g4.doc_id),\n"
+        "dg AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+        " AS digest FROM documents),\n"
+        "reps AS (SELECT digest, min(doc_id) AS rep_id FROM dg GROUP BY digest)\n"
+        "SELECT d.doc_id, q.quality_ok,\n"
+        f"  CAST({_REP_OK_SQL} AS INT) AS repetition_ok,\n"
+        "  CAST(h.doc_id IS NULL AS INT) AS decon_ok,\n"
+        "  CAST(dg.doc_id = r.rep_id AS INT) AS exact_ok,\n"
+        f"  CAST(q.quality_ok = 1 AND ({_REP_OK_SQL}) AND h.doc_id IS NULL\n"
+        "   AND dg.doc_id = r.rep_id AS INT) AS keep\n"
+        "FROM documents d\n"
+        "LEFT JOIN s USING (doc_id)\n"
+        "JOIN q USING (doc_id)\n"
+        "LEFT JOIN hits h USING (doc_id)\n"
+        "JOIN dg USING (doc_id) JOIN reps r ON dg.digest = r.digest\n"
+        f"WHERE d.doc_id % {_DECON_MOD} <> 0"
+    )
+
+
+@register("doc_filter_funnel", _filter_funnel_oracle())
+def doc_filter_funnel(spark, sf_dir):
+    """Per-document filter-funnel audit — the verdict table a cleaning
+    pipeline's dashboard consumes: one row per training doc with every
+    gate's pass bit (quality >= 70, Gopher repetition, benchmark
+    decontamination, exact-dup representative) and the composed keep
+    verdict.  Each gate is the engine operator; the four (doc_id, bit)
+    frames join narrow, so at corpus scale the funnel costs four
+    shuffle-bounded aggregates plus equi-joins on the id."""
+    from fagi_gis_spark.functions.text import (
+        decontaminate,
+        fingerprint_md5,
+        quality_score,
+        repetition_signals,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    q = quality_score(docs).select(
+        "doc_id", (F.col("quality") >= 70).cast("int").alias("quality_ok")
+    )
+    r = repetition_signals(docs, ns=_REP_NS).select("doc_id", "repetition_ok")
+    d = decontaminate(
+        train, docs.filter(F.col("doc_id") % _DECON_MOD == 0), n=_DECON_N
+    ).select("doc_id", (F.col("contaminated") == 0).cast("int").alias("decon_ok"))
+    dg = docs.select("doc_id", fingerprint_md5(F.col("text")).alias("digest"))
+    reps = dg.groupBy("digest").agg(F.min("doc_id").alias("rep_id"))
+    e = dg.join(reps, "digest").select(
+        "doc_id", (F.col("doc_id") == F.col("rep_id")).cast("int").alias("exact_ok")
+    )
+    out = (
+        train.select("doc_id")
+        .join(q, "doc_id")
+        .join(r, "doc_id")
+        .join(d, "doc_id")
+        .join(e, "doc_id")
+    )
+    keep = (
+        (F.col("quality_ok") == 1)
+        & (F.col("repetition_ok") == 1)
+        & (F.col("decon_ok") == 1)
+        & (F.col("exact_ok") == 1)
+    )
+    return out.withColumn("keep", keep.cast("int"))
 
 
 @register(

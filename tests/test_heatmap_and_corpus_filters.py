@@ -175,6 +175,28 @@ def test_decontaminate_brute_force(spark):
     assert got.contaminated.sum() > 0 or len(tr) < 50
 
 
+def test_filter_funnel_consistent_with_component_gates(spark):
+    """keep == AND of the four gate bits, and each bit reproduces the
+    standalone operator's verdict on the same corpus."""
+    from fagi_gis_spark.registry import doc_filter_funnel
+    from fagi_gis_spark.functions.text import quality_score, repetition_signals
+
+    fn = doc_filter_funnel(spark, SF_TINY).toPandas().set_index("doc_id").sort_index()
+    assert (
+        fn.keep
+        == (fn.quality_ok & fn.repetition_ok & fn.decon_ok & fn.exact_ok)
+    ).all()
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    q = (
+        quality_score(docs).toPandas().set_index("doc_id").quality >= 70
+    ).astype(int)
+    r = repetition_signals(docs).toPandas().set_index("doc_id").repetition_ok
+    assert (fn.quality_ok == q.loc[fn.index]).all()
+    assert (fn.repetition_ok == r.loc[fn.index]).all()
+    # eval-slice docs (doc_id % 97 == 0) are excluded from the funnel
+    assert (fn.index % 97 != 0).all()
+
+
 def test_decontaminate_broadcast_plan(spark):
     """The benchmark gram set must broadcast — the corpus side never
     shuffles for the join (scale contract of the operator)."""
