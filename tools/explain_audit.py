@@ -39,6 +39,10 @@ AUDIT = [
     ("image_burst_dedup", "EXIF geo-temporal burst windows (lag + running sum, all JVM after parse)"),
     ("image_exif_poi_join", "EXIF probe side of the salted cell-bucketed radius join vs poi_a"),
     ("dedup_incremental_cosine", "day-2 cosine: bucketed index probe + exchange-free exact verify"),
+    ("doc_repetition", "Gopher repetition signals (codegen gram explode, partial-agg groupBy)"),
+    ("doc_decontaminate", "benchmark decontamination (broadcast gram set, corpus never shuffles)"),
+    ("tile_heatmap_pyramid", "heatmap + zoom pyramid (one raw scan, per-level integer box-sums)"),
+    ("doc_filter_funnel", "filter-funnel audit (four narrow gate frames equi-joined on id)"),
 ]
 
 
