@@ -107,6 +107,11 @@ _GATE_DEMOTED = [
     # took an oracle-backed slot: driver-green in r3 AND r4, fusion.py
     # untouched this round
     "fusion_scores",
+    # demoted when geohash_cells and geohash_rollup (new, need driver
+    # certification) took oracle-backed slots: both below driver-green
+    # in r3 AND r4, their implementation files (dedup_precedence.py,
+    # metadata.py) untouched this round
+    "dedup_precedence", "metadata_flattened",
 ]
 
 
@@ -1530,6 +1535,62 @@ def hex_cells(spark, sf_dir):
         "subject",
         u_hex_cell9(F.col("lon"), F.col("lat")).alias("cell_hex7_r9"),
         u_hex_cell8(F.col("lon"), F.col("lat")).alias("cell_hex7_r8"),
+    )
+
+
+def _geohash_oracle() -> str:
+    from fagi_gis_spark.index.geohash import geohash_str_sql
+
+    return _o(
+        f"SELECT subject, {geohash_str_sql('lon', 'lat', 7)} AS cell_gh7, "
+        f"{geohash_str_sql('lon', 'lat', 5)} AS cell_gh5 FROM poi_a"
+    )
+
+
+@register("geohash_cells", _geohash_oracle())
+def geohash_cells(spark, sf_dir):
+    """Geohash cells (Niemeyer 2008, the published base-32 encoding;
+    index/geohash.py) at precision 7 plus the precision-5 parent — the
+    fourth public cell index next to z-tiles, Morton, real S2 and hex7.
+    ONE generated SQL text (floor/least/substr integer arithmetic) runs
+    in whole-stage codegen here AND verbatim as the DuckDB oracle, so
+    the two engines share the literal expression. Refinement nests, so
+    cell_gh5 is also the string prefix of cell_gh7 (pytest-asserted);
+    reference analog: the point-cell bucketing GiST serves in
+    schema.sql:38-39."""
+    from fagi_gis_spark.index.geohash import geohash_str_sql
+
+    L = layers(spark, sf_dir)
+    return L["poi_a"].select(
+        "subject",
+        F.expr(geohash_str_sql("lon", "lat", 7)).alias("cell_gh7"),
+        F.expr(geohash_str_sql("lon", "lat", 5)).alias("cell_gh5"),
+    )
+
+
+def _geohash_rollup_oracle() -> str:
+    from fagi_gis_spark.index.geohash import geohash_str_sql
+
+    return _o(
+        f"SELECT substr({geohash_str_sql('lon', 'lat', 7)}, 1, 4) AS cell_gh4, "
+        f"count(*) AS n_points FROM poi_a GROUP BY cell_gh4"
+    )
+
+
+@register("geohash_rollup", _geohash_rollup_oracle())
+def geohash_rollup(spark, sf_dir):
+    """Geohash hierarchical rollup: encode once at precision 7, roll up
+    to precision 4 by STRING PREFIX (geohash refinement nests, so
+    substr is the exact parent — no re-encode), count per coarse cell.
+    Partial agg before the exchange; everything whole-stage codegen."""
+    from fagi_gis_spark.index.geohash import geohash_str_sql
+
+    L = layers(spark, sf_dir)
+    return (
+        L["poi_a"]
+        .select(F.expr(geohash_str_sql("lon", "lat", 7)).alias("gh7"))
+        .groupBy(F.substring("gh7", 1, 4).alias("cell_gh4"))
+        .agg(F.count("*").alias("n_points"))
     )
 
 

@@ -402,3 +402,74 @@ def test_hex_id_equality_across_surfaces(spark):
         q, r = _hex_qr_cols(F.col("lon"), F.col("lat"), res)
         got = df.select(_hex_pack(q, r, res).alias("cell")).toPandas()["cell"].to_numpy()
         assert (want == got).all(), res
+
+
+# ----------------------------------------------------------------- geohash
+def test_geohash_published_vectors():
+    """The two community test vectors every geohash implementation quotes."""
+    from fagi_gis_spark.index.geohash import geohash_str_np
+
+    assert geohash_str_np(np.array([-5.603]), np.array([42.605]), 5)[0] == "ezs42"
+    assert (
+        geohash_str_np(np.array([10.40744]), np.array([57.64911]), 11)[0]
+        == "u4pruydqqvj"
+    )
+
+
+def test_geohash_decode_round_trip_and_prefix_nesting():
+    from fagi_gis_spark.index.geohash import geohash_decode_np, geohash_str_np
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-90, 90, 300)
+    g7 = geohash_str_np(lon, lat, 7)
+    g4 = geohash_str_np(lon, lat, 4)
+    # refinement nests: the precision-4 code IS the 4-char prefix
+    assert all(a.startswith(b) for a, b in zip(g7, g4))
+    # cell-center decode lands back in the same cell
+    for code in g7[:50]:
+        clon, clat = geohash_decode_np(code)
+        assert geohash_str_np(np.array([clon]), np.array([clat]), 7)[0] == code
+
+
+def test_geohash_sql_twin_matches_numpy_on_duckdb_and_edges():
+    import duckdb
+    import pandas as pd
+
+    from fagi_gis_spark.index.geohash import (
+        geohash_bits_np,
+        geohash_bits_sql,
+        geohash_str_np,
+        geohash_str_sql,
+    )
+
+    rng = np.random.default_rng(13)
+    lon = np.concatenate([rng.uniform(-180, 180, 200), [180.0, -180.0, 0.0, 179.999999]])
+    lat = np.concatenate([rng.uniform(-90, 90, 200), [90.0, -90.0, 0.0, 89.999999]])
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"lon": lon, "lat": lat}))
+    got = con.sql(
+        f"SELECT {geohash_str_sql('lon', 'lat', 7)} AS g, "
+        f"{geohash_bits_sql('lon', 'lat', 6)} AS b FROM pts"
+    ).df()
+    assert (got["g"].values == geohash_str_np(lon, lat, 7)).all()
+    assert (got["b"].values == geohash_bits_np(lon, lat, 6)).all()
+    # poles/antimeridian clamp into the top cell, never out of range
+    assert geohash_str_np(np.array([180.0]), np.array([90.0]), 5)[0] == "zzzzz"
+
+
+def test_geohash_spark_expr_matches_numpy(spark):
+    from fagi_gis_spark.index.geohash import geohash_str_np, geohash_str_sql
+
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    import pandas as pd
+
+    sdf = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    got = (
+        sdf.select(F.expr(geohash_str_sql("lon", "lat", 7)).alias("g"))
+        .toPandas()["g"]
+        .values
+    )
+    assert (got == geohash_str_np(lon, lat, 7)).all()
