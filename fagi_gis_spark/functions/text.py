@@ -335,3 +335,90 @@ def stratified_sample(
         .filter(gate < F.col("rate_ppm"))
         .select(F.col(id_col).alias("doc_id"), F.col(strata_col), F.col("rate_ppm"))
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_mod: int = 89,
+    alpha_micro: int = 100_000,
+    max_avg_nll_micro: int = 4_200_000,
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """CCNet-style bigram language-model quality score (Wenzek et al.
+    2020 filter a web corpus by the perplexity of a small LM trained on
+    a trusted reference; the reference here is the deterministic
+    ``doc_id % ref_mod == 0`` slice standing in for "curated corpus").
+
+    Model: add-alpha smoothed bigram LM.  For each document bigram
+    (w1, w2): ``p = (c(w1 w2) + a) / (c(w1·) + a*V)`` with ``a =
+    alpha_micro / 1e6``, ``c`` counts over the reference slice's bigram
+    table, and ``V`` the reference's distinct-successor vocabulary.
+    Per-doc score is the summed negative log-likelihood in MICRO-NATS:
+    each gram's ``-ln(p)`` is quantized to an int64 FIRST and the doc
+    aggregates integers, so Spark and the DuckDB oracle sum identically
+    regardless of float addition order (the registry's quantized-inputs
+    parity rule).  ``p < 1`` always (``c(w1 w2) <= c(w1·)``, ``V >= 1``)
+    so the quantity is nonnegative and both engines' round() agree.
+
+    Gate: ``lm_ok`` iff average nll <= ``max_avg_nll_micro`` micro-nats
+    (default 4.2 nats — ~p75 of the synthetic corpus so the gate
+    actually splits; a real pipeline sweeps this against held-out
+    judgments exactly like CCNet's perplexity buckets),
+    per bigram, compared as ``nll_micro <= thr * n_bigrams`` — pure
+    integer arithmetic, no division.  Docs with < 2 tokens have no
+    evidence and pass.  Output keeps every input doc: (doc_id,
+    n_bigrams, nll_micro, lm_ok, is_ref).
+
+    Scale shape: the reference LM's count tables are bounded by the
+    reference's bigram-TYPE vocabulary, not the corpus — they broadcast
+    (``broadcast_ref``, default; set False to shuffle-join against a
+    huge reference).  The corpus side is one codegen gram explode, two
+    broadcast joins, and a per-doc partially-aggregated groupBy; corpus
+    text never shuffles.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    bi = docs.select(F.col(id_col).alias("doc_id"), words.alias("w")).select(
+        "doc_id", F.explode(word_ngram_col(F.col("w"), 2)).alias("g")
+    )
+    ref = bi.filter(F.col("doc_id") % ref_mod == 0)
+    cb = ref.groupBy("g").agg(F.count("*").alias("cb"))
+    cu = ref.groupBy(F.substring_index("g", " ", 1).alias("w1")).agg(
+        F.count("*").alias("cu")
+    )
+    vdf = ref.agg(
+        F.count_distinct(F.substring_index("g", " ", -1)).alias("v")
+    )  # 1-row planning agg (distinct successor vocab)
+    if broadcast_ref:
+        cb, cu = F.broadcast(cb), F.broadcast(cu)
+    a = F.lit(alpha_micro).cast("double") / F.lit(1e6)
+    p = (F.coalesce(F.col("cb"), F.lit(0)) + a) / (
+        F.coalesce(F.col("cu"), F.lit(0)) + a * F.col("v")
+    )
+    scored = (
+        bi.withColumn("w1", F.substring_index("g", " ", 1))
+        .join(cb, "g", "left")
+        .join(cu, "w1", "left")
+        .crossJoin(F.broadcast(vdf))
+        .select("doc_id", F.round(-F.log(p) * F.lit(1e6)).cast("long").alias("q"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("q").alias("nll_micro")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce(F.col("nll_micro"), F.lit(0).cast("long")).alias("nll_micro"),
+            (
+                F.coalesce(F.col("nll_micro"), F.lit(0))
+                <= F.lit(max_avg_nll_micro) * F.coalesce(F.col("n_bigrams"), F.lit(0))
+            )
+            .cast("int")
+            .alias("lm_ok"),
+            (F.col("doc_id") % ref_mod == 0).cast("int").alias("is_ref"),
+        )
+    )

@@ -112,6 +112,10 @@ _GATE_DEMOTED = [
     # in r3 AND r4, their implementation files (dedup_precedence.py,
     # metadata.py) untouched this round
     "dedup_precedence", "metadata_flattened",
+    # demoted when doc_lm_score (new, needs driver certification) took
+    # an oracle-backed slot: driver-green in r3 AND r4, index/s2.py and
+    # its registry query untouched this round
+    "s2_rollup",
 ]
 
 
@@ -1004,6 +1008,59 @@ def doc_decontaminate(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
     train = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
     return decontaminate(train, bench, n=_DECON_N)
+
+
+#: bigram-LM reference slice (doc_id % 89 == 0 plays the curated corpus)
+_LM_MOD = 89
+_LM_ALPHA_MICRO = 100_000
+_LM_THR_MICRO = 4_200_000
+
+
+def _lm_score_oracle() -> str:
+    a = f"({_LM_ALPHA_MICRO} / 1e6)"
+    return (
+        "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words\n"
+        "           FROM documents),\n"
+        "bg AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS g,\n"
+        "              words[i] AS w1, words[i+1] AS w2\n"
+        "       FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i) s\n"
+        "       WHERE len(words) >= 2),\n"
+        f"cb AS (SELECT g, count(*) AS cb FROM bg WHERE doc_id % {_LM_MOD} = 0 GROUP BY g),\n"
+        f"cu AS (SELECT w1, count(*) AS cu FROM bg WHERE doc_id % {_LM_MOD} = 0 GROUP BY w1),\n"
+        f"v AS (SELECT count(DISTINCT w2) AS v FROM bg WHERE doc_id % {_LM_MOD} = 0),\n"
+        "q AS (SELECT t.doc_id,\n"
+        f"             CAST(round(-ln((coalesce(cb.cb, 0) + {a})\n"
+        f"                            / (coalesce(cu.cu, 0) + {a} * v.v)) * 1e6) AS BIGINT) AS q\n"
+        "      FROM bg t LEFT JOIN cb USING (g) LEFT JOIN cu USING (w1), v),\n"
+        "s AS (SELECT doc_id, count(*) AS n_bigrams, sum(q) AS nll_micro\n"
+        "      FROM q GROUP BY doc_id)\n"
+        "SELECT d.doc_id,\n"
+        "       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,\n"
+        "       CAST(coalesce(s.nll_micro, 0) AS BIGINT) AS nll_micro,\n"
+        f"       CAST(coalesce(s.nll_micro, 0) <= {_LM_THR_MICRO} * coalesce(s.n_bigrams, 0)\n"
+        "            AS INT) AS lm_ok,\n"
+        f"       CAST(d.doc_id % {_LM_MOD} = 0 AS INT) AS is_ref\n"
+        "FROM documents d LEFT JOIN s USING (doc_id)"
+    )
+
+
+@register("doc_lm_score", _lm_score_oracle())
+def doc_lm_score(spark, sf_dir):
+    """CCNet-style bigram-LM quality score (Wenzek et al. 2020): an
+    add-alpha bigram LM counted over the deterministic reference slice
+    (doc_id % 89 == 0) scores every document's negative log-likelihood
+    in micro-nats (per-gram integer quantization, so both engines sum
+    exactly) plus the lm_ok perplexity gate.  Reference count tables
+    broadcast; the corpus side is one gram explode + per-doc partial
+    agg — corpus text never shuffles."""
+    from fagi_gis_spark.functions.text import bigram_lm_score
+
+    return bigram_lm_score(
+        _docs(spark, sf_dir),
+        ref_mod=_LM_MOD,
+        alpha_micro=_LM_ALPHA_MICRO,
+        max_avg_nll_micro=_LM_THR_MICRO,
+    )
 
 
 @register(

@@ -208,3 +208,75 @@ def test_decontaminate_broadcast_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------ bigram LM score
+def _lm_reference(texts: dict[int, str], ref_mod: int, alpha: float, thr: float):
+    """Pure-Python add-alpha bigram LM — the differential oracle."""
+    import math
+    from collections import Counter
+
+    def bigrams(t):
+        w = t.strip().split()
+        return list(zip(w, w[1:]))
+
+    cb, cu, succ = Counter(), Counter(), set()
+    for did, t in texts.items():
+        if did % ref_mod == 0:
+            for w1, w2 in bigrams(t):
+                cb[(w1, w2)] += 1
+                cu[w1] += 1
+                succ.add(w2)
+    v = len(succ)
+    out = {}
+    for did, t in texts.items():
+        qs = []
+        for w1, w2 in bigrams(t):
+            p = (cb.get((w1, w2), 0) + alpha) / (cu.get(w1, 0) + alpha * v)
+            # round-half-up like Spark/DuckDB round() on positives
+            qs.append(math.floor(-math.log(p) * 1e6 + 0.5))
+        n, s = len(qs), sum(qs)
+        out[did] = (n, s, int(s <= thr * 1e6 * n), int(did % ref_mod == 0))
+    return out
+
+
+def test_bigram_lm_score_matches_python_reference(spark):
+    from fagi_gis_spark.functions.text import bigram_lm_score
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for i in range(120)
+    }
+    texts[7] = "solo"          # single token: no bigrams
+    texts[8] = ""              # empty doc
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll_micro, r.lm_ok, r.is_ref)
+        for r in bigram_lm_score(
+            sdf, ref_mod=5, alpha_micro=100_000, max_avg_nll_micro=3_000_000
+        ).collect()
+    }
+    want = _lm_reference(texts, ref_mod=5, alpha=0.1, thr=3.0)
+    assert got == want
+    # the gate actually splits on this fixture
+    oks = {v[2] for v in got.values()}
+    assert oks == {0, 1}
+    # evidence-free docs pass
+    assert got[7] == (0, 0, 1, 0) and got[8][2] == 1
+
+
+def test_bigram_lm_score_ref_tables_broadcast(spark):
+    from fagi_gis_spark.functions.text import bigram_lm_score
+
+    texts = {i: f"a b c d e w{i % 7} a b" for i in range(60)}
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = bigram_lm_score(sdf, ref_mod=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 60
