@@ -1063,6 +1063,40 @@ def doc_lm_score(spark, sf_dir):
     )
 
 
+#: BPE merge budget for the gated queries (the synthetic word-soup
+#: vocabulary saturates well above this)
+_BPE_MERGES = 32
+
+
+@register("doc_bpe_merges")  # iterative data-dependent argmax: no closed-form
+def doc_bpe_merges(spark, sf_dir):  # SQL; pytest differential vs a pure-Python
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) over
+    the documents corpus: ONE corpus scan into the word-frequency
+    table, then 32 merge rounds of pair-count groupBy + TakeOrdered
+    argmax + JVM fold rewrite (functions/bpe.py).  Returns the learned
+    merge table — deterministic (lexicographic tie-break), so the
+    rows-only driver check is stable; full-sequence correctness is the
+    pytest differential."""  # reference implementation of the algorithm
+    from fagi_gis_spark.functions.bpe import bpe_train
+
+    merges = bpe_train(_docs(spark, sf_dir), num_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        merges, schema="rank long, p1 string, p2 string, pair_freq long"
+    )
+
+
+@register("doc_bpe_tokenize")  # depends on the trained merges: rows-only +
+def doc_bpe_tokenize(spark, sf_dir):  # pytest replay-equality differential
+    """Tokenize the corpus with the merge table just learned from it:
+    (doc_id, n_tokens_bpe, n_words).  Arrow-batched encode with a
+    per-batch word cache (Zipf makes unique words per batch the real
+    cost); merge artifact ships in the closure."""
+    from fagi_gis_spark.functions.bpe import bpe_tokenize, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    return bpe_tokenize(docs, bpe_train(docs, num_merges=_BPE_MERGES))
+
+
 @register(
     "dedup_exact",
     "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,\n"

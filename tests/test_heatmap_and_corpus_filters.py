@@ -280,3 +280,73 @@ def test_bigram_lm_score_ref_tables_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert out.count() == 60
+
+
+# ------------------------------------------------------------------ BPE
+def _bpe_train_ref(texts, num_merges):
+    """Independent pure-Python reference of the published algorithm
+    (word-freq table, overlap-counted pair stats, max-count /
+    lexicographic-min tie-break, left-to-right non-overlapping rewrite)."""
+    from collections import Counter
+
+    from fagi_gis_spark.functions.bpe import END
+
+    wf = Counter(w for t in texts for w in t.strip().split() if w)
+    vocab = {w: tuple(list(w) + [END]) for w in wf}
+    merges = []
+    for rank in range(num_merges):
+        stats = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += wf[w]
+        if not stats:
+            break
+        c = max(stats.values())
+        p1, p2 = min(p for p, v in stats.items() if v == c)
+        merges.append((rank, p1, p2, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == p1 and syms[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = tuple(out)
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference_and_encode_replays(spark):
+    from fagi_gis_spark.functions.bpe import bpe_tokenize, bpe_train
+
+    rng = np.random.default_rng(31)
+    roots = ["lower", "newest", "widest", "low", "new", "wide", "est", "er"]
+    texts = [
+        " ".join(rng.choice(roots, size=int(rng.integers(1, 12))))
+        for _ in range(80)
+    ] + ["", "   "]
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = bpe_train(sdf, num_merges=24)
+    want, vocab = _bpe_train_ref(texts, 24)
+    assert got == want  # identical merge sequence incl. weighted counts
+    # tokenization: rank-greedy encode == training-final segmentation
+    tok = {
+        r.doc_id: (r.n_tokens_bpe, r.n_words)
+        for r in bpe_tokenize(sdf, got).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in t.strip().split() if w]
+        expect = sum(len(vocab[w]) for w in words)
+        assert tok[i] == (expect, len(words))
+
+
+def test_bpe_zero_merges_is_chars(spark):
+    from fagi_gis_spark.functions.bpe import bpe_tokenize
+
+    sdf = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["abc de"]}))
+    row = bpe_tokenize(sdf, []).collect()[0]
+    # chars + </w> per word: (3+1) + (2+1)
+    assert (row.n_tokens_bpe, row.n_words) == (7, 2)
