@@ -1,0 +1,219 @@
+"""Trajectory / movement analytics over the events stream.
+
+The events table (input_hint shape: event_id, ts, user_id, event_type,
+value, props) carries no coordinates, so — like every other geo surface
+in this repo — pings are SYNTHESIZED deterministically from the ids on
+the micro-degree lattice (integer arithmetic + one final /1e6, replayed
+verbatim by the DuckDB oracles; same device as operators/geotag.py).
+Each user gets a stable home cell from ``user_id`` and each event a
+±0.01-degree jitter from ``event_id``: per-user locality with real
+movement between pings.
+
+Operators:
+
+* :func:`user_travel` — per-user total travel distance: one window pass
+  (lag over (ts, event_id) within user), step distances on the
+  reference's D5 equirectangular convention (deg × 111195), each step
+  quantized to integer MILLIMETERS before the sum so Spark and DuckDB
+  aggregate identically (the quantized-inputs parity rule).
+* :func:`od_matrix` — origin→destination flows: per (user, hour) the
+  first and last ping's z-tile cell, counted per (origin, dest) pair.
+  Two window functions + one partial-agg groupBy.
+* :func:`grid_dbscan` — grid-based DBSCAN (the published GriDBSCAN /
+  cell-dense approximation): points bucket to z-tiles, cells with
+  >= min_pts are core, 8-connected core cells (antimeridian wrap
+  included) merge via star-contraction connected components, points in
+  core cells take their component's min cell id as cluster label,
+  everything else is noise (-1).  The cluster graph lives on CELLS, so
+  the CC loop's state is bounded by occupied-cell count, not points —
+  the property that makes density clustering feasible at 100 TB.
+
+Scale shape: travel/OD shuffle once on user_id (the natural partition
+key; windows are per-user); DBSCAN shuffles points once on cell, and
+the core-cell graph (tiny) does the iterative work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fagi_gis_spark.index import tiles
+
+#: micro-degree lattice constants shared with the SQL twins
+_HOME_LON_M = 74747
+_HOME_LAT_M = 15485863
+_JIT_LON_M = 101
+_JIT_LAT_M = 919
+_UMOD = 99991
+_EMOD = 999983
+
+
+def event_ping_cols(user_id: Column, event_id: Column) -> tuple[Column, Column]:
+    """(lon, lat) for an event: user home + per-event jitter, exact on
+    the micro-degree lattice.  Inner pmods bound every product well
+    inside int64 (ANSI mode throws on overflow)."""
+    u = F.pmod(user_id, F.lit(_UMOD))
+    e = F.pmod(event_id, F.lit(_EMOD))
+    lon = (
+        F.pmod(u * F.lit(_HOME_LON_M), F.lit(40_000_000)) / F.lit(1e6)
+        - F.lit(20.0)
+        + (F.pmod(e * F.lit(_JIT_LON_M), F.lit(20001)) - F.lit(10000)) / F.lit(1e6)
+    )
+    lat = (
+        F.lit(40.0)
+        + F.pmod(u * F.lit(_HOME_LAT_M), F.lit(10_000_000)) / F.lit(1e6)
+        + (F.pmod(e * F.lit(_JIT_LAT_M), F.lit(20001)) - F.lit(10000)) / F.lit(1e6)
+    )
+    return lon, lat
+
+
+def event_ping_sql(user_expr: str = "user_id", event_expr: str = "event_id") -> tuple[str, str]:
+    """DuckDB twin of :func:`event_ping_cols` (ids are nonnegative, so
+    plain ``%`` equals pmod)."""
+    u = f"(({user_expr}) % {_UMOD})"
+    e = f"(({event_expr}) % {_EMOD})"
+    lon = (
+        f"(({u} * {_HOME_LON_M}) % 40000000) / 1e6 - 20.0"
+        f" + ((({e} * {_JIT_LON_M}) % 20001) - 10000) / 1e6"
+    )
+    lat = (
+        f"40.0 + (({u} * {_HOME_LAT_M}) % 10000000) / 1e6"
+        f" + ((({e} * {_JIT_LAT_M}) % 20001) - 10000) / 1e6"
+    )
+    return lon, lat
+
+
+def with_pings(events: DataFrame) -> DataFrame:
+    lon, lat = event_ping_cols(F.col("user_id"), F.col("event_id"))
+    return events.withColumn("lon", lon).withColumn("lat", lat)
+
+
+def user_travel(events: DataFrame) -> DataFrame:
+    """Per-user movement stats: (user_id, n_pings, total_mm, max_step_mm).
+
+    Step = D5 equirectangular distance (deg × 111195) to the previous
+    ping in (ts, event_id) order; each step rounds to int64 millimeters
+    BEFORE aggregation so the sums are engine-exact."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = with_pings(events).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "lon",
+        "lat",
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+    )
+    dlon = F.col("lon") - F.col("plon")
+    dlat = F.col("lat") - F.col("plat")
+    step_mm = F.round(
+        F.sqrt(dlon * dlon + dlat * dlat) * F.lit(111195.0) * F.lit(1000.0)
+    ).cast("long")
+    return (
+        p.withColumn("step_mm", step_mm)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pings"),
+            F.coalesce(F.sum("step_mm"), F.lit(0)).cast("long").alias("total_mm"),
+            F.coalesce(F.max("step_mm"), F.lit(0)).cast("long").alias("max_step_mm"),
+        )
+    )
+
+
+def od_matrix(events: DataFrame, z: int = 10, win_s: int = 3600) -> DataFrame:
+    """Origin→destination flow counts: per (user, tumbling hour) the
+    first and last ping's z-tile cell; one row per (origin_cell,
+    dest_cell) with the flow count (self-flows kept — they are the
+    stayed-home diagonal a flow matrix needs)."""
+    win = F.floor(F.unix_timestamp("ts") / F.lit(win_s)).cast("long")
+    p = with_pings(events).withColumn(
+        "cell", tiles.cell_id_col(F.col("lon"), F.col("lat"), z)
+    )
+    w = (
+        Window.partitionBy("user_id", "win")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        p.withColumn("win", win)
+        .select(
+            "user_id",
+            "win",
+            F.first("cell").over(w).alias("origin_cell"),
+            F.last("cell").over(w).alias("dest_cell"),
+        )
+        .dropDuplicates(["user_id", "win"])
+        .groupBy("origin_cell", "dest_cell")
+        .agg(F.count("*").alias("n_trips"))
+    )
+
+
+def grid_dbscan(
+    points: DataFrame,
+    z: int = 13,
+    min_pts: int = 3,
+    id_col: str = "subject",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Grid-based DBSCAN: (id, cluster_label) with label = min core-cell
+    id of the 8-connected dense-cell component, or -1 for noise.
+
+    Dense ("core") cells have >= min_pts points; adjacency is the
+    8-neighborhood with antimeridian x-wrap.  Components run on the
+    CELL graph via star contraction (functions.dedup), so iterative
+    state is bounded by occupied cells.  This is the standard grid
+    approximation of DBSCAN with eps ~ the cell size: exact DBSCAN
+    point-level border cases are intentionally out of contract (the
+    docs of every grid variant say the same)."""
+    from fagi_gis_spark.functions.dedup import connected_components_star
+
+    n = 2**z
+    g = points.select(
+        F.col(id_col).alias("pid"),
+        tiles.tile_x_col(F.col(lon_col), z).alias("x"),
+        tiles.tile_y_col(F.col(lat_col), z).alias("y"),
+        tiles.cell_id_col(F.col(lon_col), F.col(lat_col), z).alias("cell"),
+    )
+    core = (
+        g.groupBy("x", "y", "cell").agg(F.count("*").alias("n_pts"))
+        .filter(F.col("n_pts") >= min_pts)
+    )
+    # 8-neighborhood as an EQUI-join: each core cell explodes its nine
+    # (dx, dy) offsets (x wraps at the antimeridian) and probes the core
+    # set on (x, y) — never a theta/cross join, so the cell graph builds
+    # in one shuffle however many dense cells exist
+    offs = F.expr(
+        "explode(transform(sequence(0, 8), "
+        "i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy)))"
+    )
+    probe = (
+        core.select("cell", "x", "y", offs.alias("o"))
+        .select(
+            "cell",
+            F.pmod(F.col("x") + F.col("o.dx"), F.lit(n)).alias("nx"),
+            (F.col("y") + F.col("o.dy")).alias("ny"),
+        )
+    )
+    edges = (
+        probe.join(
+            core.select(F.col("cell").alias("v"), F.col("x").alias("nx"), F.col("y").alias("ny")),
+            ["nx", "ny"],
+        )
+        .filter(F.col("cell") != F.col("v"))
+        .select(F.col("cell").alias("u"), "v")
+    )
+    labels = connected_components_star(edges, src_col="u", dst_col="v")
+    lab = core.join(
+        labels.withColumnRenamed("doc_id", "cell"), "cell", "left"
+    ).select(
+        "cell", F.coalesce("component_id", "cell").alias("cluster_label")
+    )
+    return (
+        g.join(lab, "cell", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            F.coalesce("cluster_label", F.lit(-1)).cast("long").alias("cluster_label"),
+        )
+    )

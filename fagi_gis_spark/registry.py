@@ -116,6 +116,12 @@ _GATE_DEMOTED = [
     # an oracle-backed slot: driver-green in r3 AND r4, index/s2.py and
     # its registry query untouched this round
     "s2_rollup",
+    # demoted when events_user_travel, events_od_matrix, and
+    # events_grid_dbscan (new, need driver certification) took
+    # oracle-backed slots: all three below were driver-green in r3 AND
+    # r4 and their implementation files (filters.py, metadata.py) are
+    # untouched this round
+    "user_filter_links", "metadata_keep_both", "metadata_keep_concat_a",
 ]
 
 
@@ -2625,6 +2631,125 @@ def events_topk_users(spark, sf_dir):
         counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
         .select("user_id", "event_type", "n", "rnk")
+    )
+
+
+def _ping_events_sql() -> str:
+    """Events with synthesized (lon, lat) pings — DuckDB twin of
+    operators.trajectory.with_pings (same micro-degree lattice)."""
+    from fagi_gis_spark.operators.trajectory import event_ping_sql
+
+    lon, lat = event_ping_sql()
+    return (
+        f"SELECT event_id, ts, user_id, {lon} AS lon, {lat} AS lat FROM events"
+    )
+
+
+def _travel_oracle() -> str:
+    step = (
+        "CAST(round(sqrt((lon - plon) * (lon - plon) + (lat - plat) * (lat - plat))"
+        " * 111195.0 * 1000.0) AS BIGINT)"
+    )
+    return (
+        f"WITH p AS ({_ping_events_sql()}),\n"
+        "s AS (\n"
+        "  SELECT user_id, lon, lat,\n"
+        "    lag(lon) OVER w AS plon, lag(lat) OVER w AS plat\n"
+        "  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)\n"
+        ")\n"
+        "SELECT user_id, count(*) AS n_pings,\n"
+        f"  CAST(coalesce(sum({step}), 0) AS BIGINT) AS total_mm,\n"
+        f"  CAST(coalesce(max({step}), 0) AS BIGINT) AS max_step_mm\n"
+        "FROM s GROUP BY user_id"
+    )
+
+
+@register("events_user_travel", _travel_oracle())
+def events_user_travel(spark, sf_dir):
+    """Per-user trajectory travel stats (operators.trajectory.user_travel):
+    one lag-window pass per user, D5 equirectangular steps quantized to
+    integer millimeters before the sum (quantized-inputs parity rule)."""
+    from fagi_gis_spark.operators.trajectory import user_travel
+
+    return user_travel(_events(spark, sf_dir))
+
+
+def _od_oracle(z: int = 10, win_s: int = 3600) -> str:
+    return (
+        f"WITH p0 AS ({_ping_events_sql()}),\n"
+        "p AS (\n"
+        f"  SELECT user_id, ts, event_id,\n"
+        f"    CAST(floor(epoch(ts) / {win_s}) AS BIGINT) AS win,\n"
+        f"    {tiles.cell_id_sql('lon', 'lat', z)} AS cell\n"
+        "  FROM p0\n"
+        "),\n"
+        "od AS (\n"
+        "  SELECT DISTINCT user_id, win,\n"
+        "    first_value(cell) OVER w AS origin_cell,\n"
+        "    last_value(cell) OVER w AS dest_cell\n"
+        "  FROM p WINDOW w AS (PARTITION BY user_id, win ORDER BY ts, event_id\n"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)\n"
+        ")\n"
+        "SELECT origin_cell, dest_cell, count(*) AS n_trips\n"
+        "FROM od GROUP BY 1, 2"
+    )
+
+
+@register("events_od_matrix", _od_oracle())
+def events_od_matrix(spark, sf_dir):
+    """Origin→destination flow matrix (operators.trajectory.od_matrix):
+    per (user, tumbling hour) first/last ping's z10 tile, counted per
+    (origin, dest) pair — two windows + one partial-agg groupBy."""
+    from fagi_gis_spark.operators.trajectory import od_matrix
+
+    return od_matrix(_events(spark, sf_dir))
+
+
+def _dbscan_oracle(z: int = 13, min_pts: int = 3) -> str:
+    n = 2**z
+    return (
+        f"WITH RECURSIVE p0 AS ({_ping_events_sql()}),\n"
+        "g AS (\n"
+        f"  SELECT event_id, {tiles.tile_x_sql('lon', z)} AS x,\n"
+        f"    {tiles.tile_y_sql('lat', z)} AS y,\n"
+        f"    {tiles.cell_id_sql('lon', 'lat', z)} AS cell\n"
+        "  FROM p0\n"
+        "),\n"
+        f"core AS (SELECT x, y, cell FROM g GROUP BY x, y, cell"
+        f" HAVING count(*) >= {min_pts}),\n"
+        "e0 AS (\n"
+        "  SELECT a.cell AS u, b.cell AS v\n"
+        "  FROM core a JOIN core b\n"
+        f"    ON b.x IN (a.x, (a.x + 1) % {n}, (a.x + {n - 1}) % {n})\n"
+        "   AND b.y BETWEEN a.y - 1 AND a.y + 1\n"
+        "   AND a.cell <> b.cell\n"
+        "),\n"
+        "e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),\n"
+        "reach(u, v) AS (\n"
+        "  SELECT u, u FROM (SELECT DISTINCT u FROM e) nn\n"
+        "  UNION\n"
+        "  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u\n"
+        "),\n"
+        "lab AS (SELECT u AS cell, min(v) AS component_id FROM reach GROUP BY u),\n"
+        "cl AS (SELECT core.cell, coalesce(lab.component_id, core.cell) AS cluster_label\n"
+        "       FROM core LEFT JOIN lab ON core.cell = lab.cell)\n"
+        "SELECT g.event_id, CAST(coalesce(cl.cluster_label, -1) AS BIGINT) AS cluster_label\n"
+        "FROM g LEFT JOIN cl ON g.cell = cl.cell"
+    )
+
+
+@register("events_grid_dbscan", _dbscan_oracle())
+def events_grid_dbscan(spark, sf_dir):
+    """Grid-based density clustering (operators.trajectory.grid_dbscan):
+    z13-dense cells (>= 3 pts) 8-connected into components via star
+    contraction; points labeled by component min cell id, noise = -1.
+    The DuckDB oracle replays the whole thing closed-form (recursive
+    transitive-closure CTE on the cell graph), so the distributed CC
+    loop is verified end-to-end on a SECOND graph topology."""
+    from fagi_gis_spark.operators.trajectory import grid_dbscan, with_pings
+
+    return grid_dbscan(
+        with_pings(_events(spark, sf_dir)), z=13, min_pts=3, id_col="event_id"
     )
 
 

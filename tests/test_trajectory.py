@@ -1,0 +1,153 @@
+"""Trajectory / movement analytics (operators.trajectory): unit semantics
+on hand-crafted fixtures.  The end-to-end lattice parity (Spark vs DuckDB
+on the events table) is covered by the three registry oracles
+(events_user_travel / events_od_matrix / events_grid_dbscan); these tests
+pin the operator CONTRACTS the oracle can't isolate: step ordering, the
+stayed-home OD diagonal, DBSCAN noise labeling, and the antimeridian
+cell wrap.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from fagi_gis_spark.operators.trajectory import (
+    event_ping_cols,
+    event_ping_sql,
+    grid_dbscan,
+    od_matrix,
+    user_travel,
+    with_pings,
+)
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m, 0)
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    # user 1: three pings; user 2: one ping (no steps)
+    rows = [
+        (10, _ts(0), 1, "view", 0.0, ""),
+        (11, _ts(1), 1, "view", 0.0, ""),
+        (12, _ts(2), 1, "view", 0.0, ""),
+        (20, _ts(0), 2, "view", 0.0, ""),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+def test_ping_sql_twin_matches_columns(spark, duck):
+    """The SQL text generator and the Column generator are the same
+    function on the micro-degree lattice (exact equality, no tolerance)."""
+    ids = spark.createDataFrame(
+        [(u, e) for u in (0, 1, 7, 99990, 123456) for e in (0, 1, 999982, 31337)],
+        "user_id long, event_id long",
+    )
+    got = {
+        (r.user_id, r.event_id): (r.lon, r.lat)
+        for r in with_pings(ids).collect()
+    }
+    lon_sql, lat_sql = event_ping_sql()
+    pdf = ids.toPandas()
+    duck.register("ping_ids", pdf)
+    want = duck.execute(
+        f"SELECT user_id, event_id, {lon_sql} AS lon, {lat_sql} AS lat FROM ping_ids"
+    ).fetchall()
+    duck.unregister("ping_ids")
+    for u, e, lon, lat in want:
+        assert got[(u, e)] == (lon, lat)
+        assert -20.0 - 0.011 <= lon <= 20.0 + 0.011
+        assert 40.0 - 0.011 <= lat <= 50.0 + 0.011
+
+
+def test_user_travel_hand_computed(spark, tiny_events):
+    out = {r.user_id: r for r in user_travel(tiny_events).collect()}
+    pings = {
+        r.event_id: (r.lon, r.lat) for r in with_pings(tiny_events).collect()
+    }
+
+    def step_mm(a, b):
+        (x0, y0), (x1, y1) = pings[a], pings[b]
+        return round(math.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2) * 111195.0 * 1000.0)
+
+    s1, s2 = step_mm(10, 11), step_mm(11, 12)
+    assert out[1].n_pings == 3
+    assert out[1].total_mm == s1 + s2
+    assert out[1].max_step_mm == max(s1, s2)
+    # a single ping travels nowhere but still counts
+    assert (out[2].n_pings, out[2].total_mm, out[2].max_step_mm) == (1, 0, 0)
+
+
+def test_od_matrix_first_last_and_diagonal(spark, tiny_events):
+    # z=1 tiles are hemispheric: every synthesized ping (lon in [-20, 20),
+    # lat in [40, 50]) lands in one cell, so all trips sit on the
+    # stayed-home diagonal — and the matrix must keep them.
+    out = od_matrix(tiny_events, z=1, win_s=3600).collect()
+    assert len(out) == 1
+    assert out[0].origin_cell == out[0].dest_cell
+    assert out[0].n_trips == 2  # (user 1, hour 0) and (user 2, hour 0)
+
+
+def test_od_matrix_splits_windows(spark):
+    rows = [
+        (1, _ts(0), 1, "view", 0.0, ""),
+        (2, dt.datetime(2024, 1, 1, 2, 0, 0), 1, "view", 0.0, ""),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = od_matrix(e, z=1, win_s=3600).collect()
+    # two separate hours -> two single-ping trips
+    assert sum(r.n_trips for r in out) == 2
+
+
+def _points(spark, pts):
+    return spark.createDataFrame(pts, "subject long, lon double, lat double")
+
+
+def test_grid_dbscan_clusters_and_noise(spark):
+    # z=2 tiles are 90 degrees wide: cluster A = 4 points in one cell,
+    # cluster B = 3 points in a FAR cell (not adjacent), noise = 2 lone
+    # points in cells below min_pts
+    a = [(i, 10.0 + i * 0.001, 10.0) for i in range(4)]
+    b = [(10 + i, -170.0, -10.0 + i * 0.001) for i in range(3)]
+    noise = [(100, 10.0, -80.0), (101, -60.0, 10.0)]
+    out = {
+        r.subject: r.cluster_label
+        for r in grid_dbscan(_points(spark, a + b + noise), z=2, min_pts=3).collect()
+    }
+    a_labels = {out[i] for i in range(4)}
+    b_labels = {out[10 + i] for i in range(3)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+    assert a_labels != {-1} and b_labels != {-1}
+    assert out[100] == -1 and out[101] == -1
+
+
+def test_grid_dbscan_merges_adjacent_cells(spark):
+    # two dense cells sharing an edge at z=3 (45-degree tiles): one cluster
+    left = [(i, 44.0, 10.0 + i * 0.001) for i in range(3)]
+    right = [(10 + i, 46.0, 10.0 + i * 0.001) for i in range(3)]
+    out = {
+        r.subject: r.cluster_label
+        for r in grid_dbscan(_points(spark, left + right), z=3, min_pts=3).collect()
+    }
+    assert len(set(out.values())) == 1 and -1 not in set(out.values())
+
+
+def test_grid_dbscan_antimeridian_wrap(spark):
+    # dense cells on both sides of lon=180 at z=3: x=7 and x=0 are
+    # 8-neighbors through the wrap, so the two clusters must merge
+    west = [(i, 179.0, 10.0 + i * 0.001) for i in range(3)]
+    east = [(10 + i, -179.0, 10.0 + i * 0.001) for i in range(3)]
+    out = {
+        r.subject: r.cluster_label
+        for r in grid_dbscan(_points(spark, west + east), z=3, min_pts=3).collect()
+    }
+    assert len(set(out.values())) == 1 and -1 not in set(out.values())
