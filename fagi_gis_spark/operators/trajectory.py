@@ -149,6 +149,112 @@ def od_matrix(events: DataFrame, z: int = 10, win_s: int = 3600) -> DataFrame:
     )
 
 
+def colocation(events: DataFrame, z: int = 8, win_s: int = 900) -> DataFrame:
+    """User co-location pairs: events of DIFFERENT users in the same
+    z-tile within ``win_s`` seconds -> (user_a, user_b, n_hits) with
+    user_a < user_b and n_hits = the number of qualifying event pairs.
+
+    The |dt| <= win_s band join runs as an EQUI-join on (cell, time
+    bucket): bucket = floor(t / win_s), the probe side explodes buckets
+    {b-1, b, b+1}, and since |dt| <= win_s forces the bucket difference
+    into {-1, 0, 1}, every qualifying event pair matches on EXACTLY one
+    (cell, bucket) key — counted once, no post-dedup.  One shuffle on a
+    composite key both sides share; never a theta/cross join, so the
+    contact-tracing-style join survives any event volume (skew = hot
+    cells x hot windows, bounded by the bucket grain)."""
+    p = with_pings(events).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("t"),
+        tiles.cell_id_col(F.col("lon"), F.col("lat"), z).alias("cell"),
+    )
+    b = F.floor(F.col("t") / F.lit(win_s)).cast("long")
+    probe = p.select(
+        F.col("user_id").alias("user_a"),
+        F.col("t").alias("t_a"),
+        "cell",
+        F.explode(F.array(b - 1, b, b + 1)).alias("bkt"),
+    )
+    build = p.select(
+        F.col("user_id").alias("user_b"),
+        F.col("t").alias("t_b"),
+        "cell",
+        b.alias("bkt"),
+    )
+    return (
+        probe.join(build, ["cell", "bkt"])
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.abs(F.col("t_a") - F.col("t_b")) <= F.lit(win_s))
+        )
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def stay_points(
+    events: DataFrame,
+    eps_mm: int = 1_000_000,
+    min_dur_s: int = 1800,
+    min_pings: int = 3,
+) -> DataFrame:
+    """Stay-point (dwell) detection, chain variant: a stay is a maximal
+    run of consecutive pings whose per-step distance stays <= ``eps_mm``
+    (same quantized D5 millimeter steps as :func:`user_travel`), kept
+    when it spans >= ``min_dur_s`` seconds and >= ``min_pings`` pings.
+
+    This is the window-expressible chain form of the Li et al. 2008
+    stay-point detector (the anchor-based form chains on distance to the
+    segment's FIRST ping — a data-dependent scan no window captures);
+    segment ids are a running sum over the break flag, the canonical
+    sessionize shape (one shuffle on user_id).  Centroids are emitted as
+    integer MICRO-degrees (pings are exact micro-degree lattice points,
+    so the per-segment sum and floor-divide are engine-exact integers).
+
+    Output: (user_id, stay_id, n_pings, dur_s, c_lon_micro, c_lat_micro).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = with_pings(events).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "lon",
+        "lat",
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+    )
+    dlon = F.col("lon") - F.col("plon")
+    dlat = F.col("lat") - F.col("plat")
+    step_mm = F.round(
+        F.sqrt(dlon * dlon + dlat * dlat) * F.lit(111195.0) * F.lit(1000.0)
+    ).cast("long")
+    brk = F.when(
+        F.col("plon").isNull() | (step_mm > F.lit(eps_mm)), 1
+    ).otherwise(0)
+    seg = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    t = F.unix_timestamp("ts")
+    return (
+        p.withColumn("stay_id", seg.cast("long"))
+        .groupBy("user_id", "stay_id")
+        .agg(
+            F.count("*").alias("n_pings"),
+            (F.max(t) - F.min(t)).cast("long").alias("dur_s"),
+            F.floor(
+                F.sum(F.round(F.col("lon") * F.lit(1e6)).cast("long"))
+                / F.count("*")
+            ).cast("long").alias("c_lon_micro"),
+            F.floor(
+                F.sum(F.round(F.col("lat") * F.lit(1e6)).cast("long"))
+                / F.count("*")
+            ).cast("long").alias("c_lat_micro"),
+        )
+        .filter(
+            (F.col("dur_s") >= F.lit(min_dur_s))
+            & (F.col("n_pings") >= F.lit(min_pings))
+        )
+    )
+
+
 def grid_dbscan(
     points: DataFrame,
     z: int = 13,

@@ -122,6 +122,13 @@ _GATE_DEMOTED = [
     # r4 and their implementation files (filters.py, metadata.py) are
     # untouched this round
     "user_filter_links", "metadata_keep_both", "metadata_keep_concat_a",
+    # demoted when events_colocation and events_stay_points (new, need
+    # driver certification) took oracle-backed slots: both below were
+    # driver-green in r3 AND r4; events_windowed_agg's batch path is
+    # registry-only code untouched since r1, and knn_conflation's
+    # machinery stays certified through the three gated radius joins +
+    # gated knn_adaptive (same spatial_join.py internals)
+    "events_windowed_agg", "knn_conflation",
 ]
 
 
@@ -2751,6 +2758,78 @@ def events_grid_dbscan(spark, sf_dir):
     return grid_dbscan(
         with_pings(_events(spark, sf_dir)), z=13, min_pts=3, id_col="event_id"
     )
+
+
+def _colocation_oracle(z: int = 8, win_s: int = 900) -> str:
+    # closed form: DuckDB can afford the per-cell theta join the Spark
+    # side re-expresses as the exploded (cell, bucket) equi-join
+    return (
+        f"WITH p AS (\n"
+        f"  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,\n"
+        f"    {tiles.cell_id_sql('lon', 'lat', z)} AS cell\n"
+        f"  FROM ({_ping_events_sql()}) e\n"
+        ")\n"
+        "SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_hits\n"
+        "FROM p a JOIN p b ON a.cell = b.cell\n"
+        f"  AND abs(a.t - b.t) <= {win_s} AND a.user_id < b.user_id\n"
+        "GROUP BY 1, 2"
+    )
+
+
+@register("events_colocation", _colocation_oracle())
+def events_colocation(spark, sf_dir):
+    """Spatio-temporal co-location join (operators.trajectory.colocation):
+    distinct-user event pairs in the same z8 tile within 900 s, as a pure
+    equi-join on (cell, exploded time bucket) — each qualifying pair
+    matches exactly one key, so the contact-tracing shape never needs a
+    theta join or post-dedup."""
+    from fagi_gis_spark.operators.trajectory import colocation
+
+    return colocation(_events(spark, sf_dir), z=8, win_s=900)
+
+
+def _stay_oracle(eps_mm: int = 1_000_000, min_dur_s: int = 1800, min_pings: int = 3) -> str:
+    step = (
+        "CAST(round(sqrt((lon - plon) * (lon - plon) + (lat - plat) * (lat - plat))"
+        " * 111195.0 * 1000.0) AS BIGINT)"
+    )
+    return (
+        f"WITH p AS ({_ping_events_sql()}),\n"
+        "s AS (\n"
+        "  SELECT user_id, ts, event_id, lon, lat,\n"
+        "    lag(lon) OVER w AS plon, lag(lat) OVER w AS plat\n"
+        "  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)\n"
+        "),\n"
+        "f AS (\n"
+        "  SELECT user_id, ts, event_id, lon, lat,\n"
+        f"    CASE WHEN plon IS NULL OR {step} > {eps_mm} THEN 1 ELSE 0 END AS brk\n"
+        "  FROM s\n"
+        "),\n"
+        "g AS (\n"
+        "  SELECT user_id, lon, lat, CAST(floor(epoch(ts)) AS BIGINT) AS t,\n"
+        "    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS stay_id\n"
+        "  FROM f\n"
+        ")\n"
+        "SELECT user_id, stay_id, count(*) AS n_pings,\n"
+        "  CAST(max(t) - min(t) AS BIGINT) AS dur_s,\n"
+        "  CAST(floor(sum(CAST(round(lon * 1e6) AS BIGINT)) / count(*)) AS BIGINT)"
+        " AS c_lon_micro,\n"
+        "  CAST(floor(sum(CAST(round(lat * 1e6) AS BIGINT)) / count(*)) AS BIGINT)"
+        " AS c_lat_micro\n"
+        "FROM g GROUP BY user_id, stay_id\n"
+        f"HAVING CAST(max(t) - min(t) AS BIGINT) >= {min_dur_s} AND count(*) >= {min_pings}"
+    )
+
+
+@register("events_stay_points", _stay_oracle())
+def events_stay_points(spark, sf_dir):
+    """Stay-point / dwell detection (operators.trajectory.stay_points):
+    maximal chains of <= 1 km consecutive steps lasting >= 30 min with
+    >= 3 pings; centroids as engine-exact integer micro-degrees."""
+    from fagi_gis_spark.operators.trajectory import stay_points
+
+    return stay_points(_events(spark, sf_dir))
 
 
 @register("multimodal_decode_stats")  # PNG/JPEG decode: pytest oracle only

@@ -25,7 +25,7 @@ from fagi_gis_spark.operators.trajectory import (
 
 
 def _ts(m):
-    return dt.datetime(2024, 1, 1, 0, m, 0)
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=m)
 
 
 @pytest.fixture(scope="module")
@@ -105,6 +105,80 @@ def test_od_matrix_splits_windows(spark):
     out = od_matrix(e, z=1, win_s=3600).collect()
     # two separate hours -> two single-ping trips
     assert sum(r.n_trips for r in out) == 2
+
+
+def test_colocation_bucket_boundary_counts_once(spark):
+    from fagi_gis_spark.operators.trajectory import colocation
+
+    # same synthesized cell = same (user % UMOD, ...) home when the
+    # jitter is small vs a z4 tile; users 1 and 2 have different homes,
+    # so craft co-location via a COARSE z (whole-hemisphere tiles)
+    rows = [
+        # pair straddling a bucket boundary: t=890 and t=910 are in
+        # buckets 0 and 1 but only 20s apart -> must count exactly once
+        (1, dt.datetime(2024, 1, 1, 0, 14, 50), 1, "a", 0.0, ""),
+        (2, dt.datetime(2024, 1, 1, 0, 15, 10), 2, "a", 0.0, ""),
+        # same pair again well inside one bucket
+        (3, dt.datetime(2024, 1, 1, 0, 16, 0), 1, "a", 0.0, ""),
+        # too far apart in time from everything (> 900s)
+        (4, dt.datetime(2024, 1, 1, 5, 0, 0), 2, "a", 0.0, ""),
+        # same-user pair never counts
+        (5, dt.datetime(2024, 1, 1, 0, 15, 20), 1, "a", 0.0, ""),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {(r.user_a, r.user_b): r.n_hits for r in colocation(e, z=1, win_s=900).collect()}
+    # qualifying event pairs: (1,2), (3,2), (5,2) -> 3 hits for (1,2)
+    assert out == {(1, 2): 3}
+
+
+def test_colocation_inclusive_window_edge(spark):
+    from fagi_gis_spark.operators.trajectory import colocation
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "a", 0.0, ""),
+        (2, dt.datetime(2024, 1, 1, 0, 15, 0), 2, "a", 0.0, ""),  # exactly 900s
+        (3, dt.datetime(2024, 1, 1, 0, 30, 1), 3, "a", 0.0, ""),  # 901s from #2
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {(r.user_a, r.user_b): r.n_hits for r in colocation(e, z=1, win_s=900).collect()}
+    assert out == {(1, 2): 1}  # the 900s pair is in; the 901s pair is out
+
+
+def test_stay_points_chain_break_and_filters(spark):
+    from fagi_gis_spark.operators.trajectory import stay_points, with_pings
+
+    # user 1: 4 pings with tiny jitter (same event modulo class spacing)
+    # spanning 2 hours -> one stay; then a huge time gap doesn't break a
+    # chain (only distance does) so craft a far hop via a different user
+    rows = [(i, _ts(i * 40), 1, "a", 0.0, "") for i in (10, 11, 12, 13)]
+    rows += [(20, _ts(0), 2, "a", 0.0, ""), (21, _ts(1), 2, "a", 0.0, "")]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    pings = {r.event_id: (r.lon, r.lat) for r in with_pings(e).collect()}
+
+    def mm(a, b):
+        (x0, y0), (x1, y1) = pings[a], pings[b]
+        return round(math.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2) * 111195000.0)
+
+    # choose eps just above the largest step of user 1's chain: one stay
+    eps = max(mm(10, 11), mm(11, 12), mm(12, 13)) + 1
+    out = stay_points(e, eps_mm=eps, min_dur_s=3600, min_pings=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.n_pings, r.dur_s) == (1, 4, 3 * 40 * 60)
+    lon_sum = sum(round(pings[i][0] * 1e6) for i in (10, 11, 12, 13))
+    lat_sum = sum(round(pings[i][1] * 1e6) for i in (10, 11, 12, 13))
+    assert r.c_lon_micro == math.floor(lon_sum / 4)
+    assert r.c_lat_micro == math.floor(lat_sum / 4)
+    # with eps below any step (the lattice quantum is ~111 mm) every
+    # chain fragments into singletons: nothing survives min_pings=2
+    out2 = stay_points(e, eps_mm=1, min_dur_s=1, min_pings=2).collect()
+    assert out2 == []
 
 
 def _points(spark, pts):
