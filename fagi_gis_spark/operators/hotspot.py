@@ -1,0 +1,149 @@
+"""Hotspot detection: Getis-Ord Gi* over the occupied-cell grid.
+
+The classic GIS hotspot statistic (Getis & Ord 1992, "The Analysis of
+Spatial Association by Use of Distance Statistics"; the ArcGIS "Hot Spot
+Analysis" tool) re-expressed for Spark: points bucket to z-tiles, each
+OCCUPIED cell gets a Gi* z-score of its 8-neighborhood count sum against
+the global count distribution, with binary weights over occupied cells
+(the pragmatic large-data contract — a dense-universe variant would
+enumerate every empty cell of the study area).
+
+Scale shape (the same three-piece pattern as grid_dbscan):
+
+* one shuffle of points on cell for the counts;
+* the 9-offset neighborhood is an EQUI-join on (x, y) — the probe side
+  explodes its nine (dx, dy) offsets (antimeridian x-wrap), never a
+  theta join;
+* the global (n, sum, sumsq) moments are ONE tiny row broadcast back —
+  integer-exact, so the float z-score expression evaluates in one
+  deterministic order on every engine (the DuckDB oracle runs the
+  byte-identical formula; the emitted score is quantized to micro-z).
+
+Gi* (binary weights, self included):
+
+    mean = sum / n            sd = sqrt(sumsq/n - mean^2)
+    gi   = (s_i - mean * w_i) / (sd * sqrt((n*w_i - w_i^2) / (n-1)))
+
+where w_i = occupied neighbors of cell i (incl. itself) and s_i = their
+count sum.  Cells where the denominator degenerates (n < 2, sd == 0, or
+w_i == n) are excluded — the statistic is undefined there, identically
+in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fagi_gis_spark.index import tiles
+
+
+def _nine_offsets() -> Column:
+    return F.expr(
+        "explode(transform(sequence(0, 8), "
+        "i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy)))"
+    )
+
+
+def hotspot_gi(
+    points: DataFrame,
+    z: int = 9,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """(cell, cnt, w, s, gi_micro): Gi* per occupied z-cell, the z-score
+    quantized to integer micro-units (round(gi * 1e6)) so Spark and the
+    DuckDB oracle compare exactly."""
+    n_tiles = 2**z
+    g = points.select(
+        tiles.tile_x_col(F.col(lon_col), z).alias("x"),
+        tiles.tile_y_col(F.col(lat_col), z).alias("y"),
+        tiles.cell_id_col(F.col(lon_col), F.col(lat_col), z).alias("cell"),
+    )
+    cells = g.groupBy("x", "y", "cell").agg(F.count("*").alias("cnt"))
+    # global moments: one tiny integer row, broadcast onto every cell
+    stats = cells.agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("sum_c"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq_c"),
+    )
+    probe = cells.select(
+        "cell",
+        "cnt",
+        _nine_offsets().alias("o"),
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+    ).select(
+        "cell",
+        "cnt",
+        F.pmod(F.col("cx") + F.col("o.dx"), F.lit(n_tiles)).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = cells.select(
+        F.col("x").alias("nx"), F.col("y").alias("ny"), F.col("cnt").alias("ncnt")
+    )
+    hood = (
+        probe.join(nbr, ["nx", "ny"])
+        .groupBy("cell", "cnt")
+        .agg(F.count("*").alias("w"), F.sum("ncnt").alias("s"))
+    )
+    n = F.col("n").cast("double")
+    w = F.col("w").cast("double")
+    s = F.col("s").cast("double")
+    mean = F.col("sum_c").cast("double") / n
+    sd = F.sqrt(F.col("sumsq_c").cast("double") / n - mean * mean)
+    gi = (s - mean * w) / (sd * F.sqrt((n * w - w * w) / (n - F.lit(1.0))))
+    return (
+        hood.join(F.broadcast(stats))
+        .filter(
+            (F.col("n") >= 2)
+            & (F.col("w") < F.col("n"))
+            & (F.col("sumsq_c").cast("double") / n - mean * mean > 0)
+        )
+        .select(
+            "cell",
+            "cnt",
+            "w",
+            "s",
+            F.round(gi * F.lit(1e6)).cast("long").alias("gi_micro"),
+        )
+    )
+
+
+def hotspot_gi_sql(source_sql: str, z: int = 9) -> str:
+    """DuckDB twin: ``source_sql`` must yield (lon, lat) rows.  The float
+    z-score expression is written in the SAME evaluation order as the
+    Column version above."""
+    n_tiles = 2**z
+    return (
+        "WITH g AS (\n"
+        f"  SELECT {tiles.tile_x_sql('lon', z)} AS x,\n"
+        f"    {tiles.tile_y_sql('lat', z)} AS y,\n"
+        f"    {tiles.cell_id_sql('lon', 'lat', z)} AS cell\n"
+        f"  FROM ({source_sql}) src\n"
+        "),\n"
+        "cells AS (SELECT x, y, cell, count(*) AS cnt FROM g GROUP BY 1, 2, 3),\n"
+        "stats AS (SELECT count(*) AS n, sum(cnt) AS sum_c,\n"
+        "  sum(cnt * cnt) AS sumsq_c FROM cells),\n"
+        "hood AS (\n"
+        "  SELECT a.cell, a.cnt, count(*) AS w, sum(b.cnt) AS s\n"
+        "  FROM cells a JOIN cells b\n"
+        f"    ON b.x IN (a.x, (a.x + 1) % {n_tiles}, (a.x + {n_tiles - 1}) % {n_tiles})\n"
+        "   AND b.y BETWEEN a.y - 1 AND a.y + 1\n"
+        "  GROUP BY a.cell, a.cnt\n"
+        ")\n"
+        "SELECT cell, cnt, w, s,\n"
+        "  CAST(round((CAST(s AS DOUBLE) - (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * CAST(w AS DOUBLE))\n"
+        "    / (sqrt(CAST(sumsq_c AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)))\n"
+        "       * sqrt((CAST(n AS DOUBLE) * CAST(w AS DOUBLE)"
+        " - CAST(w AS DOUBLE) * CAST(w AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))"
+        " * 1e6) AS BIGINT) AS gi_micro\n"
+        "FROM hood, stats\n"
+        "WHERE n >= 2 AND w < n\n"
+        "  AND CAST(sumsq_c AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)) > 0"
+    )

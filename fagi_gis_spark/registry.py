@@ -129,6 +129,12 @@ _GATE_DEMOTED = [
     # machinery stays certified through the three gated radius joins +
     # gated knn_adaptive (same spatial_join.py internals)
     "events_windowed_agg", "knn_conflation",
+    # demoted when events_hotspot_gi (new, needs driver certification)
+    # took an oracle-backed slot: dedup_components (label propagation)
+    # was driver-green in r3 AND r4 and the label-prop code is untouched
+    # this round; the r5-touched star-contraction variant keeps its own
+    # gated slot (dedup_components_star, same oracle)
+    "dedup_components",
 ]
 
 
@@ -2830,6 +2836,27 @@ def events_stay_points(spark, sf_dir):
     from fagi_gis_spark.operators.trajectory import stay_points
 
     return stay_points(_events(spark, sf_dir))
+
+
+def _hotspot_oracle() -> str:
+    from fagi_gis_spark.operators.hotspot import hotspot_gi_sql
+
+    return hotspot_gi_sql(
+        f"SELECT lon, lat FROM ({_ping_events_sql()}) pe", z=9
+    )
+
+
+@register("events_hotspot_gi", _hotspot_oracle())
+def events_hotspot_gi(spark, sf_dir):
+    """Getis-Ord Gi* hotspot detection (operators.hotspot.hotspot_gi)
+    over the event pings: per occupied z9 cell, the 8-neighborhood count
+    sum's z-score against the global distribution, quantized to micro-z.
+    Neighborhood = 9-offset equi-join; global moments = one broadcast
+    integer row; the DuckDB oracle runs the byte-identical formula."""
+    from fagi_gis_spark.operators.hotspot import hotspot_gi
+    from fagi_gis_spark.operators.trajectory import with_pings
+
+    return hotspot_gi(with_pings(_events(spark, sf_dir)), z=9)
 
 
 @register("multimodal_decode_stats")  # PNG/JPEG decode: pytest oracle only

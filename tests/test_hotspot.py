@@ -1,0 +1,103 @@
+"""Getis-Ord Gi* hotspot detection: differential against an independent
+pure-Python implementation of the published statistic (binary weights,
+self included, occupied-cell universe), plus contract edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fagi_gis_spark.index import tiles
+from fagi_gis_spark.operators.hotspot import hotspot_gi
+
+
+def _gi_reference(cells):
+    """cells: dict (x, y) -> cnt.  Returns (x, y) -> gi (float)."""
+    n = len(cells)
+    sum_c = sum(cells.values())
+    sumsq = sum(c * c for c in cells.values())
+    mean = sum_c / n
+    sd = math.sqrt(sumsq / n - mean * mean)
+    out = {}
+    for (x, y), cnt in cells.items():
+        hood = [
+            cells[((x + dx), (y + dy))]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if ((x + dx), (y + dy)) in cells
+        ]
+        w, s = len(hood), sum(hood)
+        if n < 2 or w >= n or sd == 0:
+            continue
+        out[(x, y)] = (s - mean * w) / (sd * math.sqrt((n * w - w * w) / (n - 1)))
+    return out
+
+
+def _grid_points(spark, cells, z):
+    """Place cnt points at each (x, y) tile center."""
+    n = float(2**z)
+    rows = []
+    pid = 0
+    for (x, y), cnt in cells.items():
+        lon = (x + 0.5) / n * 360.0 - 180.0
+        lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (y + 0.5) / n))))
+        for _ in range(cnt):
+            rows.append((pid, lon, lat))
+            pid += 1
+    return spark.createDataFrame(rows, "pid long, lon double, lat double")
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    z = 4
+    # a hot 3x3 blob, a lone cold cell, a medium pair — enough variance
+    cells = {}
+    for dx in range(3):
+        for dy in range(3):
+            cells[(5 + dx, 5 + dy)] = 9
+    cells[(1, 1)] = 1
+    cells[(10, 2)] = 4
+    cells[(11, 2)] = 5
+    df = _grid_points(spark, cells, z)
+    got = {r.cell: r for r in hotspot_gi(df, z=z).collect()}
+    return z, cells, got
+
+
+def test_gi_matches_pure_python_reference(crafted):
+    z, cells, got = crafted
+    want = _gi_reference(cells)
+    assert len(got) == len(want)
+    for (x, y), gi in want.items():
+        cell = z * 2**55 + x * 2**27 + y
+        assert got[cell].gi_micro == round(gi * 1e6)
+        assert got[cell].cnt == cells[(x, y)]
+
+
+def test_gi_hot_center_is_hottest(crafted):
+    z, cells, got = crafted
+    center = z * 2**55 + 6 * 2**27 + 6  # middle of the 3x3 blob: w=9, all hot
+    assert got[center].w == 9 and got[center].s == 81
+    assert got[center].gi_micro == max(r.gi_micro for r in got.values())
+    lone = z * 2**55 + 1 * 2**27 + 1
+    assert got[lone].gi_micro < 0  # isolated below-mean cell is a cold spot
+
+
+def test_gi_degenerate_universes(spark):
+    # single occupied cell -> undefined everywhere -> empty result
+    one = _grid_points(spark, {(3, 3): 5}, 4)
+    assert hotspot_gi(one, z=4).count() == 0
+    # constant counts -> sd == 0 -> empty result
+    flat = _grid_points(spark, {(2, 2): 3, (9, 9): 3, (12, 4): 3}, 4)
+    assert hotspot_gi(flat, z=4).count() == 0
+
+
+def test_gi_antimeridian_wrap(spark):
+    z = 3  # 45-degree tiles: x=0 and x=7 are wrap neighbors
+    cells = {(0, 3): 8, (7, 3): 8, (3, 1): 1, (4, 6): 1}
+    got = {r.cell: r for r in hotspot_gi(_grid_points(spark, cells, z), z=z).collect()}
+    # each of the two hot cells must see the other through the wrap
+    a = z * 2**55 + 0 * 2**27 + 3
+    b = z * 2**55 + 7 * 2**27 + 3
+    assert got[a].w == 2 and got[a].s == 16
+    assert got[b].w == 2 and got[b].s == 16
