@@ -110,6 +110,102 @@ def hotspot_gi(
     )
 
 
+def cell_trend(
+    points: DataFrame,
+    z: int = 9,
+    bucket_s: int = 86400,
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Per-cell temporal trend via the Mann-Kendall S statistic — the
+    core of ArcGIS-style "emerging hot spot analysis" (Mann 1945,
+    Kendall 1975; the space-time-cube trend test): for each z-cell,
+    bucket points into ``bucket_s`` periods, then
+
+        S = sum over period pairs (i < j) of sign(c_j - c_i)
+
+    S > 0 = intensifying cell, S < 0 = cooling, 0 = flat.  INTEGER-exact
+    end to end (counts and signs only — no float anywhere), so the
+    DuckDB oracle matches bit-for-bit by construction.
+
+    Scale shape: points shuffle once on (cell, period); the pairwise
+    stage joins the counts table to itself on cell with period < period
+    — per-cell work is bounded by the CALENDAR (periods per horizon),
+    not by data volume, so the quadratic term is a constant (~465 pairs
+    for a 31-day month) however many points land in the cell.
+
+    Output: (cell, n_periods, total, mk_s, trend)."""
+    d = points.select(
+        tiles.cell_id_col(F.col(lon_col), F.col(lat_col), z).alias("cell"),
+        F.floor(F.unix_timestamp(ts_col) / F.lit(bucket_s)).cast("long").alias("prd"),
+    )
+    counts = d.groupBy("cell", "prd").agg(F.count("*").alias("c"))
+    a = counts.select(
+        "cell", F.col("prd").alias("pa"), F.col("c").alias("ca")
+    )
+    b = counts.select(
+        "cell", F.col("prd").alias("pb"), F.col("c").alias("cb")
+    )
+    s = (
+        a.join(b, "cell")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("cell")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("mk_s")
+        )
+    )
+    per_cell = counts.groupBy("cell").agg(
+        F.count("*").alias("n_periods"), F.sum("c").alias("total")
+    )
+    mk = F.coalesce(F.col("mk_s"), F.lit(0)).cast("long")
+    return (
+        per_cell.join(s, "cell", "left")
+        .select(
+            "cell",
+            "n_periods",
+            "total",
+            mk.alias("mk_s"),
+            F.when(mk > 0, F.lit("up"))
+            .when(mk < 0, F.lit("down"))
+            .otherwise(F.lit("flat"))
+            .alias("trend"),
+        )
+    )
+
+
+def cell_trend_sql(source_sql: str, z: int = 9, bucket_s: int = 86400) -> str:
+    """DuckDB twin of :func:`cell_trend`; ``source_sql`` must yield
+    (ts, lon, lat) rows."""
+    return (
+        "WITH d AS (\n"
+        f"  SELECT {tiles.cell_id_sql('lon', 'lat', z)} AS cell,\n"
+        f"    CAST(floor(epoch(ts) / {bucket_s}) AS BIGINT) AS prd\n"
+        f"  FROM ({source_sql}) src\n"
+        "),\n"
+        "counts AS (SELECT cell, prd, count(*) AS c FROM d GROUP BY 1, 2),\n"
+        "s AS (\n"
+        "  SELECT a.cell, CAST(sum(sign(b.c - a.c)) AS BIGINT) AS mk_s\n"
+        "  FROM counts a JOIN counts b ON a.cell = b.cell AND a.prd < b.prd\n"
+        "  GROUP BY a.cell\n"
+        ")\n"
+        "SELECT p.cell, p.n_periods, p.total,\n"
+        "  CAST(coalesce(s.mk_s, 0) AS BIGINT) AS mk_s,\n"
+        "  CASE WHEN coalesce(s.mk_s, 0) > 0 THEN 'up'\n"
+        "       WHEN coalesce(s.mk_s, 0) < 0 THEN 'down'\n"
+        "       ELSE 'flat' END AS trend\n"
+        "FROM (SELECT cell, count(*) AS n_periods, CAST(sum(c) AS BIGINT) AS total\n"
+        "      FROM counts GROUP BY cell) p\n"
+        "LEFT JOIN s ON p.cell = s.cell"
+    )
+
+
 def hotspot_gi_sql(source_sql: str, z: int = 9) -> str:
     """DuckDB twin: ``source_sql`` must yield (lon, lat) rows.  The float
     z-score expression is written in the SAME evaluation order as the

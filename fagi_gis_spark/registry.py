@@ -135,6 +135,12 @@ _GATE_DEMOTED = [
     # this round; the r5-touched star-contraction variant keeps its own
     # gated slot (dedup_components_star, same oracle)
     "dedup_components",
+    # demoted when events_cell_trend (new, needs driver certification)
+    # took an oracle-backed slot: hex_cells was driver-green in r3 AND
+    # r4; its r5 half-up unification is certified by the still-gated
+    # hex_rollup + image_hex_rollup + hex_radius_join_150m (same id
+    # surface, same round)
+    "hex_cells",
 ]
 
 
@@ -2857,6 +2863,26 @@ def events_hotspot_gi(spark, sf_dir):
     from fagi_gis_spark.operators.trajectory import with_pings
 
     return hotspot_gi(with_pings(_events(spark, sf_dir)), z=9)
+
+
+def _trend_oracle() -> str:
+    from fagi_gis_spark.operators.hotspot import cell_trend_sql
+
+    return cell_trend_sql(
+        f"SELECT ts, lon, lat FROM ({_ping_events_sql()}) pe", z=9
+    )
+
+
+@register("events_cell_trend", _trend_oracle())
+def events_cell_trend(spark, sf_dir):
+    """Mann-Kendall per-cell temporal trend (operators.hotspot.cell_trend)
+    — the emerging-hotspot trend test over daily z9-cell counts,
+    integer-exact end to end; per-cell pairwise work bounded by the
+    calendar, not data volume."""
+    from fagi_gis_spark.operators.hotspot import cell_trend
+    from fagi_gis_spark.operators.trajectory import with_pings
+
+    return cell_trend(with_pings(_events(spark, sf_dir)), z=9)
 
 
 @register("multimodal_decode_stats")  # PNG/JPEG decode: pytest oracle only

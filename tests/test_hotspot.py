@@ -92,6 +92,55 @@ def test_gi_degenerate_universes(spark):
     assert hotspot_gi(flat, z=4).count() == 0
 
 
+def _trend_points(spark, series, z):
+    """series: dict (x, y) -> list of per-day counts (0 = absent day)."""
+    import datetime as dt
+
+    n = float(2**z)
+    rows, pid = [], 0
+    for (x, y), days in series.items():
+        lon = (x + 0.5) / n * 360.0 - 180.0
+        lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (y + 0.5) / n))))
+        for day, cnt in enumerate(days):
+            ts = dt.datetime(2024, 1, 1) + dt.timedelta(days=day, hours=1)
+            for _ in range(cnt):
+                rows.append((pid, ts, lon, lat))
+                pid += 1
+    return spark.createDataFrame(rows, "pid long, ts timestamp, lon double, lat double")
+
+
+def _mk_reference(days):
+    present = [c for c in days if c > 0]
+    s = 0
+    for i in range(len(present)):
+        for j in range(i + 1, len(present)):
+            s += (present[j] > present[i]) - (present[j] < present[i])
+    return s
+
+
+def test_cell_trend_matches_mann_kendall_reference(spark):
+    from fagi_gis_spark.operators.hotspot import cell_trend
+
+    z = 4
+    series = {
+        (2, 2): [1, 2, 3, 4, 5],          # strictly rising: S = 10
+        (5, 5): [5, 4, 3, 2, 1],          # strictly falling: S = -10
+        (8, 8): [3, 3, 3, 3],             # all ties: S = 0
+        (10, 3): [2, 0, 5, 0, 1],         # gap days absent from the cube
+        (12, 6): [7],                     # single period: S = 0
+    }
+    got = {r.cell: r for r in cell_trend(_trend_points(spark, series, z), z=z).collect()}
+    assert len(got) == len(series)
+    for (x, y), days in series.items():
+        cell = z * 2**55 + x * 2**27 + y
+        want = _mk_reference(days)
+        r = got[cell]
+        assert r.mk_s == want
+        assert r.n_periods == sum(1 for c in days if c > 0)
+        assert r.total == sum(days)
+        assert r.trend == ("up" if want > 0 else "down" if want < 0 else "flat")
+
+
 def test_gi_antimeridian_wrap(spark):
     z = 3  # 45-degree tiles: x=0 and x=7 are wrap neighbors
     cells = {(0, 3): 8, (7, 3): 8, (3, 1): 1, (4, 6): 1}
