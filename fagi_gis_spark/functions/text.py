@@ -422,3 +422,58 @@ def bigram_lm_score(
             (F.col("doc_id") % ref_mod == 0).cast("int").alias("is_ref"),
         )
     )
+
+
+#: PII patterns kept to the regex subset where Java (Spark) and RE2
+#: (DuckDB) agree on match semantics — character classes, bounded
+#: repetition, \b anchors; no backrefs or lookaround.  Replacement order
+#: matters (email before IPv4 would otherwise leave the host part of a
+#: dotted-quad "user@1.2.3.4" unredacted the other way around).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}( \d{3,4}){2,4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction for training corpora: replaces emails, IPv4
+    addresses, and international-format phone numbers with typed
+    placeholder tokens and reports per-class match counts — the standard
+    pre-training scrub pass (e.g. the C4/Dolma pipeline's email/IP
+    rules), all JVM-side ``regexp_replace``/``regexp_count`` (zero
+    Python in the hot path; one scan, no shuffle).
+
+    Output: (doc_id, text_scrubbed, n_email, n_ipv4, n_phone).
+    """
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = text
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        scrubbed.alias("text_scrubbed"),
+        *counts,
+    )
+
+
+def pii_scrub_sql(source_sql: str) -> str:
+    """DuckDB twin of :func:`pii_scrub` — same patterns, same
+    replacement order, global ('g') replacement to match Spark's
+    replace-all semantics."""
+    scrub = "text"
+    for _, pat, repl in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        scrub = f"regexp_replace({scrub}, '{esc}', '{repl}', 'g')"
+    count_cols = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return (
+        f"SELECT doc_id,\n  {scrub} AS text_scrubbed,\n  {count_cols}\n"
+        f"FROM ({source_sql}) src"
+    )

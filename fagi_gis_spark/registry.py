@@ -141,6 +141,11 @@ _GATE_DEMOTED = [
     # hex_rollup + image_hex_rollup + hex_radius_join_150m (same id
     # surface, same round)
     "hex_cells",
+    # demoted when doc_pii_scrub (new, needs driver certification) took
+    # an oracle-backed slot: late_fetch_metadata was newly gated and
+    # driver-green in r4, its registry-only implementation is untouched
+    # this round, and driver_sim replays its oracle every round
+    "late_fetch_metadata",
 ]
 
 
@@ -2883,6 +2888,74 @@ def events_cell_trend(spark, sf_dir):
     from fagi_gis_spark.operators.trajectory import with_pings
 
     return cell_trend(with_pings(_events(spark, sf_dir)), z=9)
+
+
+def _pii_injected_sql() -> str:
+    # deterministic synthetic PII: the corpus is PII-free word salad, so
+    # the scrub demo injects one email per doc, an IPv4 on doc_id%3==0,
+    # a phone on doc_id%4==1 — BOTH engines build the identical string
+    return (
+        "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.org'\n"
+        "  || (CASE WHEN doc_id % 3 = 0 THEN ' at 10.' ||"
+        " CAST(doc_id % 200 AS VARCHAR) || '.' ||"
+        " CAST((doc_id * 7) % 250 AS VARCHAR) || '.4' ELSE '' END)\n"
+        "  || (CASE WHEN doc_id % 4 = 1 THEN ' or +49 ' ||"
+        " CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ' ||"
+        " CAST(1000 + (doc_id * 3) % 9000 AS VARCHAR) ELSE '' END)"
+        " AS text\n"
+        "FROM documents"
+    )
+
+
+def _pii_oracle() -> str:
+    from fagi_gis_spark.functions.text import pii_scrub_sql
+
+    return pii_scrub_sql(_pii_injected_sql())
+
+
+@register("doc_pii_scrub", _pii_oracle())
+def doc_pii_scrub(spark, sf_dir):
+    """PII redaction (functions.text.pii_scrub): emails / IPv4 / phone
+    numbers replaced with typed placeholders + per-class counts, all
+    JVM regexp (one scan, no shuffle).  PII is injected deterministically
+    from doc_id (the corpus itself is synthetic word salad); the DuckDB
+    oracle builds the identical injected string and scrubs with the same
+    patterns in the same order, so any Java-vs-RE2 semantic drift in the
+    pattern subset would hash-mismatch immediately."""
+    from fagi_gis_spark.functions.text import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@mail.example.org"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" at 10."),
+                    (did % 200).cast("string"),
+                    F.lit("."),
+                    ((did * 7) % 250).cast("string"),
+                    F.lit(".4"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 1,
+                F.concat(
+                    F.lit(" or +49 "),
+                    (F.lit(1000) + did % 9000).cast("string"),
+                    F.lit(" "),
+                    (F.lit(1000) + (did * 3) % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(injected)
 
 
 @register("multimodal_decode_stats")  # PNG/JPEG decode: pytest oracle only

@@ -350,3 +350,43 @@ def test_bpe_zero_merges_is_chars(spark):
     row = bpe_tokenize(sdf, []).collect()[0]
     # chars + </w> per word: (3+1) + (2+1)
     assert (row.n_tokens_bpe, row.n_words) == (7, 2)
+
+
+# ------------------------------------------------------------------ PII scrub
+def test_pii_scrub_hand_cases(spark):
+    import pandas as pd
+
+    from fagi_gis_spark.functions.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "mail a.b-c_d%x+1@sub.example.co.uk and e@f.io today",
+                    "host 192.168.0.1 then 10.0.255.254 end",
+                    "call +1 555 0100 1234 or +491 1234 5678 9012 0000 now",
+                    "no pii here at all",
+                    # email whose host looks dotted-quad-ish: email rule
+                    # must win (it runs first)
+                    "u@1.2.3.4ab plus bare 1.2.3.4",
+                ],
+            }
+        )
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[1].text_scrubbed == "mail <EMAIL> and <EMAIL> today"
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (2, 0, 0)
+    assert out[2].text_scrubbed == "host <IP> then <IP> end"
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 2, 0)
+    assert out[3].text_scrubbed == "call <PHONE> or <PHONE> now"
+    assert out[3].n_phone == 2
+    assert out[4].text_scrubbed == "no pii here at all"
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
+    # "u@1.2.3.4ab": no letter TLD after a dot -> NOT an email; the
+    # embedded quad "1.2.3.4" is followed by a word char so \b rejects
+    # it too — only the bare quad redacts (conservative by design: a
+    # malformed address is left for the quality gates, never
+    # half-redacted into a different string)
+    assert out[5].text_scrubbed == "u@1.2.3.4ab plus bare <IP>"
+    assert (out[5].n_email, out[5].n_ipv4) == (0, 1)
