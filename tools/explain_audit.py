@@ -43,6 +43,12 @@ AUDIT = [
     ("doc_decontaminate", "benchmark decontamination (broadcast gram set, corpus never shuffles)"),
     ("tile_heatmap_pyramid", "heatmap + zoom pyramid (one raw scan, per-level integer box-sums)"),
     ("doc_filter_funnel", "filter-funnel audit (four narrow gate frames equi-joined on id)"),
+    ("events_colocation", "co-location join (exploded time-bucket equi-join, no theta join)"),
+    ("events_grid_dbscan", "grid DBSCAN (dense cells, 9-offset equi-join, star-contraction CC)"),
+    ("events_hotspot_gi", "Getis-Ord Gi* (neighborhood equi-join + broadcast global moments)"),
+    ("events_cell_trend", "Mann-Kendall trend (calendar-bounded per-cell pairwise join)"),
+    ("events_stay_points", "stay points (sessionize window shape, one user_id shuffle)"),
+    ("doc_pii_scrub", "PII redaction (pure JVM regexp, one scan, no shuffle)"),
 ]
 
 
