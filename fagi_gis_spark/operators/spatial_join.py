@@ -449,6 +449,82 @@ def pip_join(
     return prepared.mapInPandas(probe, schema="subject string, polygon_id string")
 
 
+def zonal_stats(
+    points: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    point_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
+    value_col: str | None = None,
+) -> DataFrame:
+    """Zonal statistics — the classic vector overlay aggregation (per
+    polygon zone: point count + integer value sum/min/max), the engine's
+    analog of PostGIS ``ST_Contains`` + GROUP BY over an admin layer.
+
+    Same broadcast-index shape as :func:`pip_join`, but the Arrow batch
+    emits PER-BATCH PARTIAL aggregates (one row per polygon touched by
+    the batch) instead of one row per contained point — the shuffle is
+    bounded by #polygons x #batches no matter how many points fall in a
+    zone, which is the map-side-combine property that keeps the hot
+    zone (a city-center polygon at 100 TB) from becoming a hot key.
+    ``value_col`` must be integer-valued (quantize floats first — the
+    repo's standard exact-sum parity rule); ``None`` counts only.
+
+    Output: (polygon_id, n_points, sum_w, min_w, max_w); points in no
+    zone drop out, overlapping zones each aggregate the point.
+    """
+    pk, plon, plat = point_cols
+    spark = points.sparkSession
+    idx = PolygonIndex(
+        polygons_pdf["polygon_id"].tolist(),
+        [parse_wkt(w) for w in polygons_pdf["geom_wkt"]],
+    )
+    bidx = spark.sparkContext.broadcast(idx)
+
+    def probe(batches):
+        index = bidx.value
+        ids = np.asarray(index.ids, dtype=object)
+        for pdf in batches:
+            px = pdf["__lon"].to_numpy("float64")
+            py = pdf["__lat"].to_numpy("float64")
+            pi, ki = index.query_batch_flat(px, py)
+            vals = (
+                pdf["__val"].to_numpy("int64")[pi]
+                if "__val" in pdf.columns
+                else np.ones(len(pi), dtype="int64")
+            )
+            part = (
+                pd.DataFrame({"polygon_id": ids[ki], "v": vals})
+                .groupby("polygon_id", sort=False)["v"]
+                .agg(n="count", s="sum", mn="min", mx="max")
+                .reset_index()
+            )
+            yield pd.DataFrame(
+                {
+                    "polygon_id": part["polygon_id"],
+                    "n": part["n"].astype("int64"),
+                    "s": part["s"].astype("int64"),
+                    "mn": part["mn"].astype("int64"),
+                    "mx": part["mx"].astype("int64"),
+                }
+            )
+
+    cols = [
+        F.col(pk).alias("__key"),
+        F.col(plon).alias("__lon"),
+        F.col(plat).alias("__lat"),
+    ]
+    if value_col is not None:
+        cols.append(F.col(value_col).cast("long").alias("__val"))
+    partials = points.select(*cols).mapInPandas(
+        probe, schema="polygon_id string, n long, s long, mn long, mx long"
+    )
+    return partials.groupBy("polygon_id").agg(
+        F.sum("n").cast("long").alias("n_points"),
+        F.sum("s").cast("long").alias("sum_w"),
+        F.min("mn").cast("long").alias("min_w"),
+        F.max("mx").cast("long").alias("max_w"),
+    )
+
+
 def unlinked_anti_join(poi: DataFrame, links: DataFrame, side: str) -> DataFrame:
     """J10: entities with no link (FetchUnlinkedServlet.java:219-338)."""
     key = f"node_{side}"

@@ -146,6 +146,12 @@ _GATE_DEMOTED = [
     # driver-green in r4, its registry-only implementation is untouched
     # this round, and driver_sim replays its oracle every round
     "late_fetch_metadata",
+    # demoted when zonal_stats (new, needs driver certification) took an
+    # oracle-backed slot: fuse_avg_points was driver-green r1-r3,
+    # replay-exact in r4, fusion.py untouched this round; 14 of the 15
+    # r4-demoted fusion/metadata queries still re-certify in this
+    # round's window (>= 10 per the r4 ask)
+    "fuse_avg_points",
 ]
 
 
@@ -2956,6 +2962,32 @@ def doc_pii_scrub(spark, sf_dir):
         ).alias("text"),
     )
     return pii_scrub(injected)
+
+
+def _zonal_oracle() -> str:
+    return _o(
+        "SELECT polygon_id, count(*) AS n_points,\n"
+        "  CAST(sum(w) AS BIGINT) AS sum_w,\n"
+        "  CAST(min(w) AS BIGINT) AS min_w, CAST(max(w) AS BIGINT) AS max_w\n"
+        f"FROM ({admin_assign_oracle_sql()}) a\n"
+        "JOIN (SELECT subject, k % 1000 AS w FROM poi_a) p USING (subject)\n"
+        "GROUP BY polygon_id"
+    )
+
+
+@register("zonal_stats", _zonal_oracle())
+def zonal_stats_q(spark, sf_dir):
+    """Zonal statistics (operators.spatial_join.zonal_stats): per admin
+    polygon, point count + integer-weight sum/min/max with per-Arrow-
+    batch partial aggregation (shuffle bounded by #polygons x #batches —
+    hot zones never become hot keys).  Weight = k % 1000, an exact
+    integer both engines derive identically."""
+    from fagi_gis_spark.operators.spatial_join import zonal_stats
+    from fagi_gis_spark.sources.layers import admin_polygons_pdf as _adm
+
+    L = layers(spark, sf_dir)
+    pts = L["poi_a"].withColumn("w", (F.col("k") % 1000).cast("long"))
+    return zonal_stats(pts, _adm(), value_col="w")
 
 
 @register("multimodal_decode_stats")  # PNG/JPEG decode: pytest oracle only

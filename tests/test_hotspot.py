@@ -150,3 +150,58 @@ def test_gi_antimeridian_wrap(spark):
     b = z * 2**55 + 7 * 2**27 + 3
     assert got[a].w == 2 and got[a].s == 16
     assert got[b].w == 2 and got[b].s == 16
+
+
+# ------------------------------------------------------------------ zonal stats
+def test_zonal_stats_crafted(spark):
+    import pandas as pd
+
+    from fagi_gis_spark.operators.spatial_join import zonal_stats
+
+    polys = pd.DataFrame(
+        {
+            "polygon_id": ["z_left", "z_right", "z_big"],
+            "geom_wkt": [
+                "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                "POLYGON ((3 0, 5 0, 5 2, 3 2, 3 0))",
+                # z_big overlaps z_left entirely
+                "POLYGON ((-1 -1, 6 -1, 6 3, -1 3, -1 -1))",
+            ],
+        }
+    )
+    pts = spark.createDataFrame(
+        [
+            ("p1", 1.0, 1.0, 10),
+            ("p2", 1.5, 0.5, 7),
+            ("p3", 4.0, 1.0, 100),
+            ("p4", 40.0, 40.0, 999),  # in no zone
+        ],
+        "subject string, lon double, lat double, w long",
+    ).repartition(3)
+    out = {r.polygon_id: r for r in zonal_stats(pts, polys, value_col="w").collect()}
+    assert set(out) == {"z_left", "z_right", "z_big"}
+    assert (out["z_left"].n_points, out["z_left"].sum_w, out["z_left"].min_w, out["z_left"].max_w) == (2, 17, 7, 10)
+    assert (out["z_right"].n_points, out["z_right"].sum_w) == (1, 100)
+    # the big overlapping zone sees all three contained points
+    assert (out["z_big"].n_points, out["z_big"].sum_w, out["z_big"].max_w) == (3, 117, 100)
+
+
+def test_zonal_stats_count_only_and_empty(spark):
+    import pandas as pd
+
+    from fagi_gis_spark.operators.spatial_join import zonal_stats
+
+    polys = pd.DataFrame(
+        {"polygon_id": ["z"], "geom_wkt": ["POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"]}
+    )
+    pts = spark.createDataFrame(
+        [("a", 0.5, 0.5), ("b", 0.25, 0.75), ("c", 9.0, 9.0)],
+        "subject string, lon double, lat double",
+    )
+    out = zonal_stats(pts, polys).collect()
+    assert len(out) == 1 and out[0].n_points == 2 and out[0].sum_w == 2
+    none = zonal_stats(
+        spark.createDataFrame([("x", 9.0, 9.0)], "subject string, lon double, lat double"),
+        polys,
+    ).collect()
+    assert none == []
