@@ -200,6 +200,37 @@ def run(sf_dir: str | None = None, cores: str | None = None, names=None) -> dict
             finally:
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
+        # co-location probe: the contact-tracing join shape (same-cell
+        # |dt|<=900s distinct-user pairs via the exploded time-bucket
+        # equi-join) at scale-probe volume — one composite-key shuffle,
+        # never a theta join
+        n_c = int(os.environ.get("SPARK_GRAFT_SCALE_PROBE_COLOC_N", str(n_probe)))
+        if n_c > 0:
+            from fagi_gis_spark.operators.trajectory import colocation
+
+            ev = spark.range(0, n_c, 1, int(cores)).select(
+                F.col("id").alias("event_id"),
+                F.timestamp_seconds(
+                    F.lit(1704067200) + F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(2592000))
+                ).alias("ts"),
+                F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(200000)).alias("user_id"),
+                F.lit("e").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("").alias("props"),
+            )
+            # z12 keeps expected partners-per-event < 1 at this density,
+            # so the probe measures the join machinery rather than pair
+            # materialization volume (same reasoning as the radius probe)
+            t_c = time.time()
+            colocation(ev, z=12, win_s=900).write.format("noop").mode("overwrite").save()
+            dt_c = time.time() - t_c
+            scale_probe["colocation"] = {
+                "rows": n_c,
+                "sec": round(dt_c, 3),
+                "rows_per_sec": round(n_c / dt_c, 1),
+                "path": "colocation z12 / 900s (cell x time-bucket equi-join)",
+            }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
         "metric": "headline suite wall time (spatial join + tiling + fusion + dedup + ann)",
