@@ -430,3 +430,56 @@ def stream_incremental_cosine(
         .groupBy("vec_n", "vec_c")
         .agg(F.min("cos_sim").alias("cos_sim"))
     )
+
+
+def stream_colocation(
+    stream: DataFrame,
+    corpus: DataFrame,
+    z: int = 8,
+    win_s: int = 900,
+) -> DataFrame:
+    """Streaming co-location: each ARRIVING event is checked against a
+    STORED events corpus for same-z-cell proximity within ``win_s``
+    seconds — the live arm of operators.trajectory.colocation (who was
+    near the new ping?).  The arriving side carries its three exploded
+    time-bucket probes as a stateless projection, the (cell, bucket)
+    join is stream-STATIC (corpus never rescanned per row, no
+    stream-stream state), and the exact |dt| filter refines per row;
+    the only state is the per-pair count aggregation.
+
+    Output: (user_n, user_c, n_hits) — arriving user vs corpus user
+    (both orientations of a same-user pair are excluded)."""
+    from fagi_gis_spark.index import tiles
+    from fagi_gis_spark.operators.trajectory import with_pings
+
+    def prep(df: DataFrame) -> DataFrame:
+        return with_pings(df).select(
+            "user_id",
+            F.unix_timestamp("ts").alias("t"),
+            tiles.cell_id_col(F.col("lon"), F.col("lat"), z).alias("cell"),
+        )
+
+    n = prep(stream)
+    bn = F.floor(F.col("t") / F.lit(win_s)).cast("long")
+    n = n.select(
+        F.col("user_id").alias("user_n"),
+        F.col("t").alias("t_n"),
+        "cell",
+        F.explode(F.array(bn - 1, bn, bn + 1)).alias("bkt"),
+    )
+    c = prep(corpus)
+    c = c.select(
+        F.col("user_id").alias("user_c"),
+        F.col("t").alias("t_c"),
+        "cell",
+        F.floor(F.col("t") / F.lit(win_s)).cast("long").alias("bkt"),
+    )
+    return (
+        n.join(c, ["cell", "bkt"])
+        .filter(
+            (F.col("user_n") != F.col("user_c"))
+            & (F.abs(F.col("t_n") - F.col("t_c")) <= F.lit(win_s))
+        )
+        .groupBy("user_n", "user_c")
+        .agg(F.count("*").alias("n_hits"))
+    )

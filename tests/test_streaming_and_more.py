@@ -547,3 +547,47 @@ def test_stream_exif_hex_rollup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expect and len(expect) > 10
+
+
+def test_stream_colocation_matches_batch(spark, tmp_path):
+    """Streaming co-location (arriving events vs the stored corpus)
+    equals the batch colocation restricted to new-vs-corpus pairs with
+    the arriving user on the left — computed here as the direct
+    stream-shaped batch join on the same frames."""
+    from fagi_gis_spark.operators.trajectory import with_pings
+    from fagi_gis_spark.index import tiles
+    from fagi_gis_spark.streaming.windowed import start_memory_sink, stream_colocation
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # arriving batch: corpus events time-shifted by 200s with fresh ids
+    # and users offset by 7 — guaranteed same-cell near-in-time overlap
+    new = corpus.filter(F.col("event_id") % 5 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 200 SECONDS")).alias("ts"),
+        F.col("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    src = str(tmp_path / "coloc_stream_src")
+    new.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    q = start_memory_sink(
+        stream_colocation(stream, corpus, z=6, win_s=900), "coloc_out"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_n, r.user_c, r.n_hits)
+        for r in spark.sql("SELECT * FROM coloc_out").collect()
+    }
+    # batch expectation: same join, batch frames
+    want = {
+        (r.user_n, r.user_c, r.n_hits)
+        for r in __import__(
+            "fagi_gis_spark.streaming.windowed", fromlist=["stream_colocation"]
+        ).stream_colocation(new, corpus, z=6, win_s=900).collect()
+    }
+    assert got == want and len(got) > 0
