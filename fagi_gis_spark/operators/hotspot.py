@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 from fagi_gis_spark.index import tiles
 
 
+#: two-tailed normal critical values in micro-z — the ArcGIS hotspot
+#: confidence bins (90/95/99%), compared against gi_micro as integers so
+#: the classification is engine-exact by construction
+GI_Z90_MICRO = 1_644_854  # z_{0.95}  = 1.6448536...
+GI_Z95_MICRO = 1_959_964  # z_{0.975} = 1.9599640...
+GI_Z99_MICRO = 2_575_829  # z_{0.995} = 2.5758293...
+
+
 def _nine_offsets() -> Column:
     return F.expr(
         "explode(transform(sequence(0, 8), "
@@ -93,7 +101,7 @@ def hotspot_gi(
     mean = F.col("sum_c").cast("double") / n
     sd = F.sqrt(F.col("sumsq_c").cast("double") / n - mean * mean)
     gi = (s - mean * w) / (sd * F.sqrt((n * w - w * w) / (n - F.lit(1.0))))
-    return (
+    out = (
         hood.join(F.broadcast(stats))
         .filter(
             (F.col("n") >= 2)
@@ -108,6 +116,17 @@ def hotspot_gi(
             F.round(gi * F.lit(1e6)).cast("long").alias("gi_micro"),
         )
     )
+    g = F.col("gi_micro")
+    cls = (
+        F.when(g >= GI_Z99_MICRO, "hot99")
+        .when(g >= GI_Z95_MICRO, "hot95")
+        .when(g >= GI_Z90_MICRO, "hot90")
+        .when(g <= -GI_Z99_MICRO, "cold99")
+        .when(g <= -GI_Z95_MICRO, "cold95")
+        .when(g <= -GI_Z90_MICRO, "cold90")
+        .otherwise("ns")
+    )
+    return out.withColumn("gi_class", cls)
 
 
 def cell_trend(
@@ -227,7 +246,8 @@ def hotspot_gi_sql(source_sql: str, z: int = 9) -> str:
         f"    ON b.x IN (a.x, (a.x + 1) % {n_tiles}, (a.x + {n_tiles - 1}) % {n_tiles})\n"
         "   AND b.y BETWEEN a.y - 1 AND a.y + 1\n"
         "  GROUP BY a.cell, a.cnt\n"
-        ")\n"
+        "),\n"
+        "scored AS (\n"
         "SELECT cell, cnt, w, s,\n"
         "  CAST(round((CAST(s AS DOUBLE) - (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))"
         " * CAST(w AS DOUBLE))\n"
@@ -241,5 +261,14 @@ def hotspot_gi_sql(source_sql: str, z: int = 9) -> str:
         "WHERE n >= 2 AND w < n\n"
         "  AND CAST(sumsq_c AS DOUBLE) / CAST(n AS DOUBLE)"
         " - (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))"
-        " * (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)) > 0"
+        " * (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)) > 0\n"
+        ") SELECT cell, cnt, w, s, gi_micro,\n"
+        f"  CASE WHEN gi_micro >= {GI_Z99_MICRO} THEN 'hot99'\n"
+        f"       WHEN gi_micro >= {GI_Z95_MICRO} THEN 'hot95'\n"
+        f"       WHEN gi_micro >= {GI_Z90_MICRO} THEN 'hot90'\n"
+        f"       WHEN gi_micro <= -{GI_Z99_MICRO} THEN 'cold99'\n"
+        f"       WHEN gi_micro <= -{GI_Z95_MICRO} THEN 'cold95'\n"
+        f"       WHEN gi_micro <= -{GI_Z90_MICRO} THEN 'cold90'\n"
+        "       ELSE 'ns' END AS gi_class\n"
+        "FROM scored"
     )

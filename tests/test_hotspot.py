@@ -205,3 +205,29 @@ def test_zonal_stats_count_only_and_empty(spark):
         polys,
     ).collect()
     assert none == []
+
+
+def test_gi_confidence_classes(crafted):
+    from fagi_gis_spark.operators.hotspot import (
+        GI_Z90_MICRO,
+        GI_Z95_MICRO,
+        GI_Z99_MICRO,
+    )
+
+    z, cells, got = crafted
+    for r in got.values():
+        g = r.gi_micro
+        want = (
+            "hot99" if g >= GI_Z99_MICRO
+            else "hot95" if g >= GI_Z95_MICRO
+            else "hot90" if g >= GI_Z90_MICRO
+            else "cold99" if g <= -GI_Z99_MICRO
+            else "cold95" if g <= -GI_Z95_MICRO
+            else "cold90" if g <= -GI_Z90_MICRO
+            else "ns"
+        )
+        assert r.gi_class == want
+    # the crafted universe has both a significant hot center and
+    # non-significant periphery
+    classes = {r.gi_class for r in got.values()}
+    assert any(c.startswith("hot") for c in classes) and "ns" in classes
