@@ -225,6 +225,105 @@ def cell_trend_sql(source_sql: str, z: int = 9, bucket_s: int = 86400) -> str:
     )
 
 
+def ripleys_k(
+    points: DataFrame,
+    radii_m: tuple[float, ...] = (50.0, 100.0, 150.0),
+    area_m2: float = 1.0,
+    point_cols: tuple[str, str, str] = ("subject", "lon", "lat"),
+) -> DataFrame:
+    """Ripley's K point-pattern statistic (Ripley 1976; the standard
+    clustering-vs-CSR diagnostic): K̂(r) = A * 2 * P(r) / (n * (n - 1))
+    with P(r) = unordered point pairs within distance r, border-
+    uncorrected, in the repo's planar-degree metric (deg x 111195 — the
+    reference's D5 convention, so "area" is in that same planar m²).
+
+    ONE salted cell self-join at max(radii) produces every candidate
+    pair; each smaller radius is a conditional count over the same pair
+    set (no re-join per radius).  Under CSR, K̂(r) ~ pi r²; excess =
+    clustering at that scale.
+
+    Output: (radius_m, n_pairs, k_micro) — one row per requested radius,
+    k quantized to micro-m² via round(k * 1e6)."""
+    from fagi_gis_spark.operators.spatial_join import radius_join
+
+    pk = point_cols[0]
+    r_max = max(radii_m)
+    pairs = radius_join(
+        points, points, r_max, left_cols=point_cols, right_cols=point_cols
+    ).filter(F.col("l_key") < F.col("r_key"))
+    counts = pairs.agg(
+        *[
+            F.sum((F.col("dist_m") <= F.lit(r)).cast("long")).alias(f"p{i}")
+            for i, r in enumerate(radii_m)
+        ]
+    )
+    n_row = points.select(F.count(F.col(pk)).alias("n"))
+    both = counts.join(F.broadcast(n_row))
+    per_radius = [
+        both.select(
+            F.lit(r).alias("radius_m"),
+            F.coalesce(F.col(f"p{i}"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.round(
+                F.lit(area_m2)
+                * F.lit(2.0)
+                * F.coalesce(F.col(f"p{i}"), F.lit(0)).cast("double")
+                / (F.col("n").cast("double") * (F.col("n").cast("double") - F.lit(1.0)))
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("k_micro"),
+        )
+        for i, r in enumerate(radii_m)
+    ]
+    out = per_radius[0]
+    for df in per_radius[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def ripleys_k_sql(
+    source_sql: str,
+    radii_m: tuple[float, ...] = (50.0, 100.0, 150.0),
+    area_m2: float = 1.0,
+    embed: bool = False,
+) -> str:
+    """DuckDB twin of :func:`ripleys_k`; ``source_sql`` must yield
+    (subject, lon, lat) rows.  Closed-form theta join (the Spark side's
+    cell join is an equi-join re-expression of the same predicate).
+    ``embed=True`` emits ", cte, ... SELECT" (no WITH keyword) so the
+    text can append to an existing WITH clause."""
+    dist = (
+        "sqrt((a.lon - b.lon) * (a.lon - b.lon)"
+        " + (a.lat - b.lat) * (a.lat - b.lat)) * 111195.0"
+    )
+    r_max = max(radii_m)
+    selects = []
+    for i, r in enumerate(radii_m):
+        selects.append(
+            f"SELECT CAST({r!r} AS DOUBLE) AS radius_m,\n"
+            f"  CAST(coalesce(p{i}, 0) AS BIGINT) AS n_pairs,\n"
+            f"  CAST(round({area_m2!r} * 2.0 * CAST(coalesce(p{i}, 0) AS DOUBLE)\n"
+            "    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * 1e6) AS BIGINT)"
+            " AS k_micro\n"
+            "FROM counts, nn"
+        )
+    count_cols = ",\n    ".join(
+        f"sum(CASE WHEN {dist} <= {r!r} THEN 1 ELSE 0 END) AS p{i}"
+        for i, r in enumerate(radii_m)
+    )
+    body = (
+        f"pts AS ({source_sql}),\n"
+        "counts AS (\n"
+        f"  SELECT {count_cols}\n"
+        "  FROM pts a JOIN pts b ON a.subject < b.subject\n"
+        f"    AND {dist} <= {r_max!r}\n"
+        "),\n"
+        "nn AS (SELECT count(subject) AS n FROM pts)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+    return (", " if embed else "WITH ") + body
+
+
 def hotspot_gi_sql(source_sql: str, z: int = 9) -> str:
     """DuckDB twin: ``source_sql`` must yield (lon, lat) rows.  The float
     z-score expression is written in the SAME evaluation order as the

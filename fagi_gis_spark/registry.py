@@ -152,6 +152,12 @@ _GATE_DEMOTED = [
     # r4-demoted fusion/metadata queries still re-certify in this
     # round's window (>= 10 per the r4 ask)
     "fuse_avg_points",
+    # demoted when ripleys_k (new, needs driver certification) took an
+    # oracle-backed slot: fuse_shift_poly_avg_dist was driver-green
+    # r1-r3, replay-exact in r4, fusion.py untouched this round; 13 of
+    # the 15 r4-demoted fusion/metadata re-certs remain in the window
+    # (>= 10 per the r4 ask)
+    "fuse_shift_poly_avg_dist",
 ]
 
 
@@ -2988,6 +2994,40 @@ def zonal_stats_q(spark, sf_dir):
     L = layers(spark, sf_dir)
     pts = L["poi_a"].withColumn("w", (F.col("k") % 1000).cast("long"))
     return zonal_stats(pts, _adm(), value_col="w")
+
+
+#: poi layer extent in the planar-degree metric: lon [-1, 1) x lat
+#: [50, 52) -> A = (2 * 111195)^2 planar m² (the D5 convention both
+#: engines share)
+_RIPLEY_AREA_M2 = (2.0 * 111195.0) ** 2
+_RIPLEY_RADII = (50.0, 100.0, 150.0)
+
+
+def _ripley_oracle() -> str:
+    from fagi_gis_spark.operators.hotspot import ripleys_k_sql
+
+    return _o(
+        ripleys_k_sql(
+            "SELECT subject, lon, lat FROM poi_a",
+            radii_m=_RIPLEY_RADII,
+            area_m2=_RIPLEY_AREA_M2,
+            embed=True,
+        )
+    )
+
+
+@register("ripleys_k", _ripley_oracle())
+def ripleys_k_q(spark, sf_dir):
+    """Ripley's K point-pattern statistic (operators.hotspot.ripleys_k)
+    over poi_a at 50/100/150 m: one salted cell self-join at the max
+    radius, conditional counts for the smaller radii, K quantized to
+    micro-m² — the clustering-vs-CSR diagnostic."""
+    from fagi_gis_spark.operators.hotspot import ripleys_k
+
+    L = layers(spark, sf_dir)
+    return ripleys_k(
+        L["poi_a"], radii_m=_RIPLEY_RADII, area_m2=_RIPLEY_AREA_M2
+    )
 
 
 @register("multimodal_decode_stats")  # PNG/JPEG decode: pytest oracle only

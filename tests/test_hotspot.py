@@ -231,3 +231,36 @@ def test_gi_confidence_classes(crafted):
     # non-significant periphery
     classes = {r.gi_class for r in got.values()}
     assert any(c.startswith("hot") for c in classes) and "ns" in classes
+
+
+# ------------------------------------------------------------------ Ripley's K
+def test_ripleys_k_crafted_exact(spark):
+    from fagi_gis_spark.operators.hotspot import ripleys_k
+
+    # four points on a line, spaced ~55.6 m apart (0.0005 deg * 111195)
+    pts = spark.createDataFrame(
+        [(f"p{i}", 10.0 + i * 0.0005, 20.0) for i in range(4)],
+        "subject string, lon double, lat double",
+    )
+    step = 0.0005 * 111195.0  # 55.5975 m
+    area = 1000.0
+    radii = (60.0, 120.0, 180.0)
+    out = {r.radius_m: r for r in ripleys_k(pts, radii, area_m2=area).collect()}
+    # pairs within 60 m: 3 adjacent; within 120 m: + 2 at 2*step; within
+    # 180 m: + 1 at 3*step
+    want_pairs = {60.0: 3, 120.0: 5, 180.0: 6}
+    n = 4
+    for r, p in want_pairs.items():
+        assert out[r].n_pairs == p
+        assert out[r].k_micro == round(area * 2.0 * p / (n * (n - 1.0)) * 1e6)
+    assert abs(step - 55.5975) < 1e-9  # the crafted spacing assumption
+
+
+def test_ripleys_k_no_pairs(spark):
+    from fagi_gis_spark.operators.hotspot import ripleys_k
+
+    pts = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("b", 10.0, 10.0)], "subject string, lon double, lat double"
+    )
+    out = ripleys_k(pts, (100.0,), area_m2=5.0).collect()
+    assert len(out) == 1 and out[0].n_pairs == 0 and out[0].k_micro == 0
