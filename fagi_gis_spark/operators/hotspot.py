@@ -129,6 +129,125 @@ def hotspot_gi(
     return out.withColumn("gi_class", cls)
 
 
+def local_morans_i(
+    points: DataFrame,
+    z: int = 9,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Local Moran's I (Anselin 1995, "Local Indicators of Spatial
+    Association — LISA") per occupied z-cell with binary 8-neighborhood
+    weights, self EXCLUDED (the statistic's standard contract, unlike
+    Gi*'s self-included star):
+
+        I_i = ((c_i - mean) / m2) * sum_j w_ij (c_j - mean)
+        m2  = sum_k (c_k - mean)^2 / n
+
+    plus the quadrant label the Moran scatterplot assigns: HH (hot
+    surrounded by hot), LL, HL (high outlier), LH (low outlier) by the
+    signs of (c_i - mean) and the neighbor mean deviation; cells with
+    no occupied neighbor are excluded (lag undefined).
+
+    Same scale shape as :func:`hotspot_gi` (one counts shuffle, one
+    9-offset equi-join, one broadcast moments row); emitted quantized to
+    micro-I.  Output: (cell, cnt, w, s, i_micro, quadrant)."""
+    n_tiles = 2**z
+    g = points.select(
+        tiles.tile_x_col(F.col(lon_col), z).alias("x"),
+        tiles.tile_y_col(F.col(lat_col), z).alias("y"),
+        tiles.cell_id_col(F.col(lon_col), F.col(lat_col), z).alias("cell"),
+    )
+    cells = g.groupBy("x", "y", "cell").agg(F.count("*").alias("cnt"))
+    stats = cells.agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("sum_c"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq_c"),
+    )
+    probe = cells.select(
+        "cell",
+        "cnt",
+        _nine_offsets().alias("o"),
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+    ).filter(~((F.col("o.dx") == 0) & (F.col("o.dy") == 0))).select(
+        "cell",
+        "cnt",
+        F.pmod(F.col("cx") + F.col("o.dx"), F.lit(n_tiles)).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = cells.select(
+        F.col("x").alias("nx"), F.col("y").alias("ny"), F.col("cnt").alias("ncnt")
+    )
+    hood = (
+        probe.join(nbr, ["nx", "ny"])
+        .groupBy("cell", "cnt")
+        .agg(F.count("*").alias("w"), F.sum("ncnt").alias("s"))
+    )
+    n = F.col("n").cast("double")
+    w = F.col("w").cast("double")
+    s = F.col("s").cast("double")
+    c = F.col("cnt").cast("double")
+    mean = F.col("sum_c").cast("double") / n
+    # m2 from integer moments: sumsq/n - mean^2 (one deterministic order)
+    m2 = F.col("sumsq_c").cast("double") / n - mean * mean
+    dev = c - mean
+    lag_dev = s - mean * w
+    i_val = dev / m2 * lag_dev
+    quadrant = (
+        F.when((dev >= 0) & (lag_dev >= 0), "HH")
+        .when((dev < 0) & (lag_dev < 0), "LL")
+        .when((dev >= 0) & (lag_dev < 0), "HL")
+        .otherwise("LH")
+    )
+    return (
+        hood.join(F.broadcast(stats))
+        .filter((F.col("n") >= 2) & (m2 > 0))
+        .select(
+            "cell",
+            "cnt",
+            "w",
+            "s",
+            F.round(i_val * F.lit(1e6)).cast("long").alias("i_micro"),
+            quadrant.alias("quadrant"),
+        )
+    )
+
+
+def local_morans_i_sql(source_sql: str, z: int = 9) -> str:
+    """DuckDB twin of :func:`local_morans_i` (same evaluation order)."""
+    n_tiles = 2**z
+    mean = "(CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))"
+    m2 = f"(CAST(sumsq_c AS DOUBLE) / CAST(n AS DOUBLE) - {mean} * {mean})"
+    dev = f"(CAST(cnt AS DOUBLE) - {mean})"
+    lag_dev = f"(CAST(s AS DOUBLE) - {mean} * CAST(w AS DOUBLE))"
+    return (
+        "WITH g AS (\n"
+        f"  SELECT {tiles.tile_x_sql('lon', z)} AS x,\n"
+        f"    {tiles.tile_y_sql('lat', z)} AS y,\n"
+        f"    {tiles.cell_id_sql('lon', 'lat', z)} AS cell\n"
+        f"  FROM ({source_sql}) src\n"
+        "),\n"
+        "cells AS (SELECT x, y, cell, count(*) AS cnt FROM g GROUP BY 1, 2, 3),\n"
+        "stats AS (SELECT count(*) AS n, sum(cnt) AS sum_c,\n"
+        "  sum(cnt * cnt) AS sumsq_c FROM cells),\n"
+        "hood AS (\n"
+        "  SELECT a.cell, a.cnt, count(*) AS w, sum(b.cnt) AS s\n"
+        "  FROM cells a JOIN cells b\n"
+        f"    ON b.x IN (a.x, (a.x + 1) % {n_tiles}, (a.x + {n_tiles - 1}) % {n_tiles})\n"
+        "   AND b.y BETWEEN a.y - 1 AND a.y + 1\n"
+        "   AND a.cell <> b.cell\n"
+        "  GROUP BY a.cell, a.cnt\n"
+        ")\n"
+        "SELECT cell, cnt, w, s,\n"
+        f"  CAST(round({dev} / {m2} * {lag_dev} * 1e6) AS BIGINT) AS i_micro,\n"
+        f"  CASE WHEN {dev} >= 0 AND {lag_dev} >= 0 THEN 'HH'\n"
+        f"       WHEN {dev} < 0 AND {lag_dev} < 0 THEN 'LL'\n"
+        f"       WHEN {dev} >= 0 AND {lag_dev} < 0 THEN 'HL'\n"
+        "       ELSE 'LH' END AS quadrant\n"
+        f"FROM hood, stats WHERE n >= 2 AND {m2} > 0"
+    )
+
+
 def cell_trend(
     points: DataFrame,
     z: int = 9,

@@ -158,6 +158,12 @@ _GATE_DEMOTED = [
     # the 15 r4-demoted fusion/metadata re-certs remain in the window
     # (>= 10 per the r4 ask)
     "fuse_shift_poly_avg_dist",
+    # demoted when events_local_morans_i (new, needs driver
+    # certification) took an oracle-backed slot: fuse_shift_b_to_a was
+    # driver-green r1-r3, replay-exact in r4, fusion.py untouched this
+    # round; 12 of the 15 r4-demoted fusion/metadata re-certs remain in
+    # the window (>= 10 per the r4 ask)
+    "fuse_shift_b_to_a",
 ]
 
 
@@ -3028,6 +3034,27 @@ def ripleys_k_q(spark, sf_dir):
     return ripleys_k(
         L["poi_a"], radii_m=_RIPLEY_RADII, area_m2=_RIPLEY_AREA_M2
     )
+
+
+def _lisa_oracle() -> str:
+    from fagi_gis_spark.operators.hotspot import local_morans_i_sql
+
+    return local_morans_i_sql(
+        f"SELECT lon, lat FROM ({_ping_events_sql()}) pe", z=9
+    )
+
+
+@register("events_local_morans_i", _lisa_oracle())
+def events_local_morans_i(spark, sf_dir):
+    """Local Moran's I / LISA (operators.hotspot.local_morans_i) over the
+    event pings: per occupied z9 cell, the Anselin 1995 local statistic
+    with binary self-excluded 8-neighborhood weights plus the Moran
+    scatterplot quadrant (HH/LL/HL/LH) — the spatial-outlier companion
+    to the Gi* hotspot query, same one-join + broadcast-moments shape."""
+    from fagi_gis_spark.operators.hotspot import local_morans_i
+    from fagi_gis_spark.operators.trajectory import with_pings
+
+    return local_morans_i(with_pings(_events(spark, sf_dir)), z=9)
 
 
 @register("multimodal_decode_stats")  # PNG/JPEG decode: pytest oracle only

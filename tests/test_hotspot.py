@@ -264,3 +264,66 @@ def test_ripleys_k_no_pairs(spark):
     )
     out = ripleys_k(pts, (100.0,), area_m2=5.0).collect()
     assert len(out) == 1 and out[0].n_pairs == 0 and out[0].k_micro == 0
+
+
+# ------------------------------------------------------------------ Local Moran's I
+def _lisa_reference(cells):
+    n = len(cells)
+    mean = sum(cells.values()) / n
+    m2 = sum(c * c for c in cells.values()) / n - mean * mean
+    out = {}
+    for (x, y), cnt in cells.items():
+        hood = [
+            cells[((x + dx), (y + dy))]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0) and ((x + dx), (y + dy)) in cells
+        ]
+        if n < 2 or m2 <= 0 or not hood:
+            continue
+        w, s = len(hood), sum(hood)
+        dev = cnt - mean
+        lag_dev = s - mean * w
+        i = dev / m2 * lag_dev
+        quad = (
+            "HH" if dev >= 0 and lag_dev >= 0
+            else "LL" if dev < 0 and lag_dev < 0
+            else "HL" if dev >= 0 else "LH"
+        )
+        out[(x, y)] = (round(i * 1e6), quad, w, s)
+    return out
+
+
+def test_local_morans_i_matches_reference_and_quadrants(spark):
+    from fagi_gis_spark.operators.hotspot import local_morans_i
+
+    z = 4
+    cells = {}
+    for dx in range(3):
+        for dy in range(3):
+            cells[(5 + dx, 5 + dy)] = 9          # hot blob -> HH inside
+    cells[(6, 8)] = 1                             # low cell beside the blob -> LH
+    cells[(1, 1)] = 1
+    cells[(1, 2)] = 1                             # low pair far away -> LL
+    cells[(10, 2)] = 20
+    cells[(10, 3)] = 1                            # high outlier next to low -> HL
+    got = {
+        r.cell: r
+        for r in local_morans_i(_grid_points(spark, cells, z), z=z).collect()
+    }
+    want = _lisa_reference(cells)
+    assert len(got) == len(want)
+    for (x, y), (i_micro, quad, w, s) in want.items():
+        r = got[z * 2**55 + x * 2**27 + y]
+        assert (r.i_micro, r.quadrant, r.w, r.s) == (i_micro, quad, w, s)
+    # the expected quadrant mix is present
+    quads = {r.quadrant for r in got.values()}
+    assert {"HH", "LL", "LH", "HL"} <= quads
+
+
+def test_local_morans_i_isolated_cell_excluded(spark):
+    from fagi_gis_spark.operators.hotspot import local_morans_i
+
+    cells = {(2, 2): 5, (9, 9): 1}  # far apart: no neighbors -> no lag
+    out = local_morans_i(_grid_points(spark, cells, 4), z=4).collect()
+    assert out == []
