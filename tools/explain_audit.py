@@ -49,6 +49,9 @@ AUDIT = [
     ("events_cell_trend", "Mann-Kendall trend (calendar-bounded per-cell pairwise join)"),
     ("events_stay_points", "stay points (sessionize window shape, one user_id shuffle)"),
     ("doc_pii_scrub", "PII redaction (pure JVM regexp, one scan, no shuffle)"),
+    ("zonal_stats", "zonal statistics (broadcast PIP, per-Arrow-batch partial combine)"),
+    ("ripleys_k", "Ripley's K (one salted self-join, per-radius conditional counts)"),
+    ("events_local_morans_i", "Local Moran's I (neighbor equi-join + broadcast moments)"),
 ]
 
 
