@@ -443,6 +443,178 @@ def ripleys_k_sql(
     return (", " if embed else "WITH ") + body
 
 
+def emerging_hotspots(
+    points: DataFrame,
+    z: int = 9,
+    bucket_s: int = 86400,
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Emerging Hot Spot Analysis — the ArcGIS space-time-cube tool
+    proper: a Gi* z-score per (cell, period) slice (each period scored
+    against ITS OWN day's occupied-cell moments), then the Mann-Kendall
+    trend over each cell's Gi* time series.  A cell that is hot and
+    getting hotter reads (sum_gi_micro > 0, trend = 'up') — the
+    "intensifying hot spot" class; cooling hot spots, emerging cold
+    spots etc. fall out of the same two columns.
+
+    Composition of :func:`hotspot_gi` (per-slice) and :func:`cell_trend`
+    (integer-exact MK over the QUANTIZED micro-z series, so the trend
+    sign is engine-exact even though Gi* itself is a float statistic).
+    Scale shape: counts shuffle once on (cell, period); the neighbor
+    join adds period to the (x, y) equi-key; per-period moments are a
+    ~periods-row broadcast; the MK stage is the calendar-bounded
+    pairwise join.
+
+    Output: (cell, n_periods, sum_gi_micro, mk_s, trend)."""
+    n_tiles = 2**z
+    d = points.select(
+        tiles.tile_x_col(F.col(lon_col), z).alias("x"),
+        tiles.tile_y_col(F.col(lat_col), z).alias("y"),
+        tiles.cell_id_col(F.col(lon_col), F.col(lat_col), z).alias("cell"),
+        F.floor(F.unix_timestamp(ts_col) / F.lit(bucket_s)).cast("long").alias("prd"),
+    )
+    counts = d.groupBy("x", "y", "cell", "prd").agg(F.count("*").alias("cnt"))
+    stats = counts.groupBy("prd").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("sum_c"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq_c"),
+    )
+    probe = counts.select(
+        "cell",
+        "cnt",
+        "prd",
+        _nine_offsets().alias("o"),
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+    ).select(
+        "cell",
+        "cnt",
+        "prd",
+        F.pmod(F.col("cx") + F.col("o.dx"), F.lit(n_tiles)).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = counts.select(
+        F.col("x").alias("nx"),
+        F.col("y").alias("ny"),
+        F.col("prd").alias("prd"),
+        F.col("cnt").alias("ncnt"),
+    )
+    hood = (
+        probe.join(nbr, ["nx", "ny", "prd"])
+        .groupBy("cell", "prd", "cnt")
+        .agg(F.count("*").alias("w"), F.sum("ncnt").alias("s"))
+    )
+    n = F.col("n").cast("double")
+    w = F.col("w").cast("double")
+    s = F.col("s").cast("double")
+    mean = F.col("sum_c").cast("double") / n
+    sd = F.sqrt(F.col("sumsq_c").cast("double") / n - mean * mean)
+    gi = (s - mean * w) / (sd * F.sqrt((n * w - w * w) / (n - F.lit(1.0))))
+    slices = (
+        hood.join(F.broadcast(stats), "prd")
+        .filter(
+            (F.col("n") >= 2)
+            & (F.col("w") < F.col("n"))
+            & (F.col("sumsq_c").cast("double") / n - mean * mean > 0)
+        )
+        .select(
+            "cell",
+            "prd",
+            F.round(gi * F.lit(1e6)).cast("long").alias("gi_micro"),
+        )
+    )
+    a = slices.select("cell", F.col("prd").alias("pa"), F.col("gi_micro").alias("ga"))
+    b = slices.select("cell", F.col("prd").alias("pb"), F.col("gi_micro").alias("gb"))
+    mk = (
+        a.join(b, "cell")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("cell")
+        .agg(
+            F.sum(
+                F.when(F.col("gb") > F.col("ga"), 1)
+                .when(F.col("gb") < F.col("ga"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("mk_s")
+        )
+    )
+    per_cell = slices.groupBy("cell").agg(
+        F.count("*").alias("n_periods"),
+        F.sum("gi_micro").cast("long").alias("sum_gi_micro"),
+    )
+    mks = F.coalesce(F.col("mk_s"), F.lit(0)).cast("long")
+    return (
+        per_cell.join(mk, "cell", "left")
+        .select(
+            "cell",
+            "n_periods",
+            "sum_gi_micro",
+            mks.alias("mk_s"),
+            F.when(mks > 0, F.lit("up"))
+            .when(mks < 0, F.lit("down"))
+            .otherwise(F.lit("flat"))
+            .alias("trend"),
+        )
+    )
+
+
+def emerging_hotspots_sql(source_sql: str, z: int = 9, bucket_s: int = 86400) -> str:
+    """DuckDB twin of :func:`emerging_hotspots`; ``source_sql`` must
+    yield (ts, lon, lat) rows.  Same evaluation order as the Column
+    version for the float Gi* slice, integer-exact MK on top."""
+    n_tiles = 2**z
+    mean = "(CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))"
+    var = f"(CAST(sumsq_c AS DOUBLE) / CAST(n AS DOUBLE) - {mean} * {mean})"
+    gi = (
+        f"(CAST(s AS DOUBLE) - {mean} * CAST(w AS DOUBLE))"
+        f" / (sqrt({var})"
+        " * sqrt((CAST(n AS DOUBLE) * CAST(w AS DOUBLE)"
+        " - CAST(w AS DOUBLE) * CAST(w AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))"
+    )
+    return (
+        "WITH d AS (\n"
+        f"  SELECT {tiles.tile_x_sql('lon', z)} AS x,\n"
+        f"    {tiles.tile_y_sql('lat', z)} AS y,\n"
+        f"    {tiles.cell_id_sql('lon', 'lat', z)} AS cell,\n"
+        f"    CAST(floor(epoch(ts) / {bucket_s}) AS BIGINT) AS prd\n"
+        f"  FROM ({source_sql}) src\n"
+        "),\n"
+        "counts AS (SELECT x, y, cell, prd, count(*) AS cnt FROM d GROUP BY 1,2,3,4),\n"
+        "stats AS (SELECT prd, count(*) AS n, sum(cnt) AS sum_c,\n"
+        "  sum(cnt * cnt) AS sumsq_c FROM counts GROUP BY prd),\n"
+        "hood AS (\n"
+        "  SELECT a.cell, a.prd, a.cnt, count(*) AS w, sum(b.cnt) AS s\n"
+        "  FROM counts a JOIN counts b\n"
+        "    ON a.prd = b.prd\n"
+        f"   AND b.x IN (a.x, (a.x + 1) % {n_tiles}, (a.x + {n_tiles - 1}) % {n_tiles})\n"
+        "   AND b.y BETWEEN a.y - 1 AND a.y + 1\n"
+        "  GROUP BY a.cell, a.prd, a.cnt\n"
+        "),\n"
+        "slices AS (\n"
+        f"  SELECT h.cell, h.prd, CAST(round({gi} * 1e6) AS BIGINT) AS gi_micro\n"
+        "  FROM hood h JOIN stats USING (prd)\n"
+        f"  WHERE n >= 2 AND w < n AND {var} > 0\n"
+        "),\n"
+        "mk AS (\n"
+        "  SELECT a.cell, CAST(sum(CASE WHEN b.gi_micro > a.gi_micro THEN 1\n"
+        "    WHEN b.gi_micro < a.gi_micro THEN -1 ELSE 0 END) AS BIGINT) AS mk_s\n"
+        "  FROM slices a JOIN slices b ON a.cell = b.cell AND a.prd < b.prd\n"
+        "  GROUP BY a.cell\n"
+        ")\n"
+        "SELECT p.cell, p.n_periods, p.sum_gi_micro,\n"
+        "  CAST(coalesce(mk.mk_s, 0) AS BIGINT) AS mk_s,\n"
+        "  CASE WHEN coalesce(mk.mk_s, 0) > 0 THEN 'up'\n"
+        "       WHEN coalesce(mk.mk_s, 0) < 0 THEN 'down'\n"
+        "       ELSE 'flat' END AS trend\n"
+        "FROM (SELECT cell, count(*) AS n_periods,\n"
+        "  CAST(sum(gi_micro) AS BIGINT) AS sum_gi_micro FROM slices GROUP BY cell) p\n"
+        "LEFT JOIN mk ON p.cell = mk.cell"
+    )
+
+
 def hotspot_gi_sql(source_sql: str, z: int = 9) -> str:
     """DuckDB twin: ``source_sql`` must yield (lon, lat) rows.  The float
     z-score expression is written in the SAME evaluation order as the

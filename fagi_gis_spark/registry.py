@@ -164,6 +164,12 @@ _GATE_DEMOTED = [
     # round; 12 of the 15 r4-demoted fusion/metadata re-certs remain in
     # the window (>= 10 per the r4 ask)
     "fuse_shift_b_to_a",
+    # demoted when events_emerging_hotspots (new, needs driver
+    # certification) took an oracle-backed slot: fuse_keep_both was
+    # driver-green r1-r3, replay-exact in r4, fusion.py untouched this
+    # round; 11 of the 15 r4-demoted fusion/metadata re-certs remain in
+    # the window (>= 10 per the r4 ask)
+    "fuse_keep_both",
 ]
 
 
@@ -3055,6 +3061,27 @@ def events_local_morans_i(spark, sf_dir):
     from fagi_gis_spark.operators.trajectory import with_pings
 
     return local_morans_i(with_pings(_events(spark, sf_dir)), z=9)
+
+
+def _emerging_oracle() -> str:
+    from fagi_gis_spark.operators.hotspot import emerging_hotspots_sql
+
+    return emerging_hotspots_sql(
+        f"SELECT ts, lon, lat FROM ({_ping_events_sql()}) pe", z=9
+    )
+
+
+@register("events_emerging_hotspots", _emerging_oracle())
+def events_emerging_hotspots(spark, sf_dir):
+    """Emerging Hot Spot Analysis (operators.hotspot.emerging_hotspots):
+    per-day Gi* slices (each day scored against its own occupied-cell
+    moments) + Mann-Kendall trend over each cell's quantized Gi* series
+    — hot-and-getting-hotter cells read (sum_gi_micro > 0, trend='up').
+    The capstone composition of the round's two spatial statistics."""
+    from fagi_gis_spark.operators.hotspot import emerging_hotspots
+    from fagi_gis_spark.operators.trajectory import with_pings
+
+    return emerging_hotspots(with_pings(_events(spark, sf_dir)), z=9)
 
 
 @register("multimodal_decode_stats")  # PNG/JPEG decode: pytest oracle only

@@ -327,3 +327,60 @@ def test_local_morans_i_isolated_cell_excluded(spark):
     cells = {(2, 2): 5, (9, 9): 1}  # far apart: no neighbors -> no lag
     out = local_morans_i(_grid_points(spark, cells, 4), z=4).collect()
     assert out == []
+
+
+# ------------------------------------------------------- emerging hot spots
+def test_emerging_hotspots_matches_composed_reference(spark):
+    """Pure-Python replay of the whole pipeline: per-day Gi* over the
+    day's occupied cells (reusing _gi_reference), quantize to micro-z,
+    Mann-Kendall over each cell's series."""
+    from fagi_gis_spark.operators.hotspot import emerging_hotspots
+
+    z = 4
+    # day -> dict of (x, y) -> cnt: a growing 3-cell hot row, a static
+    # blob, a fading cell, plus background cells so moments vary
+    days = []
+    for t in range(5):
+        day = {(2, 2): 1 + 2 * t, (3, 2): 1 + 2 * t, (2, 3): 1 + t}  # intensifying
+        day[(8, 8)] = 6
+        day[(9, 8)] = 6                                               # static pair
+        day[(12, 4)] = max(1, 10 - 3 * t)                             # fading
+        day[(14, 14)] = 1
+        day[(0, 10)] = 2                                              # background
+        days.append(day)
+
+    import datetime as dt
+
+    rows, pid = [], 0
+    n = float(2**z)
+    for t, cells in enumerate(days):
+        ts = dt.datetime(2024, 3, 1) + dt.timedelta(days=t, hours=3)
+        for (x, y), cnt in cells.items():
+            lon = (x + 0.5) / n * 360.0 - 180.0
+            lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (y + 0.5) / n))))
+            for _ in range(cnt):
+                rows.append((pid, ts, lon, lat))
+                pid += 1
+    pts = spark.createDataFrame(rows, "pid long, ts timestamp, lon double, lat double")
+    got = {r.cell: r for r in emerging_hotspots(pts, z=z).collect()}
+
+    series: dict[tuple[int, int], list[int]] = {}
+    for cells in days:
+        gis = _gi_reference(cells)
+        for xy, gi in gis.items():
+            series.setdefault(xy, []).append(round(gi * 1e6))
+    assert len(got) == len(series)
+    for (x, y), gs in series.items():
+        r = got[z * 2**55 + x * 2**27 + y]
+        s = sum(
+            (gs[j] > gs[i]) - (gs[j] < gs[i])
+            for i in range(len(gs))
+            for j in range(i + 1, len(gs))
+        )
+        assert (r.n_periods, r.sum_gi_micro, r.mk_s) == (len(gs), sum(gs), s)
+        assert r.trend == ("up" if s > 0 else "down" if s < 0 else "flat")
+    # the crafted intent is realized: intensifying row trends up with a
+    # positive mean Gi*, the fading cell trends down
+    hot = got[z * 2**55 + 2 * 2**27 + 2]
+    assert hot.trend == "up" and hot.sum_gi_micro > 0
+    assert got[z * 2**55 + 12 * 2**27 + 4].trend == "down"
