@@ -444,6 +444,12 @@ def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     rules), all JVM-side ``regexp_replace``/``regexp_count`` (zero
     Python in the hot path; one scan, no shuffle).
 
+    Counts are DETECTION counts — matches of each pattern on the
+    ORIGINAL text — not placeholder tallies: where classes overlap
+    (e.g. a dotted quad inside an email's host), an earlier rule's
+    replacement can consume a later rule's match, so n_<class> can
+    exceed the <CLASS> tokens in text_scrubbed.
+
     Output: (doc_id, text_scrubbed, n_email, n_ipv4, n_phone).
     """
     text = F.col(text_col)
@@ -470,7 +476,9 @@ def pii_scrub_sql(source_sql: str) -> str:
         esc = pat.replace("'", "''")
         scrub = f"regexp_replace({scrub}, '{esc}', '{repl}', 'g')"
     count_cols = ",\n  ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        "CAST(len(regexp_extract_all(text, '{}')) AS BIGINT) AS n_{}".format(
+            pat.replace("'", "''"), name
+        )
         for name, pat, _ in PII_PATTERNS
     )
     return (

@@ -63,6 +63,23 @@ def cell_id_col(lon: Column, lat: Column, z: int) -> Column:
     )
 
 
+#: smallest zoom where the 8-neighborhood is alias-free: at z <= 1 the
+#: antimeridian x-wrap folds dx=-1 and dx=+1 onto the same tile column,
+#: double-counting neighbors relative to a dedup'd (IN-list) predicate
+MIN_NEIGHBOR_RES = 2
+
+
+def neighbor_offsets_col() -> Column:
+    """Explode the nine (dx, dy) offsets of the 8-neighborhood (self
+    included) — the shared building block of the grid adjacency joins
+    (grid DBSCAN, Gi*, LISA, emerging hotspots).  Callers must enforce
+    ``z >= MIN_NEIGHBOR_RES`` (see that constant)."""
+    return F.expr(
+        "explode(transform(sequence(0, 8), "
+        "i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy)))"
+    )
+
+
 def pixel_x_col(lon: Column, z: int, px: int) -> Column:
     """Pixel column within the tile (0..px-1): the fractional part of the
     continuous tile coordinate times ``px``.  Same double math as

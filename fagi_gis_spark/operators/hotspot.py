@@ -46,10 +46,52 @@ GI_Z95_MICRO = 1_959_964  # z_{0.975} = 1.9599640...
 GI_Z99_MICRO = 2_575_829  # z_{0.995} = 2.5758293...
 
 
-def _nine_offsets() -> Column:
-    return F.expr(
-        "explode(transform(sequence(0, 8), "
-        "i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy)))"
+def _cell_neighborhood(
+    cells: DataFrame,
+    z: int,
+    include_self: bool,
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """(cell, [keys...,] cnt, w, s): occupied-neighbor count and count
+    sum per cell over the 8-neighborhood (antimeridian x-wrap), as one
+    exploded-offset EQUI-join on (x, y[, keys]) — the shared adjacency
+    stage of Gi* (self included), LISA (self excluded) and the per-period
+    emerging-hotspot slices.  ``cells`` must carry (x, y, cell, cnt) plus
+    ``keys``.  Raises for z < MIN_NEIGHBOR_RES, where the x-wrap folds
+    dx=-1 and dx=+1 onto the same column and would double-count."""
+    if z < tiles.MIN_NEIGHBOR_RES:
+        raise ValueError(
+            f"neighborhood joins need z >= {tiles.MIN_NEIGHBOR_RES} "
+            "(x-wrap aliases the 8-neighborhood below that)"
+        )
+    n_tiles = 2**z
+    probe = cells.select(
+        "cell",
+        "cnt",
+        *keys,
+        tiles.neighbor_offsets_col().alias("o"),
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+    )
+    if not include_self:
+        probe = probe.filter(~((F.col("o.dx") == 0) & (F.col("o.dy") == 0)))
+    probe = probe.select(
+        "cell",
+        "cnt",
+        *keys,
+        F.pmod(F.col("cx") + F.col("o.dx"), F.lit(n_tiles)).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = cells.select(
+        F.col("x").alias("nx"),
+        F.col("y").alias("ny"),
+        *keys,
+        F.col("cnt").alias("ncnt"),
+    )
+    return (
+        probe.join(nbr, ["nx", "ny", *keys])
+        .groupBy("cell", *keys, "cnt")
+        .agg(F.count("*").alias("w"), F.sum("ncnt").alias("s"))
     )
 
 
@@ -62,7 +104,6 @@ def hotspot_gi(
     """(cell, cnt, w, s, gi_micro): Gi* per occupied z-cell, the z-score
     quantized to integer micro-units (round(gi * 1e6)) so Spark and the
     DuckDB oracle compare exactly."""
-    n_tiles = 2**z
     g = points.select(
         tiles.tile_x_col(F.col(lon_col), z).alias("x"),
         tiles.tile_y_col(F.col(lat_col), z).alias("y"),
@@ -75,26 +116,7 @@ def hotspot_gi(
         F.sum("cnt").alias("sum_c"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq_c"),
     )
-    probe = cells.select(
-        "cell",
-        "cnt",
-        _nine_offsets().alias("o"),
-        F.col("x").alias("cx"),
-        F.col("y").alias("cy"),
-    ).select(
-        "cell",
-        "cnt",
-        F.pmod(F.col("cx") + F.col("o.dx"), F.lit(n_tiles)).alias("nx"),
-        (F.col("cy") + F.col("o.dy")).alias("ny"),
-    )
-    nbr = cells.select(
-        F.col("x").alias("nx"), F.col("y").alias("ny"), F.col("cnt").alias("ncnt")
-    )
-    hood = (
-        probe.join(nbr, ["nx", "ny"])
-        .groupBy("cell", "cnt")
-        .agg(F.count("*").alias("w"), F.sum("ncnt").alias("s"))
-    )
+    hood = _cell_neighborhood(cells, z, include_self=True)
     n = F.col("n").cast("double")
     w = F.col("w").cast("double")
     s = F.col("s").cast("double")
@@ -151,7 +173,6 @@ def local_morans_i(
     Same scale shape as :func:`hotspot_gi` (one counts shuffle, one
     9-offset equi-join, one broadcast moments row); emitted quantized to
     micro-I.  Output: (cell, cnt, w, s, i_micro, quadrant)."""
-    n_tiles = 2**z
     g = points.select(
         tiles.tile_x_col(F.col(lon_col), z).alias("x"),
         tiles.tile_y_col(F.col(lat_col), z).alias("y"),
@@ -163,26 +184,7 @@ def local_morans_i(
         F.sum("cnt").alias("sum_c"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq_c"),
     )
-    probe = cells.select(
-        "cell",
-        "cnt",
-        _nine_offsets().alias("o"),
-        F.col("x").alias("cx"),
-        F.col("y").alias("cy"),
-    ).filter(~((F.col("o.dx") == 0) & (F.col("o.dy") == 0))).select(
-        "cell",
-        "cnt",
-        F.pmod(F.col("cx") + F.col("o.dx"), F.lit(n_tiles)).alias("nx"),
-        (F.col("cy") + F.col("o.dy")).alias("ny"),
-    )
-    nbr = cells.select(
-        F.col("x").alias("nx"), F.col("y").alias("ny"), F.col("cnt").alias("ncnt")
-    )
-    hood = (
-        probe.join(nbr, ["nx", "ny"])
-        .groupBy("cell", "cnt")
-        .agg(F.count("*").alias("w"), F.sum("ncnt").alias("s"))
-    )
+    hood = _cell_neighborhood(cells, z, include_self=False)
     n = F.col("n").cast("double")
     w = F.col("w").cast("double")
     s = F.col("s").cast("double")
@@ -376,7 +378,9 @@ def ripleys_k(
             for i, r in enumerate(radii_m)
         ]
     )
-    n_row = points.select(F.count(F.col(pk)).alias("n"))
+    # n < 2 leaves K undefined (0/0): emit nothing, identically to the
+    # SQL twin's WHERE n >= 2
+    n_row = points.select(F.count(F.col(pk)).alias("n")).filter(F.col("n") >= 2)
     both = counts.join(F.broadcast(n_row))
     per_radius = [
         both.select(
@@ -424,7 +428,7 @@ def ripleys_k_sql(
             f"  CAST(round({area_m2!r} * 2.0 * CAST(coalesce(p{i}, 0) AS DOUBLE)\n"
             "    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * 1e6) AS BIGINT)"
             " AS k_micro\n"
-            "FROM counts, nn"
+            "FROM counts, nn WHERE n >= 2"
         )
     count_cols = ",\n    ".join(
         f"sum(CASE WHEN {dist} <= {r!r} THEN 1 ELSE 0 END) AS p{i}"
@@ -468,7 +472,6 @@ def emerging_hotspots(
     pairwise join.
 
     Output: (cell, n_periods, sum_gi_micro, mk_s, trend)."""
-    n_tiles = 2**z
     d = points.select(
         tiles.tile_x_col(F.col(lon_col), z).alias("x"),
         tiles.tile_y_col(F.col(lat_col), z).alias("y"),
@@ -481,31 +484,7 @@ def emerging_hotspots(
         F.sum("cnt").alias("sum_c"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq_c"),
     )
-    probe = counts.select(
-        "cell",
-        "cnt",
-        "prd",
-        _nine_offsets().alias("o"),
-        F.col("x").alias("cx"),
-        F.col("y").alias("cy"),
-    ).select(
-        "cell",
-        "cnt",
-        "prd",
-        F.pmod(F.col("cx") + F.col("o.dx"), F.lit(n_tiles)).alias("nx"),
-        (F.col("cy") + F.col("o.dy")).alias("ny"),
-    )
-    nbr = counts.select(
-        F.col("x").alias("nx"),
-        F.col("y").alias("ny"),
-        F.col("prd").alias("prd"),
-        F.col("cnt").alias("ncnt"),
-    )
-    hood = (
-        probe.join(nbr, ["nx", "ny", "prd"])
-        .groupBy("cell", "prd", "cnt")
-        .agg(F.count("*").alias("w"), F.sum("ncnt").alias("s"))
-    )
+    hood = _cell_neighborhood(counts, z, include_self=True, keys=("prd",))
     n = F.col("n").cast("double")
     w = F.col("w").cast("double")
     s = F.col("s").cast("double")

@@ -507,8 +507,9 @@ def zonal_stats(
                 }
             )
 
+    # NOTE: unlike pip_join, the point key never ships through Arrow —
+    # partials only need (lon, lat[, value])
     cols = [
-        F.col(pk).alias("__key"),
         F.col(plon).alias("__lon"),
         F.col(plat).alias("__lat"),
     ]

@@ -89,12 +89,12 @@ def with_pings(events: DataFrame) -> DataFrame:
     return events.withColumn("lon", lon).withColumn("lat", lat)
 
 
-def user_travel(events: DataFrame) -> DataFrame:
-    """Per-user movement stats: (user_id, n_pings, total_mm, max_step_mm).
-
-    Step = D5 equirectangular distance (deg × 111195) to the previous
-    ping in (ts, event_id) order; each step rounds to int64 millimeters
-    BEFORE aggregation so the sums are engine-exact."""
+def _lagged_steps(events: DataFrame) -> DataFrame:
+    """Pings + previous ping (per user, (ts, event_id) order) + the
+    quantized D5 step: ``step_mm`` = round(deg-distance x 111195 x 1000)
+    as int64 — the ONE definition of the parity-critical step expression
+    both :func:`user_travel` and :func:`stay_points` (and their DuckDB
+    oracles) replay."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     p = with_pings(events).select(
         "user_id",
@@ -110,8 +110,17 @@ def user_travel(events: DataFrame) -> DataFrame:
     step_mm = F.round(
         F.sqrt(dlon * dlon + dlat * dlat) * F.lit(111195.0) * F.lit(1000.0)
     ).cast("long")
+    return p.withColumn("step_mm", step_mm)
+
+
+def user_travel(events: DataFrame) -> DataFrame:
+    """Per-user movement stats: (user_id, n_pings, total_mm, max_step_mm).
+
+    Step = D5 equirectangular distance (deg × 111195) to the previous
+    ping in (ts, event_id) order; each step rounds to int64 millimeters
+    BEFORE aggregation so the sums are engine-exact."""
     return (
-        p.withColumn("step_mm", step_mm)
+        _lagged_steps(events)
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_pings"),
@@ -214,22 +223,9 @@ def stay_points(
     Output: (user_id, stay_id, n_pings, dur_s, c_lon_micro, c_lat_micro).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    p = with_pings(events).select(
-        "user_id",
-        "ts",
-        "event_id",
-        "lon",
-        "lat",
-        F.lag("lon").over(w).alias("plon"),
-        F.lag("lat").over(w).alias("plat"),
-    )
-    dlon = F.col("lon") - F.col("plon")
-    dlat = F.col("lat") - F.col("plat")
-    step_mm = F.round(
-        F.sqrt(dlon * dlon + dlat * dlat) * F.lit(111195.0) * F.lit(1000.0)
-    ).cast("long")
+    p = _lagged_steps(events)
     brk = F.when(
-        F.col("plon").isNull() | (step_mm > F.lit(eps_mm)), 1
+        F.col("plon").isNull() | (F.col("step_mm") > F.lit(eps_mm)), 1
     ).otherwise(0)
     seg = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
     t = F.unix_timestamp("ts")
@@ -275,6 +271,11 @@ def grid_dbscan(
     docs of every grid variant say the same)."""
     from fagi_gis_spark.functions.dedup import connected_components_star
 
+    if z < tiles.MIN_NEIGHBOR_RES:
+        raise ValueError(
+            f"grid_dbscan needs z >= {tiles.MIN_NEIGHBOR_RES} "
+            "(x-wrap aliases the 8-neighborhood below that)"
+        )
     n = 2**z
     g = points.select(
         F.col(id_col).alias("pid"),
@@ -290,12 +291,8 @@ def grid_dbscan(
     # (dx, dy) offsets (x wraps at the antimeridian) and probes the core
     # set on (x, y) — never a theta/cross join, so the cell graph builds
     # in one shuffle however many dense cells exist
-    offs = F.expr(
-        "explode(transform(sequence(0, 8), "
-        "i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy)))"
-    )
     probe = (
-        core.select("cell", "x", "y", offs.alias("o"))
+        core.select("cell", "x", "y", tiles.neighbor_offsets_col().alias("o"))
         .select(
             "cell",
             F.pmod(F.col("x") + F.col("o.dx"), F.lit(n)).alias("nx"),
