@@ -3042,6 +3042,96 @@ def ripleys_k_q(spark, sf_dir):
     )
 
 
+_INTERP_RADIUS_M = 150.0
+
+
+def _interp_prs_sql(with_value: bool) -> str:
+    """Brute-force (site, [v,] d) pair stream of the interpolation
+    oracles — the same _DIST metric the engine's radius_join refines
+    with, so the per-pair doubles are bit-identical."""
+    v = "a.k % 100 AS v, " if with_value else ""
+    return (
+        f"SELECT b.subject AS site, {v}{_DIST} AS d\n"
+        "  FROM poi_a a, poi_b b\n"
+        f"  WHERE {_DIST} <= {_INTERP_RADIUS_M!r}"
+    )
+
+
+def _kde_oracle() -> str:
+    from fagi_gis_spark.operators.interpolate import kde_kconst
+
+    t = f"(1.0 - (d / {_INTERP_RADIUS_M!r}) * (d / {_INTERP_RADIUS_M!r}))"
+    return _o(
+        f",\nprs AS (\n  {_interp_prs_sql(False)}\n),\n"
+        "kde_agg AS (\n"
+        "  SELECT site, count(*) AS n_nbrs,\n"
+        f"    sum(CAST(round({t} * {t} * 1e9) AS BIGINT)) AS wsum\n"
+        "  FROM prs GROUP BY site\n"
+        ")\n"
+        "SELECT b.subject AS site,\n"
+        "  CAST(COALESCE(g.n_nbrs, 0) AS BIGINT) AS n_nbrs,\n"
+        f"  CAST(round(CAST(COALESCE(g.wsum, 0) AS DOUBLE) * {kde_kconst(_INTERP_RADIUS_M)!r}) AS BIGINT) AS density_e12\n"
+        "FROM poi_b b LEFT JOIN kde_agg g ON b.subject = g.site"
+    )
+
+
+@register("kde_sites_150m", _kde_oracle())
+def kde_sites_150m(spark, sf_dir):
+    """Quartic-kernel density estimation evaluated at every poi_b site
+    from the poi_a points within 150 m (operators.interpolate
+    .kde_at_sites): the proven radius-join pair stream (ring-1 cell
+    join, shared hot-cell salting) plus ONE integer-quantized
+    aggregation — the continuous-surface companion to the cell-binned
+    Gi*/LISA statistics.  Zero-neighbor sites emit density 0."""
+    from fagi_gis_spark.operators.interpolate import kde_at_sites
+    from fagi_gis_spark.operators.spatial_join import radius_join
+
+    L = layers(spark, sf_dir)
+    pairs = radius_join(
+        L["poi_a"], L["poi_b"], _INTERP_RADIUS_M,
+        hot_cells=_hot_for(spark, sf_dir, "tile", L["poi_b"], _INTERP_RADIUS_M),
+    )
+    return kde_at_sites(pairs, L["poi_b"], _INTERP_RADIUS_M)
+
+
+def _idw_oracle() -> str:
+    wq = "CAST(round(1e9 / (greatest(d, 1.0) * greatest(d, 1.0))) AS BIGINT)"
+    return _o(
+        f",\nprs AS (\n  {_interp_prs_sql(True)}\n),\n"
+        "idw_agg AS (\n"
+        "  SELECT site, count(*) AS n_nbrs,\n"
+        f"    sum({wq} * v) AS num,\n"
+        f"    sum({wq}) AS den\n"
+        "  FROM prs GROUP BY site\n"
+        ")\n"
+        "SELECT site, CAST(n_nbrs AS BIGINT) AS n_nbrs,\n"
+        "  CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) AS BIGINT) AS idw_e6\n"
+        "FROM idw_agg"
+    )
+
+
+@register("idw_sites_150m", _idw_oracle())
+def idw_sites_150m(spark, sf_dir):
+    """Shepard inverse-distance-squared interpolation of poi_a's integer
+    measurement (k % 100) at every poi_b site with >= 1 donor within
+    150 m (operators.interpolate.idw_at_sites).  Per-pair weights
+    quantize to int64 BEFORE the sum (1 m collocation clamp), so both
+    engines aggregate exact integers in any order; the weighted mean is
+    one division of the two sums."""
+    from fagi_gis_spark.operators.interpolate import idw_at_sites
+    from fagi_gis_spark.operators.spatial_join import radius_join
+
+    L = layers(spark, sf_dir)
+    pairs = radius_join(
+        L["poi_a"], L["poi_b"], _INTERP_RADIUS_M,
+        hot_cells=_hot_for(spark, sf_dir, "tile", L["poi_b"], _INTERP_RADIUS_M),
+    )
+    vals = L["poi_a"].select(
+        F.col("subject").alias("l_key"), (F.col("k") % 100).alias("v")
+    )
+    return idw_at_sites(pairs, vals)
+
+
 def _lisa_oracle() -> str:
     from fagi_gis_spark.operators.hotspot import local_morans_i_sql
 

@@ -384,3 +384,69 @@ def test_emerging_hotspots_matches_composed_reference(spark):
     hot = got[z * 2**55 + 2 * 2**27 + 2]
     assert hot.trend == "up" and hot.sum_gi_micro > 0
     assert got[z * 2**55 + 12 * 2**27 + 4].trend == "down"
+
+
+# -------------------------------------------------------------------------
+# interpolation at sites (operators/interpolate.py)
+# -------------------------------------------------------------------------
+
+
+def _interp_fixture(spark):
+    """Two donor points, three sites: one site exactly collocated with a
+    donor (d=0 -> the 1 m Shepard clamp), one mid-range, one isolated
+    (no donor within 150 m)."""
+    donors = spark.createDataFrame(
+        [("a1", 10.0, 50.0, 20), ("a2", 10.001, 50.0, 80)],
+        "subject string, lon double, lat double, k int",
+    )
+    sites = spark.createDataFrame(
+        [("b1", 10.0, 50.0), ("b2", 10.0005, 50.0), ("b3", 11.0, 50.0)],
+        "subject string, lon double, lat double",
+    )
+    from fagi_gis_spark.operators.spatial_join import radius_join
+
+    pairs = radius_join(donors, sites, 150.0, hot_cells=None)
+    return donors, sites, pairs
+
+
+def test_idw_collocation_clamp_and_weighted_mean(spark):
+    """d=0 clamps to 1 m (weight 1e9, finite); the mid-site's value is
+    the exact integer-weighted mean of both donors."""
+    import pyspark.sql.functions as F
+
+    from fagi_gis_spark.operators.interpolate import idw_at_sites
+
+    donors, sites, pairs = _interp_fixture(spark)
+    vals = donors.select(
+        F.col("subject").alias("l_key"), (F.col("k") % 100).alias("v")
+    )
+    got = {r.site: r for r in idw_at_sites(pairs, vals).collect()}
+    assert "b3" not in got  # no donor in radius -> undefined, omitted
+    # b1 sits on a1 (v=20, clamped w=1e9) and ~111.2m from a2 (v=80)
+    d2 = 0.001 * 111195.0
+    w1, w2 = round(1e9 / (1.0 * 1.0)), round(1e9 / (max(d2, 1.0) ** 2))
+    exp = round((w1 * 20 + w2 * 80) / (w1 + w2) * 1e6)
+    assert got["b1"].n_nbrs == 2 and got["b1"].idw_e6 == exp
+    # b2 is between both donors; replay the same quantized math
+    da = 0.0005 * 111195.0
+    db = 0.0005 * 111195.0
+    wa, wb = round(1e9 / da**2), round(1e9 / db**2)
+    expb = round((wa * 20 + wb * 80) / (wa + wb) * 1e6)
+    assert got["b2"].idw_e6 == expb
+
+
+def test_kde_zero_neighbor_site_is_zero_density(spark):
+    """KDE is defined everywhere: the isolated site emits (0, 0); the
+    collocated site's density replays the scalar quartic kernel."""
+    from fagi_gis_spark.operators.interpolate import kde_at_sites, kde_kconst
+
+    donors, sites, pairs = _interp_fixture(spark)
+    got = {r.site: r for r in kde_at_sites(pairs, sites, 150.0).collect()}
+    assert set(got) == {"b1", "b2", "b3"}
+    assert got["b3"].n_nbrs == 0 and got["b3"].density_e12 == 0
+    d2 = 0.001 * 111195.0
+    wq = round((1.0 - (0.0 / 150.0) ** 2) ** 2 * 1e9) + round(
+        (1.0 - (d2 / 150.0) * (d2 / 150.0)) ** 2 * 1e9
+    )
+    assert got["b1"].n_nbrs == 2
+    assert got["b1"].density_e12 == round(wq * kde_kconst(150.0))
