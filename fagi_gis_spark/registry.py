@@ -2021,6 +2021,131 @@ def _ensure_images_oracle(spark) -> "DataFrame":
     return spark.read.parquet(_IMAGES_ORACLE_PATH)
 
 
+_IMAGES_ORACLE_V2_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "spark-warehouse",
+    "images_oracle_1000_sig",
+)
+
+
+def _ensure_images_oracle_v2(spark) -> "DataFrame":
+    """(image_id, phash, caption) of the generated corpus PLUS its
+    decoded-and-requantized variants ("v:" ids, codec-derived pHash,
+    source caption) — the feature-store shape a production dedup re-run
+    reads (hashes already extracted at ingest; no re-decode).  Written
+    once, atomically (same contract as _ensure_images_oracle)."""
+    from fagi_gis_spark.operators.multimodal import phash_variants
+    from fagi_gis_spark.sources.images import generate_images
+
+    if not _os.path.isdir(_IMAGES_ORACLE_V2_PATH):
+        import shutil as _shutil
+
+        base = generate_images(spark, 1000, partitions=8).persist()
+        var = (
+            phash_variants(base)
+            .withColumn("src", F.expr("substring(image_id, 3)"))
+            .join(
+                base.select(F.col("image_id").alias("src"), "caption"), "src"
+            )
+            .select("image_id", "phash", "caption")
+        )
+        out = base.select("image_id", "phash", "caption").unionByName(var)
+        tmp = f"{_IMAGES_ORACLE_V2_PATH}.tmp.{_os.getpid()}"
+        out.write.mode("overwrite").parquet(tmp)
+        base.unpersist()
+        try:
+            _os.rename(tmp, _IMAGES_ORACLE_V2_PATH)
+        except OSError:  # lost a concurrent race: the winner's is equal
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(_IMAGES_ORACLE_V2_PATH)
+
+
+def _image_consensus_stored_oracle() -> str:
+    """Full DuckDB replay of the two-channel consensus verdict from the
+    STORED feature columns: pixel channel = banded hamming over the
+    persisted pHash (unsigned reinterpret, the engine's exact
+    max_hamming+1 band layout), caption channel = the closed-form FNV-1a
+    SimHash oracle retargeted from `documents` to the same parquet."""
+    from fagi_gis_spark.functions.dedup import simhash_band_layout
+
+    src = f"read_parquet('{_IMAGES_ORACLE_V2_PATH}/*.parquet')"
+    pix_conds = " OR ".join(
+        f"(a.vu >> {off}) % {1 << width} = (b.vu >> {off}) % {1 << width}"
+        for off, width in simhash_band_layout(6)
+    )
+    cap_sql = _simhash_oracle(8).replace(
+        "FROM documents",
+        f"FROM (SELECT image_id AS doc_id, caption AS text FROM {src})",
+    )
+    return (
+        "WITH pix_s AS (\n"
+        "  SELECT image_id,\n"
+        "    CAST((CAST(phash AS HUGEINT) + 18446744073709551616)\n"
+        "         % 18446744073709551616 AS UBIGINT) AS vu\n"
+        f"  FROM {src}\n"
+        "),\n"
+        "pix AS (\n"
+        "  SELECT a.image_id AS image_a, b.image_id AS image_b\n"
+        "  FROM pix_s a JOIN pix_s b ON a.image_id < b.image_id\n"
+        f"  WHERE ({pix_conds})\n"
+        "    AND bit_count(xor(a.vu, b.vu)) <= 6\n"
+        "),\n"
+        "cap AS (\n"
+        f"  SELECT doc_a AS image_a, doc_b AS image_b FROM ({cap_sql}) t\n"
+        ")\n"
+        "SELECT COALESCE(p.image_a, c.image_a) AS image_a,\n"
+        "       COALESCE(p.image_b, c.image_b) AS image_b,\n"
+        "       CASE WHEN p.image_a IS NOT NULL AND c.image_a IS NOT NULL\n"
+        "            THEN 'consensus' ELSE 'weak' END AS verdict\n"
+        "FROM pix p FULL JOIN cap c\n"
+        "  ON p.image_a = c.image_a AND p.image_b = c.image_b"
+    )
+
+
+@register("image_consensus_stored", _image_consensus_stored_oracle())
+def image_consensus_stored(spark, sf_dir):
+    """Day-to-day twin of image_consensus_dedup: the same two-channel
+    (pHash banded hamming AND caption SimHash) consensus verdict, but
+    computed from the STORED feature columns (image_id, phash, caption)
+    of the ingested corpus — no re-decode, the production shape for
+    re-running dedup over a feature store.  ORACLE-BACKED end-to-end:
+    DuckDB replays both channels closed-form from the same parquet
+    (banded hamming on the persisted signatures + the FNV-1a SimHash
+    oracle on captions)."""
+    from fagi_gis_spark.functions.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    imgs = _ensure_images_oracle_v2(spark)
+    pixel = simhash_near_pairs(
+        imgs.select(
+            F.col("image_id").alias("doc_id"), F.col("phash").alias("simhash")
+        ),
+        max_hamming=6,
+    ).select(
+        F.col("doc_a").alias("image_a"),
+        F.col("doc_b").alias("image_b"),
+        F.lit(True).alias("pixel_hit"),
+    )
+    caps = imgs.select(
+        F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
+    )
+    text = simhash_near_pairs(simhash_signatures(caps), max_hamming=8).select(
+        F.col("doc_a").alias("image_a"),
+        F.col("doc_b").alias("image_b"),
+        F.lit(True).alias("text_hit"),
+    )
+    both = pixel.join(text, ["image_a", "image_b"], "full")
+    return both.select(
+        "image_a",
+        "image_b",
+        F.when(F.col("pixel_hit") & F.col("text_hit"), F.lit("consensus"))
+        .otherwise(F.lit("weak"))
+        .alias("verdict"),
+    )
+
+
 def _image_hex_rollup_oracle() -> str:
     """DuckDB replay of the full image-geotag-hex pipeline over the SAME
     parquet the Spark query writes: pmod geotag arithmetic (pmod(x, m)
