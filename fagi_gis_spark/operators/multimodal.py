@@ -580,3 +580,64 @@ def audio_stats(audio: DataFrame) -> DataFrame:
         schema="clip_id string, decode_ok boolean, duration_s double, "
         "rms double, peak double, zero_cross_rate double, channels int",
     )
+
+
+#: Haitsma-Kalker band grid: 17 logarithmically spaced edges-to-2kHz
+#: bands starting at 300 Hz (the published scheme's speech-robust range)
+#: -> 16 band-deltas; 5 frames -> 4 frame-deltas; 4 x 16 = exactly 64
+#: bits per clip
+_AFP_BAND_EDGES = np.geomspace(300.0, 2000.0, 18)
+_AFP_FRAMES = 5
+
+
+def audio_fingerprint(audio: DataFrame) -> DataFrame:
+    """(clip_id, fp): clip-level 64-bit perceptual audio fingerprint.
+
+    The Haitsma & Kalker (ISMIR 2002) energy-difference scheme at fixed
+    clip granularity: the decoded mono signal splits into 5 equal Hann
+    frames, each frame's power spectrum integrates into 17 log-spaced
+    bands (300-2000 Hz), and bit (n, m) = sign of the band-delta's
+    frame-delta, (E[n,m]-E[n,m+1]) - (E[n-1,m]-E[n-1,m+1]) > 0 — 4x16
+    = 64 bits packed big-endian.  Sign-of-difference bits are invariant
+    to uniform amplitude scaling and robust to small additive noise, so
+    re-ingested/re-mastered copies land within a small hamming distance
+    and the SAME banded-hamming machinery as text SimHash / image pHash
+    (functions/dedup.simhash_near_pairs) finds them.  Undecodable or
+    <10-sample clips are skipped (decode_stats idiom)."""
+    from fagi_gis_spark.sources.wav import decode_wav
+
+    def op(batches):
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for clip_id, data in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    samples, rate = decode_wav(bytes(data))
+                except (ValueError, struct.error, IndexError):
+                    continue
+                x = samples.astype(np.float64)
+                if samples.dtype == np.uint8:
+                    x -= 128.0
+                mono = x.mean(axis=1)
+                if len(mono) < 2 * _AFP_FRAMES:
+                    continue
+                flen = len(mono) // _AFP_FRAMES
+                E = np.empty((_AFP_FRAMES, 17))
+                for fi in range(_AFP_FRAMES):
+                    seg = mono[fi * flen : (fi + 1) * flen]
+                    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg)))) ** 2
+                    freqs = np.fft.rfftfreq(len(seg), 1.0 / rate)
+                    idx = np.searchsorted(_AFP_BAND_EDGES, freqs, side="right")
+                    E[fi] = np.bincount(idx, weights=spec, minlength=19)[1:18]
+                d = E[:, :-1] - E[:, 1:]  # (5, 16) spectral deltas
+                bits = (d[1:] - d[:-1]) > 0  # (4, 16) their temporal deltas
+                fp = np.uint64(0)
+                for b in bits.ravel():
+                    fp = (fp << np.uint64(1)) | np.uint64(bool(b))
+                rows.append((clip_id, int(fp.astype(np.int64))))
+            yield pd.DataFrame(rows, columns=["clip_id", "fp"])
+
+    return audio.select("clip_id", "bytes").mapInPandas(
+        op, schema="clip_id string, fp long"
+    )

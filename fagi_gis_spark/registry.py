@@ -2552,39 +2552,92 @@ def multimodal_audio_stats(spark, sf_dir):
     the features on closed-form clips (silence, full-scale square) and
     proves javax.sound interop both directions."""
     from fagi_gis_spark.operators.multimodal import audio_stats
-    from fagi_gis_spark.sources.wav import encode_wav
+    from fagi_gis_spark.sources.wav import generate_clips
 
-    def gen(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for i in pdf["i"]:
-                i = int(i)
-                rng = np.random.default_rng(1000 + i)
-                rate = (8000, 16000, 22050)[i % 3]
-                ch = 1 + i % 2
-                n = 400 + (i % 7) * 100
-                t = np.arange(n)[:, None]
-                tone = 8000.0 * np.sin(2 * np.pi * (110.0 + i) * t / rate)
-                noise = rng.integers(-2000, 2000, size=(n, ch))
-                clip = np.clip(tone + noise, -32768, 32767).astype(np.int16)
-                rows.append((f"clip_{i:06d}", encode_wav(clip, rate)))
-            yield pd.DataFrame(rows, columns=["clip_id", "bytes"])
-
-    clips = (
-        spark.range(0, 500, 1, 8)
-        .withColumnRenamed("id", "i")
-        .mapInPandas(gen, schema="clip_id string, bytes binary")
-    )
-    stats = audio_stats(clips)
+    stats = audio_stats(generate_clips(spark, 500, partitions=8))
     return stats.groupBy("channels").agg(
         F.count("*").alias("n"),
         F.sum(F.col("decode_ok").cast("int")).alias("n_decoded"),
         F.avg("duration_s").alias("avg_duration_s"),
         F.avg("zero_cross_rate").alias("avg_zcr"),
     )
+
+
+_AUDIO_FP_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "spark-warehouse",
+    "audio_fp_500",
+)
+
+#: the perturbed re-ingests measure hamming 3-10 from their source
+#: clip; 10 is the smallest threshold with COMPLETE re-ingest recall
+#: (the 13 unrelated pairs also landing <= 10 at 500 clips are the
+#: usual fingerprint precision tail a downstream verify stage filters)
+_AUDIO_FP_MAXH = 10
+
+
+def _ensure_audio_fp(spark) -> "DataFrame":
+    """(clip_id, fp) of the 500-clip corpus + its 100 perturbed "v:"
+    re-ingests, fingerprinted once (decode + FFT side) and persisted
+    atomically — the stored-feature shape audio dedup re-runs read,
+    and the parquet both engines replay (same contract as
+    _ensure_images_oracle_v2)."""
+    from fagi_gis_spark.operators.multimodal import audio_fingerprint
+    from fagi_gis_spark.sources.wav import generate_clips
+
+    if not _os.path.isdir(_AUDIO_FP_PATH):
+        import shutil as _shutil
+
+        fp = audio_fingerprint(generate_clips(spark, 500, partitions=8, variant_every=5))
+        tmp = f"{_AUDIO_FP_PATH}.tmp.{_os.getpid()}"
+        fp.write.mode("overwrite").parquet(tmp)
+        try:
+            _os.rename(tmp, _AUDIO_FP_PATH)
+        except OSError:  # lost a concurrent race: the winner's is equal
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(_AUDIO_FP_PATH)
+
+
+def _audio_fp_oracle() -> str:
+    from fagi_gis_spark.functions.dedup import simhash_band_layout
+
+    conds = " OR ".join(
+        f"(a.vu >> {off}) % {1 << width} = (b.vu >> {off}) % {1 << width}"
+        for off, width in simhash_band_layout(_AUDIO_FP_MAXH)
+    )
+    return (
+        "WITH s AS (\n"
+        "  SELECT clip_id,\n"
+        "    CAST((CAST(fp AS HUGEINT) + 18446744073709551616)\n"
+        "         % 18446744073709551616 AS UBIGINT) AS vu\n"
+        f"  FROM read_parquet('{_AUDIO_FP_PATH}/*.parquet')\n"
+        ")\n"
+        "SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,\n"
+        "       CAST(bit_count(xor(a.vu, b.vu)) AS INTEGER) AS hamming\n"
+        "FROM s a JOIN s b ON a.clip_id < b.clip_id\n"
+        f"WHERE ({conds})\n"
+        f"  AND bit_count(xor(a.vu, b.vu)) <= {_AUDIO_FP_MAXH}"
+    )
+
+
+@register("audio_fp_neardup", _audio_fp_oracle())
+def audio_fp_neardup(spark, sf_dir):
+    """Audio near-duplicate pairs from stored Haitsma-Kalker
+    fingerprints (operators/multimodal.audio_fingerprint: 64 energy-
+    difference sign bits per clip): the same pigeonhole-complete banded
+    hamming join as text SimHash / image pHash, over the persisted
+    (clip_id, fp) feature table.  The perturbed re-ingest of every 5th
+    clip (amplitude x0.9 + fresh noise) lands at hamming 3-10, so the
+    threshold-10 join finds ALL 100 re-ingests (plus a 13-pair
+    unrelated precision tail — asserted exactly in pytest); the DuckDB
+    oracle replays the banding + popcount bit-exactly."""
+    from fagi_gis_spark.functions.dedup import simhash_near_pairs
+
+    fp = _ensure_audio_fp(spark)
+    return simhash_near_pairs(
+        fp.select(F.col("clip_id").alias("doc_id"), F.col("fp").alias("simhash")),
+        max_hamming=_AUDIO_FP_MAXH,
+    ).withColumnsRenamed({"doc_a": "clip_a", "doc_b": "clip_b"})
 
 
 @register("multimodal_format_ingest")  # codec-side decode: rows-only

@@ -71,3 +71,54 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     n = len(pcm) // (ch * bits // 8)
     samples = np.frombuffer(pcm, dtype=dt, count=n * ch).reshape(n, ch)
     return np.ascontiguousarray(samples), rate
+
+
+def synth_clip(i: int) -> tuple[np.ndarray, int]:
+    """Deterministic synthetic clip i: seeded tone + noise, varying
+    rate/channels/length — the SAME parameters the audio ingest query
+    has always generated (multimodal_audio_stats), factored here so the
+    fingerprint corpus reuses them."""
+    rng = np.random.default_rng(1000 + i)
+    rate = (8000, 16000, 22050)[i % 3]
+    ch = 1 + i % 2
+    n = 400 + (i % 7) * 100
+    t = np.arange(n)[:, None]
+    tone = 8000.0 * np.sin(2 * np.pi * (110.0 + i) * t / rate)
+    noise = rng.integers(-2000, 2000, size=(n, ch))
+    return np.clip(tone + noise, -32768, 32767).astype(np.int16), rate
+
+
+def synth_variant(i: int) -> tuple[np.ndarray, int]:
+    """Perturbed re-ingest of clip i — amplitude x0.9 plus fresh small
+    noise (seeded independently), the near-duplicate case an audio
+    fingerprint must still match."""
+    clip, rate = synth_clip(i)
+    rng = np.random.default_rng(900000 + i)
+    jitter = rng.integers(-300, 300, size=clip.shape)
+    return np.clip(clip * 0.9 + jitter, -32768, 32767).astype(np.int16), rate
+
+
+def generate_clips(spark, n: int, partitions: int = 8, variant_every: int = 0):
+    """Distributed deterministic WAV corpus (clip_id, bytes); with
+    ``variant_every`` = k > 0, every k-th clip also emits a perturbed
+    "v:" near-duplicate row.  Same mapInPandas fan-out idiom as
+    sources/images.generate_images."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                clip, rate = synth_clip(i)
+                rows.append((f"clip_{i:06d}", encode_wav(clip, rate)))
+                if variant_every and i % variant_every == 0:
+                    v, vrate = synth_variant(i)
+                    rows.append((f"v:clip_{i:06d}", encode_wav(v, vrate)))
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes"])
+
+    return (
+        spark.range(0, n, 1, partitions)
+        .withColumnRenamed("id", "i")
+        .mapInPandas(gen, schema="clip_id string, bytes binary")
+    )

@@ -1340,3 +1340,43 @@ def test_wav_codec_and_audio_stats(spark):
     assert sq["rms"] == 20000.0 and sq["peak"] == 20000.0
     assert abs(sq["zero_cross_rate"] - 1.0) < 1e-9  # flips every sample
     assert out["corrupt"]["decode_ok"] is False
+
+
+def test_audio_fingerprint_invariances_and_neardup(spark):
+    """Haitsma-Kalker clip fingerprint: amplitude scaling is an exact
+    invariance (sign-of-difference bits), the perturbed re-ingest stays
+    within the advertised threshold, and the banded near-dup join over
+    the fingerprint column recovers every (clip, v:clip) pair."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from fagi_gis_spark.functions.dedup import simhash_near_pairs
+    from fagi_gis_spark.operators.multimodal import audio_fingerprint
+    from fagi_gis_spark.sources.wav import encode_wav, generate_clips, synth_clip
+
+    # amplitude x0.5 (no noise): every energy difference scales by 0.25
+    # uniformly -> identical sign bits -> hamming 0
+    clip, rate = synth_clip(7)
+    half = np.clip(clip * 0.5, -32768, 32767).astype(np.int16)
+    pdf = spark.createDataFrame(
+        [("orig", bytearray(encode_wav(clip, rate))),
+         ("half", bytearray(encode_wav(half, rate)))],
+        "clip_id string, bytes binary",
+    )
+    fps = {r.clip_id: r.fp for r in audio_fingerprint(pdf).collect()}
+    assert fps["orig"] == fps["half"]
+
+    # corpus + re-ingests: the threshold-10 banded join finds ALL of them
+    corpus = generate_clips(spark, 100, partitions=4, variant_every=5)
+    sigs = audio_fingerprint(corpus).select(
+        F.col("clip_id").alias("doc_id"), F.col("fp").alias("simhash")
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(sigs, max_hamming=10).collect()
+    }
+    expected = {(f"clip_{i:06d}", f"v:clip_{i:06d}") for i in range(0, 100, 5)}
+    assert expected <= pairs  # complete re-ingest recall
+    # unrelated hits are a small precision tail, not the bulk
+    assert len(pairs - expected) < len(expected)
