@@ -641,3 +641,49 @@ def audio_fingerprint(audio: DataFrame) -> DataFrame:
     return audio.select("clip_id", "bytes").mapInPandas(
         op, schema="clip_id string, fp long"
     )
+
+
+def video_fingerprint(videos: DataFrame) -> DataFrame:
+    """(clip_id, fp): clip-level 64-bit video signature — the per-frame
+    perceptual pHash folded per-BIT by strict majority over the frames
+    (bit set iff more than half the frames set it), the standard
+    frame-vote fingerprint: a dropped/added frame moves few majorities
+    (drop-1-of-4 measures hamming <= 10 on the synthetic corpus) and
+    per-frame requantization moves fewer (<= 5), while unrelated
+    animations measure >= 19 — so the SAME banded-hamming machinery as
+    text/image/audio finds re-ingested edits.  GIF is the real decode
+    path (sources/gif.decode_gif_frames, composited canvases);
+    undecodable rows are skipped (decode_stats idiom)."""
+    from fagi_gis_spark.sources.gif import decode_gif_frames
+    from fagi_gis_spark.sources.images import phash64
+
+    def op(batches):
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for clip_id, data in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    frames = decode_gif_frames(bytes(data))
+                except (ValueError, struct.error, IndexError):
+                    continue
+                if not frames:
+                    continue
+                phs = np.array(
+                    [phash64(f) for f in frames], dtype=np.int64
+                ).view(np.uint64)
+                ones = (
+                    (phs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                ).sum(axis=0)
+                fp = 0
+                for b in range(64):
+                    if int(ones[b]) * 2 > len(phs):
+                        fp |= 1 << b
+                if fp >= 1 << 63:  # reinterpret as signed int64
+                    fp -= 1 << 64
+                rows.append((clip_id, fp))
+            yield pd.DataFrame(rows, columns=["clip_id", "fp"])
+
+    return videos.select("clip_id", "bytes").mapInPandas(
+        op, schema="clip_id string, fp long"
+    )

@@ -170,6 +170,31 @@ _GATE_DEMOTED = [
     # round; 11 of the 15 r4-demoted fusion/metadata re-certs remain in
     # the window (>= 10 per the r4 ask)
     "fuse_keep_both",
+    # Window rebalance so the round's NEW oracle-backed queries
+    # (video_fp_neardup, doc_filter_funnel, doc_pretrain_pack) and the
+    # r5-touched knn_adaptive all sit inside the 50-slot gate; every
+    # demotion below keeps a gated proxy for the code it shares:
+    #  - fuse_keep_a_offset: 11th fusion/metadata re-cert — 10 remain
+    #    in the window (>= 10 per the r4 ask), fusion.py untouched
+    "fuse_keep_a_offset",
+    #  - clean_corpus: driver-green r3+r4; its four component gates
+    #    (doc_quality path, dedup components, token cap) are certified
+    #    through the gated doc_* and dedup_components_star slots
+    "clean_corpus",
+    #  - hex_rollup: the r5 half-up hex-id unification is certified by
+    #    the still-gated image_hex_rollup + events_cell_trend +
+    #    hex_radius_join_150m (same id surface, same round)
+    "hex_rollup",
+    #  - s2_radius_join_150m: index/s2.py untouched this round; the
+    #    shared salting/cell_counts change is certified by the two
+    #    gated sibling strategies that must (and do) produce the
+    #    identical 14,931-row result on the same oracle
+    "s2_radius_join_150m",
+    #  - ann_cosine_topk: the touched _qmatrix kernel is certified by
+    #    the gated dedup_embedding_cosine (same quantized matmul);
+    #    _block_topk's top-k heap keeps its pytest differential vs the
+    #    SQL brute force and driver_sim replays the oracle every round
+    "ann_cosine_topk",
 ]
 
 
@@ -2637,6 +2662,89 @@ def audio_fp_neardup(spark, sf_dir):
     return simhash_near_pairs(
         fp.select(F.col("clip_id").alias("doc_id"), F.col("fp").alias("simhash")),
         max_hamming=_AUDIO_FP_MAXH,
+    ).withColumnsRenamed({"doc_a": "clip_a", "doc_b": "clip_b"})
+
+
+_VIDEO_FP_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "spark-warehouse",
+    "video_fp_400",
+)
+
+#: the re-ingested edits (frame requant <= 5, frame trim <= 13) measure
+#: hamming <= 13 from their source clip at 400 animations; 13 is the
+#: smallest threshold with COMPLETE re-ingest recall, and only 2
+#: unrelated pairs land inside it (the precision tail a downstream
+#: verify stage filters — asserted exactly in pytest)
+_VIDEO_FP_MAXH = 13
+
+
+def _ensure_video_fp(spark) -> "DataFrame":
+    """(clip_id, fp) of the 400-animation GIF corpus + its 80 "v:"
+    re-ingested edits (requantized frames / trimmed last frame),
+    fingerprinted once (real GIF decode + per-frame pHash + per-bit
+    majority fold) and persisted atomically — the stored-feature shape
+    video dedup re-runs read, and the parquet both engines replay
+    (same contract as _ensure_audio_fp)."""
+    from fagi_gis_spark.operators.multimodal import video_fingerprint
+    from fagi_gis_spark.sources.gif import generate_animations
+
+    if not _os.path.isdir(_VIDEO_FP_PATH):
+        import shutil as _shutil
+
+        fp = video_fingerprint(
+            generate_animations(spark, 400, partitions=8, variant_every=5)
+        )
+        tmp = f"{_VIDEO_FP_PATH}.tmp.{_os.getpid()}"
+        fp.write.mode("overwrite").parquet(tmp)
+        try:
+            _os.rename(tmp, _VIDEO_FP_PATH)
+        except OSError:  # lost a concurrent race: the winner's is equal
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(_VIDEO_FP_PATH)
+
+
+def _video_fp_oracle() -> str:
+    from fagi_gis_spark.functions.dedup import simhash_band_layout
+
+    conds = " OR ".join(
+        f"(a.vu >> {off}) % {1 << width} = (b.vu >> {off}) % {1 << width}"
+        for off, width in simhash_band_layout(_VIDEO_FP_MAXH)
+    )
+    return (
+        "WITH s AS (\n"
+        "  SELECT clip_id,\n"
+        "    CAST((CAST(fp AS HUGEINT) + 18446744073709551616)\n"
+        "         % 18446744073709551616 AS UBIGINT) AS vu\n"
+        f"  FROM read_parquet('{_VIDEO_FP_PATH}/*.parquet')\n"
+        ")\n"
+        "SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,\n"
+        "       CAST(bit_count(xor(a.vu, b.vu)) AS INTEGER) AS hamming\n"
+        "FROM s a JOIN s b ON a.clip_id < b.clip_id\n"
+        f"WHERE ({conds})\n"
+        f"  AND bit_count(xor(a.vu, b.vu)) <= {_VIDEO_FP_MAXH}"
+    )
+
+
+@register("video_fp_neardup", _video_fp_oracle())
+def video_fp_neardup(spark, sf_dir):
+    """Video near-duplicate pairs from stored clip fingerprints
+    (operators/multimodal.video_fingerprint: per-frame perceptual pHash
+    folded per-bit by strict frame majority): the same pigeonhole-
+    complete banded hamming join as text SimHash / image pHash / audio
+    Haitsma-Kalker, over the persisted (clip_id, fp) feature table.
+    Every 5th animation has a re-ingested edit — frames requantized
+    (generation loss) or the last frame dropped (trim) — landing at
+    hamming <= 13, so the threshold-13 join finds ALL 80 re-ingests
+    (plus a 2-pair unrelated precision tail); the DuckDB oracle replays
+    the banding + popcount bit-exactly.  Completes the modality sweep:
+    one near-dup machinery, four feature extractors."""
+    from fagi_gis_spark.functions.dedup import simhash_near_pairs
+
+    fp = _ensure_video_fp(spark)
+    return simhash_near_pairs(
+        fp.select(F.col("clip_id").alias("doc_id"), F.col("fp").alias("simhash")),
+        max_hamming=_VIDEO_FP_MAXH,
     ).withColumnsRenamed({"doc_a": "clip_a", "doc_b": "clip_b"})
 
 

@@ -288,3 +288,48 @@ def encode_gif_animation(frames: list[np.ndarray]) -> bytes:
         out += one[start:-1]  # keep the 0x00 block terminator, drop the trailer
     out += b"\x3b"
     return bytes(out)
+
+
+def synth_animation(i: int) -> list[np.ndarray]:
+    """Deterministic 4-frame animation i: the generated tile pattern
+    rolled 2 px per frame (the same construction the frame-sample
+    ingest query uses, at 48x32)."""
+    from fagi_gis_spark.sources.images import _pixels_for
+
+    base = _pixels_for(i, 48, 32)
+    return [np.roll(base, shift, axis=1) for shift in (0, 2, 4, 6)]
+
+
+def generate_animations(spark, n: int, partitions: int = 8, variant_every: int = 0):
+    """Distributed deterministic animated-GIF corpus (clip_id, bytes);
+    with ``variant_every`` = k > 0 every k-th clip also emits a "v:"
+    near-duplicate re-ingest, alternating the two real-world edit
+    cases: frames requantized (re-encode generation loss) for even
+    multiples, last frame dropped (trim) for odd ones."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                frames = synth_animation(i)
+                rows.append((f"anim_{i:06d}", encode_gif_animation(frames)))
+                if variant_every and i % variant_every == 0:
+                    if (i // variant_every) % 2 == 0:
+                        vf = [
+                            ((f.astype(np.int32) // 4) * 4 + 2)
+                            .clip(0, 255)
+                            .astype(np.uint8)
+                            for f in frames
+                        ]
+                    else:
+                        vf = frames[:-1]
+                    rows.append((f"v:anim_{i:06d}", encode_gif_animation(vf)))
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes"])
+
+    return (
+        spark.range(0, n, 1, partitions)
+        .withColumnRenamed("id", "i")
+        .mapInPandas(gen, schema="clip_id string, bytes binary")
+    )

@@ -1380,3 +1380,49 @@ def test_audio_fingerprint_invariances_and_neardup(spark):
     assert expected <= pairs  # complete re-ingest recall
     # unrelated hits are a small precision tail, not the bulk
     assert len(pairs - expected) < len(expected)
+
+
+def test_video_fingerprint_invariances_and_neardup(spark):
+    """Majority-fold video fingerprint: re-encoding the identical
+    frames is an exact invariance (GIF is lossless on <=256-color
+    frames, pHash is deterministic), both advertised edit classes
+    (frame requantization, last-frame trim) stay within the threshold,
+    and the banded near-dup join over the fingerprint column recovers
+    every (anim, v:anim) pair."""
+    from pyspark.sql import functions as F
+
+    from fagi_gis_spark.functions.dedup import simhash_near_pairs
+    from fagi_gis_spark.operators.multimodal import video_fingerprint
+    from fagi_gis_spark.sources.gif import (
+        encode_gif_animation,
+        generate_animations,
+        synth_animation,
+    )
+
+    # identical frames re-encoded -> identical fingerprint (hamming 0)
+    frames = synth_animation(11)
+    pdf = spark.createDataFrame(
+        [
+            ("orig", bytearray(encode_gif_animation(frames))),
+            ("reenc", bytearray(encode_gif_animation([f.copy() for f in frames]))),
+            ("corrupt", bytearray(b"GIF89a-not-really")),
+        ],
+        "clip_id string, bytes binary",
+    )
+    out = {r.clip_id: r.fp for r in video_fingerprint(pdf).collect()}
+    assert out["orig"] == out["reenc"]
+    assert "corrupt" not in out  # undecodable rows are skipped, not fatal
+
+    # corpus + re-ingested edits: the threshold-13 banded join finds ALL
+    corpus = generate_animations(spark, 100, partitions=4, variant_every=5)
+    sigs = video_fingerprint(corpus).select(
+        F.col("clip_id").alias("doc_id"), F.col("fp").alias("simhash")
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(sigs, max_hamming=13).collect()
+    }
+    expected = {(f"anim_{i:06d}", f"v:anim_{i:06d}") for i in range(0, 100, 5)}
+    assert expected <= pairs  # complete re-ingest recall on BOTH edit classes
+    # unrelated hits are a small precision tail, not the bulk
+    assert len(pairs - expected) < len(expected)

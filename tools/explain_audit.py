@@ -52,6 +52,11 @@ AUDIT = [
     ("zonal_stats", "zonal statistics (broadcast PIP, per-Arrow-batch partial combine)"),
     ("ripleys_k", "Ripley's K (one salted self-join, per-radius conditional counts)"),
     ("events_local_morans_i", "Local Moran's I (neighbor equi-join + broadcast moments)"),
+    ("kde_sites_150m", "quartic KDE at sites (radius-join pair stream + int-quantized agg)"),
+    ("idw_sites_150m", "IDW interpolation (same pair stream + weighted integer sums)"),
+    ("audio_fp_neardup", "audio fingerprint near-dup (banded hamming over stored fp)"),
+    ("image_consensus_stored", "stored-feature consensus dedup (two banded channels, full join)"),
+    ("video_fp_neardup", "video fingerprint near-dup (banded hamming over stored majority-fold fp)"),
 ]
 
 
