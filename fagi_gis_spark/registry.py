@@ -737,26 +737,27 @@ def bbox_filter_q(spark, sf_dir):
 
 
 def _discover_oracle() -> str:
+    # cand is MATERIALIZED and fr derives from it: the D1 candidate set is
+    # an O(|A|x|B|) distance cross in DuckDB, and without the hint the
+    # freq==1 filter re-ran the identical cross a second time (~16 s ->
+    # ~8 s oracle replay at sf0.01)
     dist = _DIST
     return _o(
         f"""
 SELECT node_a, node_b, round(dist_m, 4) AS dist_m_r, jaccard FROM (
-  SELECT cand.node_a, cand.node_b, cand.dist_m,
-         CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-           / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) AS jaccard
-  FROM (
+  WITH cand AS MATERIALIZED (
     SELECT a.subject AS node_a, b.subject AS node_b, {dist} AS dist_m, tb0.object AS lit_b
     FROM poi_a a, poi_b b
     JOIN triples_b tb0 ON tb0.subject = b.subject AND tb0.predicate = 'http://b.example/label'
     WHERE {dist} <= 200.0
-  ) cand
+  )
+  SELECT cand.node_a, cand.node_b, cand.dist_m,
+         CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) AS jaccard
+  FROM cand
   JOIN (
     SELECT node_a, lit_b FROM (
-      SELECT a.subject AS node_a, tb0.object AS lit_b, count(*) AS freq
-      FROM poi_a a, poi_b b
-      JOIN triples_b tb0 ON tb0.subject = b.subject AND tb0.predicate = 'http://b.example/label'
-      WHERE {dist} <= 200.0
-      GROUP BY 1, 2
+      SELECT node_a, lit_b, count(*) AS freq FROM cand GROUP BY 1, 2
     ) f WHERE freq = 1
   ) fr ON fr.node_a = cand.node_a AND fr.lit_b = cand.lit_b
   JOIN (
@@ -803,24 +804,20 @@ def _discover_fuzzy_oracle() -> str:
     return _o(
         f"""
 SELECT node_a, node_b, round(dist_m, 4) AS dist_m_r, jac AS jaccard FROM (
-  WITH RECURSIVE toks AS (
+  WITH RECURSIVE cand AS MATERIALIZED (
+    SELECT a.subject AS node_a, b.subject AS node_b, {dist} AS dist_m, tb0.object AS lit_b
+    FROM poi_a a, poi_b b
+    JOIN triples_b tb0 ON tb0.subject = b.subject AND tb0.predicate = 'http://b.example/label'
+    WHERE {dist} <= 200.0
+  ), toks AS MATERIALIZED (
     SELECT cand.node_a, cand.node_b, cand.dist_m,
            cand.node_a || '|' || cand.node_b || '|' || ta.object || '|' || cand.lit_b AS pid,
            {tok.format(col='ta.object')} AS ta,
            {tok.format(col='cand.lit_b')} AS tb
-    FROM (
-      SELECT a.subject AS node_a, b.subject AS node_b, {dist} AS dist_m, tb0.object AS lit_b
-      FROM poi_a a, poi_b b
-      JOIN triples_b tb0 ON tb0.subject = b.subject AND tb0.predicate = 'http://b.example/label'
-      WHERE {dist} <= 200.0
-    ) cand
+    FROM cand
     JOIN (
       SELECT node_a, lit_b FROM (
-        SELECT a.subject AS node_a, tb0.object AS lit_b, count(*) AS freq
-        FROM poi_a a, poi_b b
-        JOIN triples_b tb0 ON tb0.subject = b.subject AND tb0.predicate = 'http://b.example/label'
-        WHERE {dist} <= 200.0
-        GROUP BY 1, 2
+        SELECT node_a, lit_b, count(*) AS freq FROM cand GROUP BY 1, 2
       ) f WHERE freq = 1
     ) fr ON fr.node_a = cand.node_a AND fr.lit_b = cand.lit_b
     JOIN triples_a ta ON ta.subject = cand.node_a AND ta.predicate = 'http://a.example/name'
@@ -4200,15 +4197,18 @@ def clean_corpus(spark, sf_dir):
 
       quality_score >= 70          (functions.text)
       lenband ngram-Jaccard pairs  (functions.dedup, oracle-exact blocking)
-      connected_components         (min-label propagation)
+      connected_components_star    (large-star/small-star, O(log n) rounds)
       dedup_survivors              (min-id per component)
       token budget n_tokens <= 80  (char_classes)
 
     At 100 TB every stage is a shuffle-bounded DataFrame op: no stage
-    collects, the CC loop is diameter-bounded, and the quality/token
-    gates push down to the scan of the kept columns."""
+    collects, the CC loop is O(log n) rounds on ANY topology (star
+    contraction — label propagation needs diameter rounds; both
+    variants are output-identical and individually oracle-gated, this
+    pipeline uses the scale one), and the quality/token gates push
+    down to the scan of the kept columns."""
     from fagi_gis_spark.functions.dedup import (
-        connected_components,
+        connected_components_star,
         dedup_survivors,
         ngram_jaccard_pairs,
     )
@@ -4219,7 +4219,7 @@ def clean_corpus(spark, sf_dir):
     edges = ngram_jaccard_pairs(
         kept.select("doc_id", "text"), threshold=0.5, blocking="lenband"
     )
-    survivors = dedup_survivors(kept, connected_components(edges))
+    survivors = dedup_survivors(kept, connected_components_star(edges))
     return survivors.filter(F.col("n_tokens") <= 80).select("doc_id", "n_tokens", "quality")
 
 
@@ -4311,7 +4311,12 @@ def doc_filter_funnel(spark, sf_dir):
     f"{_CLEAN_CORPUS_CTES},\n"
     "surv AS (SELECT k.doc_id, k.n_tokens FROM kept k\n"
     "  WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped) AND k.n_tokens <= 80),\n"
-    "pt AS (\n"
+    # MATERIALIZED: pt is referenced from the recursive step of pk, and
+    # DuckDB re-executes non-materialized CTEs per reference — without
+    # the hint every pack iteration re-runs the ENTIRE upstream chain
+    # (quality gate + Jaccard pairs + recursive components), turning a
+    # 15-row replay into ~74 s of oracle time
+    "pt AS MATERIALIZED (\n"
     "  SELECT doc_id, LEAST(n_tokens, 512) AS eff,\n"
     "    CAST(floor(doc_id / 100) AS BIGINT) AS grp,\n"
     "    row_number() OVER (PARTITION BY floor(doc_id / 100) ORDER BY doc_id) AS rn\n"
