@@ -320,3 +320,135 @@ def grid_dbscan(
             F.coalesce("cluster_label", F.lit(-1)).cast("long").alias("cluster_label"),
         )
     )
+
+
+def hausdorff_by_key(
+    points: DataFrame,
+    key_col: str = "user_id",
+    side_col: str = "side",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Discrete Hausdorff distance between the two point sets of every
+    key, EXACT on an integer lattice: inputs are int64 coordinates
+    (micro-degrees here), all distances are int64 SQUARED distances
+    (dx²+dy² — bounded by construction well inside int64), so max-of-
+    min-of-integers has no float tolerance and a plain SQL min/max
+    aggregation replays it bit-for-bit.
+
+    Output per key with BOTH sides non-empty: the two directed values
+    ``h_ab2`` (max over side-0 points of the min squared distance to a
+    side-1 point), ``h_ba2`` (the reverse), and their max ``h2_udeg2``
+    — the classic trajectory-conflation similarity (Alt & Guibas,
+    Handbook of Computational Geometry ch. 3; the reference's
+    conflation scoring uses point distance only,
+    fagi-gis FuserWorker distance scoring).
+
+    Scale shape: one shuffle on the key, then a per-key Arrow batch
+    computes the nA×nB distance matrix vectorized — cost is bounded by
+    the trajectory length, never the corpus; a billion keys fan out
+    embarrassingly.  For very long single trajectories, pre-thin with
+    ``stay_points`` or a cell-level rollup before pairing."""
+    import numpy as np
+    import pandas as pd
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf[side_col] == 0]
+        b = pdf[pdf[side_col] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                columns=["key", "n_a", "n_b", "h_ab2", "h_ba2", "h2_udeg2"]
+            )
+        ax = a[x_col].to_numpy(np.int64)[:, None]
+        ay = a[y_col].to_numpy(np.int64)[:, None]
+        bx = b[x_col].to_numpy(np.int64)[None, :]
+        by = b[y_col].to_numpy(np.int64)[None, :]
+        d2 = (ax - bx) ** 2 + (ay - by) ** 2  # exact int64
+        h_ab2 = int(d2.min(axis=1).max())
+        h_ba2 = int(d2.min(axis=0).max())
+        return pd.DataFrame(
+            {
+                "key": [pdf[key_col].iloc[0]],
+                "n_a": [len(a)],
+                "n_b": [len(b)],
+                "h_ab2": [h_ab2],
+                "h_ba2": [h_ba2],
+                "h2_udeg2": [max(h_ab2, h_ba2)],
+            }
+        )
+
+    out = points.groupBy(key_col).applyInPandas(
+        one,
+        schema=(
+            "key long, n_a long, n_b long, h_ab2 long, h_ba2 long, h2_udeg2 long"
+        ),
+    )
+    return out.withColumnRenamed("key", key_col)
+
+
+def frechet_by_key(
+    points: DataFrame,
+    key_col: str = "user_id",
+    side_col: str = "side",
+    order_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Discrete Fréchet distance (squared, exact int64) between the two
+    ORDERED polylines of every key — the coupling-aware upgrade of
+    :func:`hausdorff_by_key` (Eiter & Mannila 1994 free-space DP).
+    DP is O(nA·nB) per key, vectorized one row at a time (numpy
+    running-min along the inner axis); Fréchet ≥ Hausdorff always,
+    which the pytest twin asserts alongside a brute-force recursive
+    reference."""
+    import numpy as np
+    import pandas as pd
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf[side_col] == 0].sort_values(order_col)
+        b = pdf[pdf[side_col] == 1].sort_values(order_col)
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(columns=["key", "n_a", "n_b", "f2_udeg2"])
+        ax = a[x_col].to_numpy(np.int64)[:, None]
+        ay = a[y_col].to_numpy(np.int64)[:, None]
+        bx = b[x_col].to_numpy(np.int64)[None, :]
+        by = b[y_col].to_numpy(np.int64)[None, :]
+        d2 = (ax - bx) ** 2 + (ay - by) ** 2
+        n_b = d2.shape[1]
+        # DP row by row: ca[j] = max(d2[i,j], min(ca[j-1], prev[j], prev[j-1]))
+        prev = np.maximum.accumulate(d2[0])
+        for i in range(1, d2.shape[0]):
+            cur = np.empty(n_b, dtype=np.int64)
+            cur[0] = max(d2[i, 0], prev[0])
+            for j in range(1, n_b):
+                cur[j] = max(
+                    d2[i, j], min(cur[j - 1], prev[j], prev[j - 1])
+                )
+            prev = cur
+        return pd.DataFrame(
+            {
+                "key": [pdf[key_col].iloc[0]],
+                "n_a": [len(a)],
+                "n_b": [len(b)],
+                "f2_udeg2": [int(prev[-1])],
+            }
+        )
+
+    out = points.groupBy(key_col).applyInPandas(
+        one, schema="key long, n_a long, n_b long, f2_udeg2 long"
+    )
+    return out.withColumnRenamed("key", key_col)
+
+
+def trajectory_split_points(events: DataFrame) -> DataFrame:
+    """Per-event lattice point + the even/odd split used by the
+    similarity queries: side 0 = even event_id, side 1 = odd — two
+    interleaved revisit traces of the same user's territory."""
+    p = with_pings(events)
+    return p.select(
+        "user_id",
+        F.pmod(F.col("event_id"), F.lit(2)).cast("int").alias("side"),
+        F.col("event_id").alias("seq"),
+        F.floor(F.col("lon") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("lat") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("y"),
+    )

@@ -207,6 +207,11 @@ _GATE_DEMOTED = [
     # pass) with the still-gated kde_sites_150m — only the final weight
     # formula differs — and driver_sim replays its oracle every round
     "idw_sites_150m",
+    # demoted when events_trajectory_hausdorff (new, needs driver
+    # certification) took an oracle-backed slot: geohash_cells' encode
+    # runs INSIDE the still-gated geohash_rollup (the rollup groups the
+    # same per-row cell ids), plus published-test-vector pytest anchors
+    "geohash_cells",
 ]
 
 
@@ -3142,6 +3147,66 @@ def events_user_travel(spark, sf_dir):
     from fagi_gis_spark.operators.trajectory import user_travel
 
     return user_travel(_events(spark, sf_dir))
+
+
+def _hausdorff_oracle() -> str:
+    d2 = "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)"
+    return (
+        f"WITH p AS ({_ping_events_sql()}),\n"
+        "q AS (\n"
+        "  SELECT user_id, event_id % 2 AS side, event_id,\n"
+        "    CAST(floor(lon * 1e6 + 0.5) AS BIGINT) AS x,\n"
+        "    CAST(floor(lat * 1e6 + 0.5) AS BIGINT) AS y\n"
+        "  FROM p\n"
+        "),\n"
+        "mins AS (\n"
+        f"  SELECT a.user_id, a.event_id, a.side, min({d2}) AS md2\n"
+        "  FROM q a JOIN q b ON a.user_id = b.user_id AND a.side <> b.side\n"
+        "  GROUP BY a.user_id, a.event_id, a.side\n"
+        "),\n"
+        "counts AS (SELECT user_id, side, count(*) AS n FROM q GROUP BY user_id, side)\n"
+        "SELECT m.user_id, ca.n AS n_a, cb.n AS n_b,\n"
+        "  max(CASE WHEN m.side = 0 THEN m.md2 END) AS h_ab2,\n"
+        "  max(CASE WHEN m.side = 1 THEN m.md2 END) AS h_ba2,\n"
+        "  max(m.md2) AS h2_udeg2\n"
+        "FROM mins m\n"
+        "JOIN counts ca ON ca.user_id = m.user_id AND ca.side = 0\n"
+        "JOIN counts cb ON cb.user_id = m.user_id AND cb.side = 1\n"
+        "GROUP BY m.user_id, ca.n, cb.n"
+    )
+
+
+@register("events_trajectory_hausdorff", _hausdorff_oracle())
+def events_trajectory_hausdorff(spark, sf_dir):
+    """Discrete Hausdorff similarity between each user's two interleaved
+    trajectory halves (operators.trajectory.hausdorff_by_key): both
+    directed values + their max, EXACT as int64 squared micro-degrees —
+    the integer lattice makes max-of-min replayable in plain SQL with
+    zero float tolerance.  One shuffle on user_id, then a per-key Arrow
+    batch computes the whole nA×nB matrix vectorized; the reference
+    scores conflation pairs by single-point distance only
+    (fagi-gis FuserWorker), this is the full-trajectory upgrade."""
+    from fagi_gis_spark.operators.trajectory import (
+        hausdorff_by_key,
+        trajectory_split_points,
+    )
+
+    return hausdorff_by_key(trajectory_split_points(_events(spark, sf_dir)))
+
+
+@register("events_trajectory_frechet")  # ordered DP: no closed-form SQL; pytest twin
+def events_trajectory_frechet(spark, sf_dir):
+    """Discrete Fréchet distance (squared, exact int64) between the same
+    per-user polyline halves (operators.trajectory.frechet_by_key,
+    Eiter-Mannila DP).  Order-aware, so a plain SQL aggregate cannot
+    express it; the pytest twin checks a brute-force recursive reference
+    on fixtures AND Fréchet >= Hausdorff on every driver row."""
+    from fagi_gis_spark.operators.trajectory import (
+        frechet_by_key,
+        trajectory_split_points,
+    )
+
+    return frechet_by_key(trajectory_split_points(_events(spark, sf_dir)))
 
 
 def _od_oracle(z: int = 10, win_s: int = 3600) -> str:

@@ -225,3 +225,101 @@ def test_grid_dbscan_antimeridian_wrap(spark):
         for r in grid_dbscan(_points(spark, west + east), z=3, min_pts=3).collect()
     }
     assert len(set(out.values())) == 1 and -1 not in set(out.values())
+
+
+def _brute_frechet2(A, B):
+    """Textbook recursive discrete Fréchet (Eiter-Mannila), squared."""
+    import functools
+
+    def d2(i, j):
+        return (A[i][0] - B[j][0]) ** 2 + (A[i][1] - B[j][1]) ** 2
+
+    @functools.lru_cache(maxsize=None)
+    def c(i, j):
+        if i == 0 and j == 0:
+            return d2(0, 0)
+        if i == 0:
+            return max(c(0, j - 1), d2(0, j))
+        if j == 0:
+            return max(c(i - 1, 0), d2(i, 0))
+        return max(min(c(i - 1, j), c(i - 1, j - 1), c(i, j - 1)), d2(i, j))
+
+    return c(len(A) - 1, len(B) - 1)
+
+
+def _brute_hausdorff2(A, B):
+    def mn(P, Q):
+        return max(
+            min((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 for q in Q) for p in P
+        )
+
+    return max(mn(A, B), mn(B, A))
+
+
+def test_hausdorff_and_frechet_vs_bruteforce(spark):
+    """Vectorized kernels == textbook references on random int lattices,
+    plus the Fréchet >= Hausdorff invariant and the asymmetric directed
+    values coming back separately."""
+    import random
+
+    from fagi_gis_spark.operators.trajectory import frechet_by_key, hausdorff_by_key
+
+    rng = random.Random(42)
+    rows = []
+    cases = {}
+    for k in range(12):
+        na, nb = rng.randint(1, 9), rng.randint(1, 9)
+        A = [(rng.randint(-500, 500), rng.randint(-500, 500)) for _ in range(na)]
+        B = [(rng.randint(-500, 500), rng.randint(-500, 500)) for _ in range(nb)]
+        cases[k] = (A, B)
+        for i, (x, y) in enumerate(A):
+            rows.append((k, 0, i, x, y))
+        for i, (x, y) in enumerate(B):
+            rows.append((k, 1, i, x, y))
+    df = spark.createDataFrame(
+        rows, "user_id long, side int, seq long, x long, y long"
+    )
+    h = {r.user_id: r for r in hausdorff_by_key(df).collect()}
+    f = {r.user_id: r for r in frechet_by_key(df).collect()}
+    assert set(h) == set(cases) and set(f) == set(cases)
+    for k, (A, B) in cases.items():
+        assert h[k].h2_udeg2 == _brute_hausdorff2(A, B)
+        assert f[k].f2_udeg2 == _brute_frechet2(A, B)
+        assert f[k].f2_udeg2 >= h[k].h2_udeg2
+        # directed values: h_ab2 measures A against B specifically
+        assert h[k].h_ab2 == max(
+            min((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 for b in B) for a in A
+        )
+        assert (h[k].n_a, h[k].n_b) == (len(A), len(B))
+
+
+def test_hausdorff_single_sided_user_dropped(spark):
+    from fagi_gis_spark.operators.trajectory import frechet_by_key, hausdorff_by_key
+
+    df = spark.createDataFrame(
+        [(1, 0, 0, 0, 0), (1, 0, 1, 5, 5), (2, 0, 0, 1, 1), (2, 1, 1, 4, 4)],
+        "user_id long, side int, seq long, x long, y long",
+    )
+    assert [r.user_id for r in hausdorff_by_key(df).collect()] == [2]
+    assert [r.user_id for r in frechet_by_key(df).collect()] == [2]
+
+
+def test_frechet_ordering_matters(spark):
+    """Fréchet is order-aware: reversing one polyline changes the value
+    (a zigzag forces backtracking), while Hausdorff is set-based and
+    cannot see the difference."""
+    from fagi_gis_spark.operators.trajectory import frechet_by_key, hausdorff_by_key
+
+    A = [(0, 0), (10, 0), (20, 0)]
+    B = [(20, 1), (10, 1), (0, 1)]  # same points as A shifted, reversed order
+    rows = []
+    for uid, b in ((1, B), (2, list(reversed(B)))):
+        rows += [(uid, 0, i, x, y) for i, (x, y) in enumerate(A)]
+        rows += [(uid, 1, i, x, y) for i, (x, y) in enumerate(b)]
+    df = spark.createDataFrame(
+        rows, "user_id long, side int, seq long, x long, y long"
+    )
+    f = {r.user_id: r.f2_udeg2 for r in frechet_by_key(df).collect()}
+    h = {r.user_id: r.h2_udeg2 for r in hausdorff_by_key(df).collect()}
+    assert h[1] == h[2] == 1  # set-identical
+    assert f[2] == 1 and f[1] == _brute_frechet2(A, B) and f[1] > f[2]
