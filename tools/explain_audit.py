@@ -57,6 +57,9 @@ AUDIT = [
     ("audio_fp_neardup", "audio fingerprint near-dup (banded hamming over stored fp)"),
     ("image_consensus_stored", "stored-feature consensus dedup (two banded channels, full join)"),
     ("video_fp_neardup", "video fingerprint near-dup (banded hamming over stored majority-fold fp)"),
+    ("overlay_area_join", "polygon overlay area join (broadcast zones, Arrow convex clip, int shoelace)"),
+    ("icetable_lifecycle", "IceTable lifecycle (manifest-pruned scans, time travel, CoW merge reads)"),
+    ("events_trajectory_hausdorff", "trajectory Hausdorff (one user_id shuffle, per-key Arrow matrix)"),
 ]
 
 
