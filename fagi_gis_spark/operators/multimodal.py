@@ -687,3 +687,60 @@ def video_fingerprint(videos: DataFrame) -> DataFrame:
     return videos.select("clip_id", "bytes").mapInPandas(
         op, schema="clip_id string, fp long"
     )
+
+
+def shard_pack(
+    df: DataFrame,
+    budget_bytes: int,
+    cell_col: str = "cell_hex7",
+    id_col: str = "image_id",
+    size_col: str = "nbytes",
+) -> DataFrame:
+    """Greedy byte-budget shard planning per spatial cell — the
+    webdataset/TFRecord shard layout step of a multimodal training
+    pipeline, keyed by WHERE the data is (images of one place train and
+    evict together) instead of ``pack_documents``'s id ranges.  Files
+    pack in ``id_col`` order within each cell: a file joins the current
+    shard if it fits, else opens the next one; a file larger than the
+    budget gets a shard of its own (files don't truncate like token
+    streams do).  One shuffle on the cell id; each cell packs in a
+    single Arrow batch, so the greedy scan parallelizes over cells
+    while staying deterministic — at 10^12 images the per-task bound is
+    the densest CELL, not the corpus (pick the cell resolution like a
+    partition size; hot cells are a data-layout fact the planner sees,
+    not a shuffle-skew accident).  Output (cell, file id, size,
+    shard_id); shard ids restart per cell, so the global shard key is
+    (cell, shard_id).
+
+    Reference analog: the engine-side substitute for FAGI's per-dataset
+    bulk export (DatasetExporter batches links into fixed-size files,
+    fagi-gis VirtuosoImporter.java download path) — done spatially."""
+    budget = int(budget_bytes)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        shards = np.zeros(len(pdf), dtype=np.int64)
+        shard = 0
+        fill = 0
+        for i, nb in enumerate(pdf[size_col].to_numpy()):
+            if fill and fill + nb > budget:
+                shard += 1
+                fill = 0
+            fill += int(nb)
+            shards[i] = shard
+        out = pdf[[cell_col, id_col, size_col]].copy()
+        out["shard_id"] = shards
+        return out
+
+    return (
+        df.select(
+            F.col(cell_col).cast("long").alias(cell_col),
+            F.col(id_col),
+            F.col(size_col).cast("long").alias(size_col),
+        )
+        .groupBy(cell_col)
+        .applyInPandas(
+            pack,
+            schema=f"{cell_col} long, {id_col} string, {size_col} long, shard_id long",
+        )
+    )

@@ -212,6 +212,12 @@ _GATE_DEMOTED = [
     # runs INSIDE the still-gated geohash_rollup (the rollup groups the
     # same per-row cell ids), plus published-test-vector pytest anchors
     "geohash_cells",
+    # demoted when image_shard_pack (new, needs driver certification)
+    # took an oracle-backed slot: tile_heatmap's z9 raster IS the base
+    # level of the still-gated tile_heatmap_pyramid (the pyramid derives
+    # z8/z7 from it, so a wrong base level hash-mismatches the gated
+    # query), and driver_sim replays its oracle every round
+    "tile_heatmap",
 ]
 
 
@@ -2357,6 +2363,105 @@ def image_hex_rollup(spark, sf_dir):
         .groupBy("cell_hex7")
         .agg(F.count("*").alias("n"))
     )
+
+
+_IMAGES_SHARD_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "spark-warehouse",
+    "images_oracle_1000_nbytes",
+)
+
+
+def _ensure_images_shard_oracle(spark) -> "DataFrame":
+    """(image_id, phash, nbytes) of the generated corpus — the shard
+    planner's input shape (ids + stored feature + real encoded byte
+    size; bytes themselves never move through the planner).  Write-once,
+    atomic (same contract as _ensure_images_oracle)."""
+    from fagi_gis_spark.sources.images import generate_images
+
+    if not _os.path.isdir(_IMAGES_SHARD_PATH):
+        import shutil as _shutil
+
+        imgs = generate_images(spark, 1000, partitions=8).select(
+            "image_id", "phash", F.length("bytes").cast("long").alias("nbytes")
+        )
+        tmp = f"{_IMAGES_SHARD_PATH}.tmp.{_os.getpid()}"
+        imgs.write.mode("overwrite").parquet(tmp)
+        try:
+            _os.rename(tmp, _IMAGES_SHARD_PATH)
+        except OSError:  # lost a concurrent race: the winner's is equal
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(_IMAGES_SHARD_PATH)
+
+
+def _image_shard_pack_oracle(res: int = 4, budget: int = 8192) -> str:
+    """DuckDB replay of the whole shard plan: geotag pmods from the
+    stored phash, the shared half-up hex assignment at the shard cell
+    resolution, then the greedy byte-budget reset-scan per cell as a
+    recursive CTE over the image_id-ordered row number — the same
+    closed-form shape that certifies doc_pack_sequences, here keyed by
+    the spatial cell and fed by REAL encoded file sizes."""
+    from fagi_gis_spark.index.hexgrid import hex_cell_sql
+
+    lon = "((((phash % 2000000) + 2000000) % 2000000) - 1000000) / 1e6"
+    mixed = (
+        "((((((phash % 2147483647) + 2147483647) % 2147483647) * 2654435761) "
+        "% 2000000) + 2000000) % 2000000"
+    )
+    src = (
+        "SELECT image_id, nbytes, "
+        f"{lon} AS lon, 50.0 + ({mixed}) / 1e6 AS lat "
+        f"FROM read_parquet('{_IMAGES_SHARD_PATH}/*.parquet')"
+    )
+    cells = hex_cell_sql(src, "image_id, nbytes", "lon", "lat", res)
+    return (
+        f"WITH RECURSIVE {cells.lstrip()},\n"
+        "t AS (\n"
+        "  SELECT cell_id, image_id, CAST(nbytes AS BIGINT) AS nbytes,\n"
+        "    row_number() OVER (PARTITION BY cell_id ORDER BY image_id) AS rn\n"
+        "  FROM __hex_out\n"
+        "),\n"
+        "packed AS (\n"
+        "  SELECT cell_id, rn, image_id, nbytes,\n"
+        "    CAST(0 AS BIGINT) AS shard_id, nbytes AS fill\n"
+        "  FROM t WHERE rn = 1\n"
+        "  UNION ALL\n"
+        "  SELECT t.cell_id, t.rn, t.image_id, t.nbytes,\n"
+        f"    CASE WHEN p.fill + t.nbytes <= {budget} THEN p.shard_id"
+        " ELSE p.shard_id + 1 END,\n"
+        f"    CASE WHEN p.fill + t.nbytes <= {budget} THEN p.fill + t.nbytes"
+        " ELSE t.nbytes END\n"
+        "  FROM packed p JOIN t ON t.cell_id = p.cell_id AND t.rn = p.rn + 1\n"
+        ")\n"
+        "SELECT cell_id AS cell_hex7, image_id, nbytes, shard_id FROM packed"
+    )
+
+
+@register("image_shard_pack", _image_shard_pack_oracle())
+def image_shard_pack(spark, sf_dir):
+    """Webdataset-style training-shard planning for the image corpus
+    (operators.multimodal.shard_pack): pHash-seeded geotag -> res-4 hex7
+    cell -> greedy 8 KiB byte-budget packing of the REAL encoded file
+    sizes in image_id order within each cell.  Spatially-keyed shards
+    are the multimodal twin of doc_pack_sequences' id-range groups:
+    images of one place land in one shard file, the greedy scan
+    parallelizes over cells (one Arrow batch each), and the per-task
+    bound at 10^12 images is the densest cell, never the corpus.
+    ORACLE-BACKED end-to-end: DuckDB replays geotag + half-up hex +
+    the reset-scan recursive CTE from the same stored
+    (image_id, phash, nbytes) parquet."""
+    from fagi_gis_spark.operators.geotag import geotag_cols
+    from fagi_gis_spark.operators.multimodal import shard_pack
+    from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
+
+    imgs = _ensure_images_shard_oracle(spark)
+    lon, lat = geotag_cols(F.col("phash"))
+    geo = imgs.withColumn("lon", lon).withColumn("lat", lat)
+    q, r = _hex_qr_cols(F.col("lon"), F.col("lat"), 4)
+    cells = geo.withColumn("cell_hex7", _hex_pack(q, r, 4)).select(
+        "cell_hex7", "image_id", "nbytes"
+    )
+    return shard_pack(cells, budget_bytes=8192)
 
 
 def _image_exif_geotag_oracle() -> str:

@@ -1426,3 +1426,63 @@ def test_video_fingerprint_invariances_and_neardup(spark):
     assert expected <= pairs  # complete re-ingest recall on BOTH edit classes
     # unrelated hits are a small precision tail, not the bulk
     assert len(pairs - expected) < len(expected)
+
+
+def test_shard_pack_greedy_invariants_and_differential(spark):
+    """shard_pack == the pure-Python greedy scan per cell, and the plan
+    invariants hold: a shard's byte sum exceeds the budget only when it
+    holds a single overlong file, and shard k+1 opens only because its
+    first file would NOT have fit into shard k (prefix-greedy: no
+    earlier break is possible)."""
+    import pandas as pd
+
+    from fagi_gis_spark.operators.multimodal import shard_pack
+
+    budget = 3000
+    rows = []
+    # three cells: mixed sizes incl. one overlong file (> budget) and
+    # exact-fit boundaries (sum == budget must NOT break)
+    sizes = {
+        7: [1000, 1000, 1000, 500],          # 1000*3 == 3000 exact fit
+        8: [2999, 2, 3001, 10],              # overlong 3001 alone
+        9: [1500, 1501, 1500, 1500],         # boundary break at 2nd
+    }
+    for cell, ss in sizes.items():
+        for i, s in enumerate(ss):
+            rows.append((cell, f"f_{cell}_{i:02d}", s))
+    df = spark.createDataFrame(rows, "cell_hex7 long, image_id string, nbytes long")
+    out = (
+        shard_pack(df, budget_bytes=budget)
+        .toPandas()
+        .sort_values(["cell_hex7", "image_id"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == sum(len(s) for s in sizes.values())
+
+    # pure-Python reference
+    def ref(ss):
+        shard, fill, res = 0, 0, []
+        for s in ss:
+            if fill and fill + s > budget:
+                shard += 1
+                fill = 0
+            fill += s
+            res.append(shard)
+        return res
+
+    for cell, ss in sizes.items():
+        got = out[out.cell_hex7 == cell].shard_id.tolist()
+        assert got == ref(ss), (cell, got)
+
+    # invariants over the packed output
+    g = out.groupby(["cell_hex7", "shard_id"])["nbytes"]
+    for (cell, shard), s in g:
+        assert s.sum() <= budget or len(s) == 1, (cell, shard, s.tolist())
+    # exact fit did not break; boundary did
+    assert out[out.cell_hex7 == 7].shard_id.tolist() == [0, 0, 0, 1]
+    assert out[out.cell_hex7 == 9].shard_id.tolist() == [0, 1, 2, 2]
+
+    # non-degeneracy on the real corpus plan shape: the registry query's
+    # own oracle certifies values; here just assert the operator output
+    # restarts shard ids per cell (global key is (cell, shard_id))
+    assert set(out.groupby("cell_hex7").shard_id.min()) == {0}
