@@ -156,3 +156,97 @@ def burst_groups(parsed: DataFrame, res: int = 9, gap_s: int = 300) -> DataFrame
         "ts_key",
         (F.row_number().over(wb) == F.lit(1)).alias("is_keeper"),
     )
+
+
+def spatial_split(
+    df: DataFrame,
+    z: int = 11,
+    block_shift: int = 2,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    n_buckets: int = 10,
+    test_buckets: int = 2,
+    val_buckets: int = 1,
+) -> DataFrame:
+    """Leakage-safe spatial train/val/test split with a buffer band —
+    the geospatial-ML evaluation protocol (spatial block cross-validation,
+    Roberts et al. 2017, Ecography 40): whole BLOCKS (z-tile cells at
+    ``z - block_shift``) are assigned to folds, never individual rows, so
+    spatially-autocorrelated neighbors of a test point can't land in
+    training; and the one-fine-cell-wide band of train rows hugging any
+    test block's border (Chebyshev ring 1 at the FINE ``z`` resolution,
+    antimeridian x-wrap) is demoted to ``buffer`` — excluded from
+    training, the standard guard against leakage across the block edge.
+    The band is fine-grained on purpose: demoting whole neighbor BLOCKS
+    would throw away interior training data that never touches the
+    boundary (at scattered 20% test density, ring-1 at block granularity
+    swallows most of the corpus).
+
+    Fold bucket = ``pmod((bx*4096 + by) * 2654435761, n_buckets)`` on the
+    packed block key — multiplicative hashing, exact int64 in both Spark
+    and a SQL replay (requires ``z <= 11`` so the product stays < 2^55).
+    Buckets [0, test) -> test, [test, test+val) -> val, rest train (or
+    buffer).  Val blocks adjacent to test keep their fold: the buffer
+    protects what the MODEL SEES (training data), not other eval folds.
+
+    Scale shape: two derived integer columns on the main table plus ONE
+    broadcast left join against the ids-only border-band cell set
+    (#test-blocks x (2^block_shift + 2)^2 - 4^block_shift rows); the main
+    table never shuffles.  Deterministic: same world -> same folds, so
+    day-2 ingests extend the same split.
+    """
+    if z > 11:
+        raise ValueError("spatial_split requires z <= 11 (packed-key overflow)")
+    if block_shift < 1 or z - block_shift < tiles.MIN_NEIGHBOR_RES:
+        raise ValueError("block resolution below the alias-free minimum")
+    n = 1 << z
+    side = 1 << block_shift
+    d = df.withColumn("tx", tiles.tile_x_col(F.col(lon_col), z)).withColumn(
+        "ty", tiles.tile_y_col(F.col(lat_col), z)
+    )
+    bucket = F.pmod(
+        (F.shiftright(F.col("tx"), block_shift) * F.lit(4096)
+         + F.shiftright(F.col("ty"), block_shift)) * F.lit(2654435761),
+        F.lit(n_buckets),
+    )
+    d = d.withColumn(
+        "split",
+        F.when(bucket < test_buckets, F.lit("test"))
+        .when(bucket < test_buckets + val_buckets, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+    # ids-only border band: for each test block, the exterior ring of
+    # FINE cells at Chebyshev distance exactly 1 from its footprint
+    span = list(range(-1, side + 1))
+    edge = {-1, side}
+    offs = [(i, j) for i in span for j in span if i in edge or j in edge]
+    off_arr = F.array(
+        *[F.struct(F.lit(i).alias("i"), F.lit(j).alias("j")) for i, j in offs]
+    )
+    band = (
+        d.filter(F.col("split") == "test")
+        .select(
+            F.shiftright(F.col("tx"), block_shift).alias("bx"),
+            F.shiftright(F.col("ty"), block_shift).alias("by"),
+        )
+        .distinct()
+        .select(F.explode(off_arr).alias("o"), "bx", "by")
+        .select(
+            F.pmod(F.col("bx") * side + F.col("o.i"), F.lit(n)).alias("nx"),
+            (F.col("by") * side + F.col("o.j")).alias("ny"),
+        )
+        .distinct()
+        .withColumn("in_band", F.lit(1))
+    )
+    out = d.join(F.broadcast(band), (d.tx == band.nx) & (d.ty == band.ny), "left")
+    return out.select(
+        *[c for c in df.columns if c not in (lon_col, lat_col)],
+        "tx",
+        "ty",
+        F.when(
+            (F.col("split") == "train") & F.col("in_band").isNotNull(),
+            F.lit("buffer"),
+        )
+        .otherwise(F.col("split"))
+        .alias("split"),
+    )

@@ -4786,3 +4786,77 @@ def knn_adaptive(spark, sf_dir):
     return out.select(
         "l_key", "r_key", F.round(F.col("dist_m"), 4).alias("dist_m_r"), "knn_rank"
     )
+
+
+def _image_spatial_split_oracle(
+    z: int = 11, shift: int = 2, n_buckets: int = 10, test_b: int = 2, val_b: int = 1
+) -> str:
+    """DuckDB replay of the whole leakage-safe split: geotag pmods from
+    the stored phash, the shared WebMercator tile arithmetic at the fine
+    resolution, the multiplicative block-fold hash, and the test-block
+    border band via a VALUES offset table + EXISTS — all exact integer /
+    shared-float-text ops, zero tolerance."""
+    from fagi_gis_spark.index.tiles import tile_x_sql, tile_y_sql
+
+    n = 1 << z
+    side = 1 << shift
+    lon = "((((phash % 2000000) + 2000000) % 2000000) - 1000000) / 1e6"
+    mixed = (
+        "((((((phash % 2147483647) + 2147483647) % 2147483647) * 2654435761) "
+        "% 2000000) + 2000000) % 2000000"
+    )
+    span = list(range(-1, side + 1))
+    edge = {-1, side}
+    offs = ", ".join(
+        f"({i}, {j})" for i in span for j in span if i in edge or j in edge
+    )
+    tx = tile_x_sql("lon", z)
+    ty = tile_y_sql("lat", z)
+    return (
+        "WITH g AS (\n"
+        "  SELECT image_id, "
+        f"{lon} AS lon, 50.0 + ({mixed}) / 1e6 AS lat\n"
+        f"  FROM read_parquet('{_IMAGES_SHARD_PATH}/*.parquet')\n"
+        "),\n"
+        f"c AS (SELECT image_id, {tx} AS tx, {ty} AS ty FROM g),\n"
+        "s AS (\n"
+        f"  SELECT *, CASE WHEN b < {test_b} THEN 'test'\n"
+        f"                 WHEN b < {test_b + val_b} THEN 'val'\n"
+        "                 ELSE 'train' END AS split\n"
+        "  FROM (SELECT *,\n"
+        f"    ((((tx // {side}) * 4096 + (ty // {side})) * 2654435761\n"
+        f"      % {n_buckets}) + {n_buckets}) % {n_buckets} AS b\n"
+        "    FROM c)\n"
+        "),\n"
+        "tb AS (SELECT DISTINCT tx // "
+        f"{side} AS bx, ty // {side} AS b_y FROM s WHERE split = 'test'),\n"
+        "band AS (\n"
+        f"  SELECT DISTINCT ((bx * {side} + o.i) % {n} + {n}) % {n} AS nx,\n"
+        f"         b_y * {side} + o.j AS ny\n"
+        f"  FROM tb, (VALUES {offs}) o(i, j)\n"
+        ")\n"
+        "SELECT image_id, tx, ty,\n"
+        "  CASE WHEN s.split = 'train' AND EXISTS (\n"
+        "         SELECT 1 FROM band WHERE band.nx = s.tx AND band.ny = s.ty)\n"
+        "       THEN 'buffer' ELSE s.split END AS split\n"
+        "FROM s"
+    )
+
+
+@register("image_spatial_split", _image_spatial_split_oracle())
+def image_spatial_split(spark, sf_dir):
+    """Leakage-safe spatial train/val/test split of the image corpus
+    (operators.geotag.spatial_split; spatial block cross-validation,
+    Roberts et al. 2017): folds assigned per z9 BLOCK by an exact
+    multiplicative hash, plus a one-z11-cell-wide ``buffer`` band of
+    train rows hugging test-block borders (excluded from training — the
+    spatial-autocorrelation guard every geospatial model evaluation
+    needs).  Main table never shuffles: two derived integer columns and
+    one broadcast join against the ids-only border-band set.
+    ORACLE-BACKED end-to-end from the stored (image_id, phash) corpus."""
+    from fagi_gis_spark.operators.geotag import geotag_cols, spatial_split
+
+    imgs = _ensure_images_shard_oracle(spark)
+    lon, lat = geotag_cols(F.col("phash"))
+    g = imgs.select("image_id", lon.alias("lon"), lat.alias("lat"))
+    return spatial_split(g, z=11, block_shift=2)

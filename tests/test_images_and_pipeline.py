@@ -1486,3 +1486,73 @@ def test_shard_pack_greedy_invariants_and_differential(spark):
     # own oracle certifies values; here just assert the operator output
     # restarts shard ids per cell (global key is (cell, shard_id))
     assert set(out.groupby("cell_hex7").shard_id.min()) == {0}
+
+
+def test_spatial_split_differential_and_band_semantics(spark):
+    """spatial_split == a pure-Python replica on a dense synthetic grid,
+    and the semantics hold: every buffer row touches a test block within
+    one fine cell (Chebyshev), every surviving train row touches none,
+    folds are block-pure, and all four classes appear."""
+    import math
+
+    from fagi_gis_spark.operators.geotag import spatial_split
+
+    z, shift, n_buckets, test_b, val_b = 11, 2, 10, 2, 1
+    n, side = 1 << z, 1 << shift
+
+    # dense grid of fine cells around lon ~0 / lat ~51 (cell centers)
+    txs = range(1020, 1060)
+    tys = range(680, 716)
+    rows = []
+    for tx in txs:
+        for ty in tys:
+            lon = (tx + 0.5) / n * 360.0 - 180.0
+            lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (ty + 0.5) / n))))
+            rows.append((f"p_{tx}_{ty}", lon, lat))
+    df = spark.createDataFrame(rows, "image_id string, lon double, lat double")
+    out = spatial_split(df, z=z, block_shift=shift).toPandas()
+    assert len(out) == len(rows)
+    got = {r.image_id: (r.tx, r.ty, r.split) for r in out.itertuples()}
+
+    # pure-Python replica
+    def bucket(bx, by):
+        return ((bx * 4096 + by) * 2654435761) % n_buckets
+
+    def base_split(tx, ty):
+        b = bucket(tx >> shift, ty >> shift)
+        return "test" if b < test_b else ("val" if b < test_b + val_b else "train")
+
+    test_blocks = {
+        (tx >> shift, ty >> shift)
+        for tx in txs
+        for ty in tys
+        if base_split(tx, ty) == "test"
+    }
+
+    def near_test(tx, ty):
+        return any(
+            (((tx + dx) % n) >> shift, (ty + dy) >> shift) in test_blocks
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+
+    seen = set()
+    for tx in txs:
+        for ty in tys:
+            s = base_split(tx, ty)
+            if s == "train" and near_test(tx, ty):
+                s = "buffer"
+            assert got[f"p_{tx}_{ty}"] == (tx, ty, s), (tx, ty)
+            seen.add(s)
+    assert seen == {"train", "val", "test", "buffer"}
+
+    # block purity: within one block all rows share a fold (buffer only
+    # demotes train rows, so train blocks may mix train+buffer)
+    import collections
+
+    folds = collections.defaultdict(set)
+    for tx in txs:
+        for ty in tys:
+            folds[(tx >> shift, ty >> shift)].add(got[f"p_{tx}_{ty}"][2])
+    for blk, fs in folds.items():
+        assert fs <= {"train", "buffer"} or len(fs) == 1, (blk, fs)
