@@ -4860,3 +4860,34 @@ def image_spatial_split(spark, sf_dir):
     lon, lat = geotag_cols(F.col("phash"))
     g = imgs.select("image_id", lon.alias("lon"), lat.alias("lat"))
     return spatial_split(g, z=11, block_shift=2)
+
+
+def _quadkey_oracle() -> str:
+    from fagi_gis_spark.index.quadkey import quadkey_sql
+
+    return _o(
+        f"SELECT subject, {quadkey_sql('lon', 'lat', 9)} AS cell_qk9, "
+        f"{quadkey_sql('lon', 'lat', 7)} AS cell_qk7 FROM poi_a"
+    )
+
+
+@register("quadkey_cells", _quadkey_oracle())
+def quadkey_cells(spark, sf_dir):
+    """Quadkey cells (the Bing Maps Tile System's published base-4
+    string index; index/quadkey.py) at level 9 plus the level-7 parent —
+    the fifth public cell index, a string re-labelling of the SAME
+    z-tile lattice the engine's tile joins run on, and the industry key
+    scheme for tile caches (prefix range == subtree).  ONE generated SQL
+    text (the engine's own tile_x/tile_y arithmetic + floor/substr bit
+    extraction) runs in whole-stage codegen here AND verbatim as the
+    DuckDB oracle.  Refinement nests: cell_qk7 is the string prefix of
+    cell_qk9 (pytest-asserted, with the published (x=3,y=5,level 3) ->
+    '213' anchor)."""
+    from fagi_gis_spark.index.quadkey import quadkey_sql
+
+    L = layers(spark, sf_dir)
+    return L["poi_a"].select(
+        "subject",
+        F.expr(quadkey_sql("lon", "lat", 9)).alias("cell_qk9"),
+        F.expr(quadkey_sql("lon", "lat", 7)).alias("cell_qk7"),
+    )

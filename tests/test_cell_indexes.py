@@ -473,3 +473,54 @@ def test_geohash_spark_expr_matches_numpy(spark):
         .values
     )
     assert (got == geohash_str_np(lon, lat, 7)).all()
+
+
+def test_quadkey_published_anchor_and_decode():
+    """The Bing Tile System docs' worked example: tile (3,5) level 3 is
+    quadkey '213'; decode is the published inverse."""
+    from fagi_gis_spark.index.quadkey import quadkey_decode, quadkey_from_xy_np
+
+    assert quadkey_from_xy_np(np.array([3]), np.array([5]), 3)[0] == "213"
+    assert quadkey_decode("213") == (3, 3, 5)
+    # level-1 quadrants
+    assert list(quadkey_from_xy_np(np.array([0, 1, 0, 1]), np.array([0, 0, 1, 1]), 1)) == [
+        "0", "1", "2", "3"
+    ]
+
+
+def test_quadkey_prefix_nesting_and_lattice_identity():
+    """Prefix = parent, and the quadkey is a pure re-labelling of the
+    engine's own z-tile lattice (decode returns tile_xy_np exactly)."""
+    from fagi_gis_spark.index import tiles
+    from fagi_gis_spark.index.quadkey import quadkey_decode, quadkey_np
+
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-85, 85, 300)
+    q9 = quadkey_np(lon, lat, 9)
+    q7 = quadkey_np(lon, lat, 7)
+    assert all(a.startswith(b) for a, b in zip(q9, q7))
+    tx, ty = tiles.tile_xy_np(lon, lat, 9)
+    for qk, x, y in zip(q9, tx, ty):
+        assert quadkey_decode(qk) == (9, int(x), int(y))
+
+
+def test_quadkey_sql_twin_matches_numpy_on_duckdb_and_spark(spark):
+    import duckdb
+    import pandas as pd
+
+    from fagi_gis_spark.index.quadkey import quadkey_np, quadkey_sql
+
+    rng = np.random.default_rng(29)
+    lon = np.concatenate([rng.uniform(-180, 180, 200), [180.0, -180.0, 0.0, 179.999999]])
+    lat = np.concatenate([rng.uniform(-85, 85, 200), [85.05112878, -85.05112878, 0.0]])
+    lat = lat[: len(lon)]
+    lon = lon[: len(lat)]
+    ref = quadkey_np(lon, lat, 9)
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"lon": lon, "lat": lat}))
+    got = con.sql(f"SELECT {quadkey_sql('lon', 'lat', 9)} AS q FROM pts").df()
+    assert (got["q"].values == ref).all()
+    sdf = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    got_s = sdf.select(F.expr(quadkey_sql("lon", "lat", 9)).alias("q")).toPandas()["q"]
+    assert (got_s.values == ref).all()
