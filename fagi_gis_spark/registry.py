@@ -4891,3 +4891,144 @@ def quadkey_cells(spark, sf_dir):
         F.expr(quadkey_sql("lon", "lat", 9)).alias("cell_qk9"),
         F.expr(quadkey_sql("lon", "lat", 7)).alias("cell_qk7"),
     )
+
+
+_SHARD_SPLIT_MOD = 5  # day-2 shard batch: images whose phash pmod 5 == 0
+
+
+def _image_shard_pack_incr_oracle(
+    z_res: int = 4, budget: int = 8192, n_buckets: int = 10
+) -> str:
+    """Same closed-form full-repack replay as _image_shard_pack_oracle —
+    the incremental plan must EQUAL the full repack exactly — plus the
+    phase column: a cell is 'repacked' iff it contains a new image,
+    'carried' otherwise, so the value hash is sensitive to the
+    carry/repack classification too."""
+    from fagi_gis_spark.index.hexgrid import hex_cell_sql
+
+    lon = "((((phash % 2000000) + 2000000) % 2000000) - 1000000) / 1e6"
+    mixed = (
+        "((((((phash % 2147483647) + 2147483647) % 2147483647) * 2654435761) "
+        "% 2000000) + 2000000) % 2000000"
+    )
+    src = (
+        "SELECT image_id, nbytes, phash, "
+        f"{lon} AS lon, 50.0 + ({mixed}) / 1e6 AS lat "
+        f"FROM read_parquet('{_IMAGES_SHARD_PATH}/*.parquet')"
+    )
+    cells = hex_cell_sql(src, "image_id, nbytes, phash", "lon", "lat", z_res)
+    is_new = f"((phash % {_SHARD_SPLIT_MOD}) + {_SHARD_SPLIT_MOD}) % {_SHARD_SPLIT_MOD} = 0"
+    return (
+        f"WITH RECURSIVE {cells.lstrip()},\n"
+        "t AS (\n"
+        "  SELECT cell_id, image_id, CAST(nbytes AS BIGINT) AS nbytes,\n"
+        "    row_number() OVER (PARTITION BY cell_id ORDER BY image_id) AS rn\n"
+        "  FROM __hex_out\n"
+        "),\n"
+        f"newcells AS (SELECT DISTINCT cell_id FROM __hex_out WHERE {is_new}),\n"
+        "packed AS (\n"
+        "  SELECT cell_id, rn, image_id, nbytes,\n"
+        "    CAST(0 AS BIGINT) AS shard_id, nbytes AS fill\n"
+        "  FROM t WHERE rn = 1\n"
+        "  UNION ALL\n"
+        "  SELECT t.cell_id, t.rn, t.image_id, t.nbytes,\n"
+        f"    CASE WHEN p.fill + t.nbytes <= {budget} THEN p.shard_id"
+        " ELSE p.shard_id + 1 END,\n"
+        f"    CASE WHEN p.fill + t.nbytes <= {budget} THEN p.fill + t.nbytes"
+        " ELSE t.nbytes END\n"
+        "  FROM packed p JOIN t ON t.cell_id = p.cell_id AND t.rn = p.rn + 1\n"
+        ")\n"
+        "SELECT cell_id AS cell_hex7, image_id, nbytes, shard_id,\n"
+        "  CASE WHEN cell_id IN (SELECT cell_id FROM newcells)\n"
+        "       THEN 'repacked' ELSE 'carried' END AS phase\n"
+        "FROM packed"
+    )
+
+
+def _image_shard_cells(spark) -> "DataFrame":
+    """(cell_hex7, image_id, nbytes, is_new) of the whole corpus — the
+    geotag + res-4 hex assignment both shard-pack queries run."""
+    from fagi_gis_spark.operators.geotag import geotag_cols
+    from fagi_gis_spark.operators.spatial_join import _hex_pack, _hex_qr_cols
+
+    imgs = _ensure_images_shard_oracle(spark)
+    lon, lat = geotag_cols(F.col("phash"))
+    geo = imgs.withColumn("lon", lon).withColumn("lat", lat)
+    q, r = _hex_qr_cols(F.col("lon"), F.col("lat"), 4)
+    return geo.select(
+        _hex_pack(q, r, 4).alias("cell_hex7"),
+        "image_id",
+        F.col("nbytes").cast("long").alias("nbytes"),
+        (F.pmod(F.col("phash"), F.lit(_SHARD_SPLIT_MOD)) == 0).alias("is_new"),
+    )
+
+
+@register("image_shard_pack_incremental", _image_shard_pack_incr_oracle())
+def image_shard_pack_incremental(spark, sf_dir):
+    """Day-2 shard maintenance — the shard-layout member of the
+    incremental family (exact digest / MinHash / banded-hamming /
+    embedding-cosine indexes, now the training-shard plan): a NEW image
+    batch updates a PERSISTED shard plan by repacking ONLY the cells it
+    touches; every untouched cell's shards carry over from the stored
+    plan by reference (broadcast anti-join — never recomputed, never
+    shuffled).  Day-1 features (ids + byte sizes, no image bytes) and
+    the day-1 plan persist as cell-bucketed tables, so the initial pack
+    groups WITHOUT an exchange and the repack's only shuffle is bounded
+    by touched cells + the batch — at 10^12 images the nightly cost is
+    the delta's neighborhoods, never the corpus.  Output == the full
+    repack bit-for-bit (greedy packing depends only on a cell's own
+    files), which is exactly what the oracle replays, phase column
+    included."""
+    from fagi_gis_spark.operators.multimodal import shard_pack
+
+    cells = _image_shard_cells(spark)
+    tbl = "image_shard_idx"
+    specs = {
+        f"{tbl}_cells": (
+            "cell_hex7 BIGINT, image_id STRING, nbytes BIGINT",
+            "(cell_hex7)",
+            True,
+        ),
+        f"{tbl}_plan": (
+            "cell_hex7 BIGINT, image_id STRING, nbytes BIGINT, shard_id BIGINT",
+            "(cell_hex7)",
+            False,
+        ),
+    }
+    if _ensure_index_tables(spark, specs):
+        day1 = cells.filter(~F.col("is_new")).drop("is_new")
+        try:
+            if not spark.catalog.tableExists(f"{tbl}_cells"):
+                (
+                    day1.write.bucketBy(16, "cell_hex7")
+                    .sortBy("cell_hex7")
+                    .mode("errorifexists")
+                    .saveAsTable(f"{tbl}_cells")
+                )
+            if not spark.catalog.tableExists(f"{tbl}_plan"):
+                (
+                    shard_pack(spark.table(f"{tbl}_cells"), 8192)
+                    .write.bucketBy(16, "cell_hex7")
+                    .mode("errorifexists")
+                    .saveAsTable(f"{tbl}_plan")
+                )
+        except Exception:
+            if not (
+                spark.catalog.tableExists(f"{tbl}_cells")
+                and spark.catalog.tableExists(f"{tbl}_plan")
+            ):
+                raise
+    new = cells.filter(F.col("is_new")).drop("is_new")
+    touched = new.select("cell_hex7").distinct()
+    repacked = shard_pack(
+        spark.table(f"{tbl}_cells")
+        .join(F.broadcast(touched), "cell_hex7", "semi")
+        .unionByName(new),
+        8192,
+    ).withColumn("phase", F.lit("repacked"))
+    carried = (
+        spark.table(f"{tbl}_plan")
+        .join(F.broadcast(touched), "cell_hex7", "anti")
+        .withColumn("phase", F.lit("carried"))
+    )
+    return carried.unionByName(repacked)

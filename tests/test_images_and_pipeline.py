@@ -1556,3 +1556,39 @@ def test_spatial_split_differential_and_band_semantics(spark):
             folds[(tx >> shift, ty >> shift)].add(got[f"p_{tx}_{ty}"][2])
     for blk, fs in folds.items():
         assert fs <= {"train", "buffer"} or len(fs) == 1, (blk, fs)
+
+
+def test_shard_pack_incremental_equals_full_and_groups_without_exchange(spark):
+    """The day-2 shard plan == the full repack bit-for-bit (carried +
+    repacked partition the cells by new-image presence), and the initial
+    pack over the cell-bucketed features table groups WITHOUT an
+    exchange (the bucketed scan already satisfies the applyInPandas
+    distribution)."""
+    from fagi_gis_spark import registry
+    from fagi_gis_spark.operators.multimodal import shard_pack
+
+    incr = registry.queries()["image_shard_pack_incremental"](spark, None).toPandas()
+    full = registry.queries()["image_shard_pack"](spark, None).toPandas()
+    key = ["cell_hex7", "image_id"]
+    a = incr.sort_values(key).reset_index(drop=True)
+    b = full.sort_values(key).reset_index(drop=True)
+    assert (a[key + ["nbytes", "shard_id"]].values == b[key + ["nbytes", "shard_id"]].values).all()
+
+    # phase == whether the cell holds a new (phash pmod 5 == 0) image
+    cells = registry._image_shard_cells(spark).toPandas()
+    new_cells = set(cells[cells.is_new].cell_hex7)
+    for r in a.itertuples():
+        assert (r.phase == "repacked") == (r.cell_hex7 in new_cells), r
+
+    # both phases non-degenerate
+    assert {"carried", "repacked"} == set(a.phase)
+
+    # exchange-free grouping over the stored bucketed features table
+    plan = (
+        shard_pack(spark.table("image_shard_idx_cells"), 8192)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Exchange" not in plan, plan
