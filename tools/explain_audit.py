@@ -60,6 +60,10 @@ AUDIT = [
     ("overlay_area_join", "polygon overlay area join (broadcast zones, Arrow convex clip, int shoelace)"),
     ("icetable_lifecycle", "IceTable lifecycle (manifest-pruned scans, time travel, CoW merge reads)"),
     ("events_trajectory_hausdorff", "trajectory Hausdorff (one user_id shuffle, per-key Arrow matrix)"),
+    ("image_shard_pack", "webdataset shard planning (hex-cell groups, one Arrow batch per cell)"),
+    ("image_shard_pack_incremental", "day-2 shard repack (bucketed carry-over + touched-cell union)"),
+    ("image_spatial_split", "leakage-safe spatial split (block hash + broadcast border-band join)"),
+    ("quadkey_cells", "quadkey encode (shared SQL text, whole-stage codegen)"),
 ]
 
 
