@@ -965,7 +965,20 @@ def metadata_rest_properties(spark, sf_dir):
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # parallelism floor: the sandbox documents table is one row group =
+    # one scan task, so every doc query's pre-shuffle stage (regex
+    # columns, Arrow UDFs, digest hashing) ran on a single core.  The
+    # floor is a no-op for any healthily-split input (partitioning.py).
+    from fagi_gis_spark.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    # same floor as _docs — embeddings.parquet is also one row group
+    from fagi_gis_spark.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 @register(
@@ -1572,7 +1585,7 @@ def dedup_incremental_cosine(spark, sf_dir):
         incremental_cosine_pairs,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", "embedding"
     )
     new = emb.filter(F.col("vec_id") % _INCR_SPLIT_MOD == 0)
@@ -1693,7 +1706,7 @@ def dedup_simhash(spark, sf_dir):
 def ann_cosine_topk(spark, sf_dir):
     from fagi_gis_spark.functions.ann import cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     out = cosine_topk(emb, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1702,7 +1715,7 @@ def ann_cosine_topk(spark, sf_dir):
 def ann_lsh_topk(spark, sf_dir):
     from fagi_gis_spark.functions.ann import lsh_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return lsh_topk(emb, k=5).withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -4189,7 +4202,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     against this query's exact pair set."""
     from fagi_gis_spark.functions.ann import cosine_near_dup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return cosine_near_dup_pairs(emb, threshold=0.35, blocking="exact")
 
 
@@ -4197,7 +4210,7 @@ def dedup_embedding_cosine(spark, sf_dir):
 def ann_ivf_topk(spark, sf_dir):
     from fagi_gis_spark.functions.ann import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return ivf_topk(emb, k=5).withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -4212,7 +4225,7 @@ def ann_pq_topk(spark, sf_dir):
     pytest twin gates recall vs exact and score agreement."""
     from fagi_gis_spark.functions.ann import pq_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return pq_topk(emb, k=5, rerank=25).withColumn("rank", F.col("rank").cast("long"))
 
 

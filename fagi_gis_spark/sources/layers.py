@@ -354,8 +354,17 @@ def materialized_layers(
         L = spark_layers(spark, sf_dir)
         L["poi_a"] = precedence_dedup(L["poi_a_raw"])
         tmp = f"{base}.tmp.{os.getpid()}"
+        from fagi_gis_spark.partitioning import ensure_min_parallelism
+
         for k in MATERIALIZED_LAYER_KEYS:
-            L[k].write.mode("overwrite").parquet(os.path.join(tmp, k))
+            # write each layer at >= default parallelism: a layer that
+            # derives straight from the (unsplittable, single-row-group)
+            # orders scan would otherwise land as 1-3 files and every
+            # downstream join streams it through 1-3 tasks (guide §2 —
+            # scan parallelism is set at WRITE time for stored layers)
+            ensure_min_parallelism(L[k]).write.mode("overwrite").parquet(
+                os.path.join(tmp, k)
+            )
         try:
             os.rename(tmp, base)
         except OSError:  # lost a concurrent race: the winner's is equal
