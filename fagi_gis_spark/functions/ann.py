@@ -94,31 +94,39 @@ def _rows_topk(
 ) -> pd.DataFrame:
     """Tie-safe per-row top-k of a (queries x refs) score matrix (score
     desc, neighbor id asc), self pairs excluded.  Shared by the exact
-    blocked kernel and the PQ/ADC kernel."""
-    n_ref = rids.shape[0]
-    out_q, out_n, out_c = [], [], []
-    for i in range(len(qids)):
-        row = scores[i].copy()
-        row[rids == qids[i]] = -np.inf  # exclude self
-        # argpartition prefilter, then a tie-safe exact pass: any element
-        # equal to the k-th score competes on neighbor id, so re-collect
-        # ALL elements >= that value before sorting
-        if n_ref > k + 1:
-            part = np.argpartition(-row, k)[: k + 1]
-            kth = np.sort(row[part])[::-1][k - 1] if k <= part.size else -np.inf
-            sel = np.nonzero(row >= kth)[0]
-        else:
-            sel = np.nonzero(row > -np.inf)[0]
-        # order: score desc, neighbor id asc (lexsort keys last-first)
-        cand = sel[np.lexsort((rids[sel], -row[sel]))][:k]
-        out_q.extend([qids[i]] * len(cand))
-        out_n.extend(rids[cand].tolist())
-        out_c.extend(row[cand].tolist())
+    blocked kernel and the PQ/ADC kernel.
+
+    Fully vectorized (guide §4.2 — no per-row Python loop): refs are
+    pre-sorted by id ascending ONCE, then one STABLE argsort of the
+    negated score matrix along axis=1 yields exactly (score desc,
+    neighbor id asc) — stability makes equal scores keep the ascending-id
+    column order, which is the identical tie rule the previous per-row
+    lexsort implemented.  Self pairs are masked to -inf (they sort last
+    and are dropped by the validity mask)."""
+    n_q, n_ref = scores.shape
+    if n_q == 0 or n_ref == 0:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                score_name: pd.Series([], dtype="float64"),
+            }
+        )
+    order = np.argsort(rids, kind="stable")
+    rids_s = rids[order]
+    sc = scores[:, order]  # column copy — safe to mutate
+    sc[rids_s[None, :] == qids[:, None]] = -np.inf  # exclude self
+    kk = min(k, n_ref)
+    idx = np.argsort(-sc, axis=1, kind="stable")[:, :kk]
+    top = np.take_along_axis(sc, idx, axis=1)
+    valid = (top > -np.inf).ravel()
     return pd.DataFrame(
         {
-            "vec_id": pd.Series(out_q, dtype="int64"),
-            "neighbor_id": pd.Series(out_n, dtype="int64"),
-            score_name: pd.Series(out_c, dtype="float64"),
+            "vec_id": pd.Series(
+                np.repeat(qids, kk)[valid], dtype="int64"
+            ),
+            "neighbor_id": pd.Series(rids_s[idx].ravel()[valid], dtype="int64"),
+            score_name: pd.Series(top.ravel()[valid], dtype="float64"),
         }
     )
 
@@ -136,6 +144,62 @@ def _block_topk(
     return _rows_topk(qids, cos, rids, k, "cos_sim")
 
 
+#: broadcast-reference cutoff for the exact top-k: reference matrices up
+#: to this many rows ship to every task as one quantized int64 numpy
+#: matrix (500k x 64 dims x 8 B = 256 MB).  Below it the query side is
+#: scanned ONCE with the whole reference in task memory — no 32x query
+#: replication, no cogroup shuffle, no merge window; above it the blocked
+#: cogroup path keeps per-task memory bounded by |block| x dim.  The same
+#: physical-strategy switch as broadcast-vs-shuffle joins (guide §3.1) —
+#: both paths compute identical integer dot products and tie order.
+_ANN_BROADCAST_MAX_REFS = 500_000
+
+
+def _cosine_topk_broadcast(
+    emb: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    quantize: int,
+    queries: DataFrame | None,
+) -> DataFrame:
+    """Exact top-k with the full quantized reference broadcast: one
+    mapInPandas pass over the query side, zero shuffles/windows."""
+    ref_pdf = (
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .toPandas()
+    )
+    rids = ref_pdf["vid"].to_numpy("int64")
+    R = _qmatrix(ref_pdf["v"], quantize) if len(ref_pdf) else np.empty((0, 0), np.int64)
+    src = queries if queries is not None else emb
+    spark = emb.sparkSession
+    b = spark.sparkContext.broadcast((rids, R))
+
+    def run(batches):
+        rids_b, R_b = b.value
+        if R_b.size == 0:
+            return
+        rn = (R_b * R_b).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf["qid"].to_numpy("int64")
+            Q = _qmatrix(pdf["qv"], quantize)
+            qn = (Q * Q).sum(axis=1)
+            cos = (Q @ R_b.T).astype(np.float64) / np.sqrt(
+                qn[:, None].astype(np.float64) * rn[None, :].astype(np.float64)
+            )
+            out = _rows_topk(qids, cos, rids_b, k, "cos_sim")
+            # _rows_topk emits per query in (cos desc, neighbor id asc)
+            # order — identical to the merge window's rank rule
+            out["rank"] = out.groupby("vec_id").cumcount() + 1
+            yield out
+
+    return src.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).mapInPandas(run, schema="vec_id long, neighbor_id long, cos_sim double, rank int")
+
+
 def _cosine_topk_blocked(
     emb: DataFrame,
     k: int,
@@ -145,6 +209,14 @@ def _cosine_topk_blocked(
     queries: DataFrame | None,
     n_blocks: int,
 ) -> DataFrame:
+    # physical-strategy switch: small reference sets broadcast (one query
+    # scan, no replication/shuffle/window); large ones use block cogroup
+    try:
+        n_ref = emb.count()
+    except Exception:  # pragma: no cover — unplannable frame
+        n_ref = None
+    if n_ref is not None and n_ref <= _ANN_BROADCAST_MAX_REFS:
+        return _cosine_topk_broadcast(emb, k, id_col, vec_col, quantize, queries)
     ref = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).withColumn(
         "block", F.pmod(F.crc32(F.col("vid").cast("string")), F.lit(n_blocks)).cast("int")
     )

@@ -10,11 +10,27 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_exact_ann_is_blocked_cogroup_not_collect(spark):
+def test_exact_ann_strategy_switch(spark, monkeypatch):
+    """Exact ANN picks its physical strategy by reference size (r6):
+    under the broadcast cutoff the reference matrix ships to tasks and
+    the query side is scanned once (MapInPandas, no cogroup, no
+    exchange); above it the block-partitioned cogroup kernel bounds
+    per-task memory.  Neither path collects results to the driver."""
+    from fagi_gis_spark.functions import ann
     from fagi_gis_spark.registry import queries
 
     plan = _plan(queries()["ann_cosine_topk"](spark, SF))
-    assert "FlatMapCoGroupsInPandas" in plan  # block-partitioned kernel
+    assert "MapInPandas" in plan  # broadcast-reference kernel
+    assert "FlatMapCoGroupsInPandas" not in plan
+    # one query scan: no key shuffle, no merge window (the only allowed
+    # exchange is the reader's round-robin parallelism floor)
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan
+
+    monkeypatch.setattr(ann, "_ANN_BROADCAST_MAX_REFS", 0)
+    blocked = _plan(queries()["ann_cosine_topk"](spark, SF))
+    assert "FlatMapCoGroupsInPandas" in blocked  # block-partitioned kernel
+
     near = _plan(queries()["dedup_embedding_cosine"](spark, SF))
     assert "FlatMapCoGroupsInPandas" in near
 
