@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fagi_gis_spark.functions.similarity import token_jaccard_cols, u_fuzzy_jaccard
+from fagi_gis_spark.functions.similarity import u_fuzzy_jaccard
 from fagi_gis_spark.operators.spatial_join import bbox_filter, radius_join
 
 #: reference thresholds (BatchFindLinkServlet.java:712-713, FindLinkServlet.java:401)
@@ -63,14 +63,32 @@ def discover_links(
         a = bbox_filter(a, *bbox)  # D1 viewport fetch
         b = bbox_filter(b, *bbox)
 
-    # D2: radius probe — one distributed join instead of the N+1 loop
-    cand = radius_join(a, b, radius_m, salt_threshold=salt_threshold)
+    # D2: radius probe — one distributed join instead of the N+1 loop.
+    # Project to (keys, dist_m) straight away: the literal joins and the
+    # freq window below shuffle these rows, and the four coordinate
+    # doubles (32 B/row over ~10M candidates at sf1.0) are never read
+    # again (guide §2.3 — project before the exchange).
+    cand = radius_join(a, b, radius_m, salt_threshold=salt_threshold).select(
+        "l_key", "r_key", "dist_m"
+    )
 
-    # candidate literals (B side), literal-shape filtered
+    # candidate literals (B side), literal-shape filtered.  In exact
+    # mode each side's tokens are computed HERE, once per subject, not
+    # per candidate pair (~7 neighbours at sf1.0 would re-split the same
+    # literal 7x); the join attaches the ready array.  The literal
+    # tables are orders of magnitude smaller than the candidate set, so
+    # they are the hash side: broadcast while they fit the session
+    # threshold, pinned shuffled-hash build otherwise — never a sort of
+    # the candidate stream (guide §3.1).
+    from fagi_gis_spark.operators.spatial_join import _prefer_build_side
+
+    _toks = lambda c: F.array_distinct(F.split(F.trim(c), r"\s+"))  # noqa: E731
     lits_b = triples_b.filter(
         (F.col("predicate") == name_pred_b) & _literal_ok(F.col("object"))
     ).select(F.col("subject").alias("r_key"), F.col("object").alias("lit_b"))
-    cand = cand.join(lits_b, "r_key", "inner")
+    if mode == "exact":
+        lits_b = lits_b.select("r_key", "lit_b", _toks(F.col("lit_b")).alias("__tb"))
+    cand = cand.join(_prefer_build_side(lits_b), "r_key", "inner")
 
     # D3: term-frequency filter — a literal value must be unique within
     # the probe entity's neighborhood (freq == 1). A window count does it
@@ -89,11 +107,17 @@ def discover_links(
     lits_a = triples_a.filter(
         (F.col("predicate") == name_pred_a) & _literal_ok(F.col("object"))
     ).select(F.col("subject").alias("l_key"), F.col("object").alias("lit_a"))
-    cand = cand.join(lits_a, "l_key", "inner")
-
-    # D4: Jaccard scoring
     if mode == "exact":
-        jac = token_jaccard_cols(F.col("lit_a"), F.col("lit_b"))
+        lits_a = lits_a.select("l_key", _toks(F.col("lit_a")).alias("__ta"))
+    cand = cand.join(_prefer_build_side(lits_a), "l_key", "inner")
+
+    # D4: Jaccard scoring — in exact mode over the pre-split arrays (the
+    # same array_distinct(split(...)) expressions token_jaccard_cols
+    # builds inline, hoisted to the literal tables above)
+    if mode == "exact":
+        inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb"))).cast("double")
+        union = F.size(F.array_union(F.col("__ta"), F.col("__tb"))).cast("double")
+        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     elif mode == "fuzzy":
         jac = u_fuzzy_jaccard(F.col("lit_a"), F.col("lit_b"))
     else:

@@ -115,6 +115,20 @@ def linked_pairs(
     n_shuffle = int(poi_a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
     def _side(poi, side, c_pfx):
+        if not feature_primitives and {"cx", "cy", "npts", "gtype"} <= set(poi.columns):
+            # ingest-time summary columns present (sources.layers stores
+            # the one-parse-per-geometry summary at import): pure JVM
+            # projection, no Arrow/Python stage at query time
+            return poi.select(
+                F.col("subject").alias(f"subject_{side}"),
+                F.col("geom_wkt").alias(f"wkt_{side}"),
+                F.col("lon").alias(f"lon_{side}"),
+                F.col("lat").alias(f"lat_{side}"),
+                F.col("cx").alias(f"c{c_pfx}x"),
+                F.col("cy").alias(f"c{c_pfx}y"),
+                F.col("npts").alias(f"np{side}"),
+                F.col("gtype").alias(f"gt{side}"),
+            ).repartition(n_shuffle, f"subject_{side}")
         df = poi.select(
             F.col("subject").alias(f"subject_{side}"),
             F.col("geom_wkt").alias(f"wkt_{side}"),
@@ -331,6 +345,74 @@ def _one_side(links: DataFrame, poi: DataFrame, side: str) -> DataFrame:
             F.col("node_b").alias("subject_b"),
             "geom_wkt",
         )
+    )
+
+
+#: transformations whose FUSED CENTROID is a closed form of the two
+#: source centroids (+ npoints): rotate/resize act about the source
+#: centroid and translate moves it linearly, so the output centroid
+#: never depends on the geometry's shape.  Expressions below are written
+#: exactly as the reference/oracle SQL states them (pure IEEE +,-,x,/
+#: chains — deterministic across engines).
+_CENTROID_CLOSED_FORMS = {
+    "shift_a_to_b",
+    "shift_b_to_a",
+    "shift_poly_to_point",
+    "shift_poly_avg_dist",
+    "most_points_translate",
+    "scale_a",
+    "scale_b",
+}
+
+
+def fused_centroids(
+    pairs: DataFrame, transformation: str, params: FusionParams | None = None
+) -> DataFrame:
+    """Fused centroid WITHOUT materializing the fused geometry — for
+    consumers that only read the centroid (the ``*_e9`` query family).
+    Requires the precomputed summary columns (linked_pairs over stored
+    summary layers); output (subject_a, subject_b, fused_cx, fused_cy)
+    carries the identical values the full fuse() + centroid pass
+    produces, because every transformation here moves the centroid by a
+    closed-form linear map of (ca, cb):
+
+    * shift_a_to_b / shift_b_to_a — c_src + s*(c_dst - c_src): the
+      kernel's own emission (rotate/resize are about c_src, translate
+      adds the displacement to every vertex, hence to the mean).
+    * shift_poly_to_point — B translated by (ca - cb): centroid ca.
+    * shift_poly_avg_dist — B translated by (ca - cb)/2.
+    * most_points_translate — kept geometry translated onto the other's
+      centroid: the destination centroid, selected by npoints.
+    * scale_a / scale_b — ST_Scale about the ORIGIN: centroid scales by f.
+    """
+    p = params or FusionParams()
+    t = transformation
+    need = {"cax", "cay", "cbx", "cby"}
+    if t not in _CENTROID_CLOSED_FORMS or not need <= set(pairs.columns):
+        raise ValueError(
+            f"no closed-form centroid for {t!r} (or summary columns missing)"
+        )
+    ca_x, ca_y, cb_x, cb_y = (F.col(c) for c in ("cax", "cay", "cbx", "cby"))
+    if t in ("shift_a_to_b", "shift_b_to_a"):
+        s = F.lit(p.shift_pct / 100.0)
+        if t == "shift_a_to_b":
+            cx, cy = ca_x + s * (cb_x - ca_x), ca_y + s * (cb_y - ca_y)
+        else:
+            cx, cy = cb_x + s * (ca_x - cb_x), cb_y + s * (ca_y - cb_y)
+    elif t == "shift_poly_to_point":
+        cx, cy = ca_x, ca_y
+    elif t == "shift_poly_avg_dist":
+        cx, cy = cb_x + (ca_x - cb_x) / 2.0, cb_y + (ca_y - cb_y) / 2.0
+    elif t == "most_points_translate":
+        a_wins = _npoints_col(pairs, "a") >= _npoints_col(pairs, "b")
+        cx = F.when(a_wins, cb_x).otherwise(ca_x)
+        cy = F.when(a_wins, cb_y).otherwise(ca_y)
+    else:  # scale_a / scale_b about the origin
+        src_x, src_y = (ca_x, ca_y) if t == "scale_a" else (cb_x, cb_y)
+        f_ = F.lit(float(p.scale_f))
+        cx, cy = src_x * f_, src_y * f_
+    return pairs.select(
+        "subject_a", "subject_b", cx.alias("fused_cx"), cy.alias("fused_cy")
     )
 
 

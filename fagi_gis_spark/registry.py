@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from fagi_gis_spark.index import tiles
 from fagi_gis_spark.operators.dedup_precedence import gtype_col
-from fagi_gis_spark.operators.fusion import FusionParams, fuse_all, linked_pairs, with_scores
+from fagi_gis_spark.operators.fusion import (
+    FusionParams,
+    fuse_all,
+    fused_centroids,
+    linked_pairs,
+    with_scores,
+)
 from fagi_gis_spark.sources.layers import (
     admin_assign_oracle_sql,
     admin_polygons_pdf,
@@ -314,6 +320,13 @@ def _centroid_e9(df: DataFrame) -> DataFrame:
     )
 
 
+def _L3(L):
+    """J3 inputs with the ingest-time summary layers when stored (falls
+    back to the classic frames, where linked_pairs re-derives the
+    summary with the Arrow UDF)."""
+    return L["links"], L.get("poi_a_sum", L["poi_a"]), L.get("poi_b_sum", L["poi_b"])
+
+
 # --------------------------------------------------------------------------
 # Fusion transformation family (SURVEY.md §2.3)
 # --------------------------------------------------------------------------
@@ -376,7 +389,7 @@ def fuse_keep_both(spark, sf_dir):
 )
 def fuse_most_points(spark, sf_dir):
     L = layers(spark, sf_dir)
-    return fuse_all(L["links"], L["poi_a"], L["poi_b"], "most_points")
+    return fuse_all(*_L3(L), "most_points")
 
 
 @register(
@@ -390,7 +403,7 @@ def fuse_most_points(spark, sf_dir):
 )
 def fuse_concatenation(spark, sf_dir):
     L = layers(spark, sf_dir)
-    return fuse_all(L["links"], L["poi_a"], L["poi_b"], "concatenation")
+    return fuse_all(*_L3(L), "concatenation")
 
 
 @register(
@@ -404,10 +417,14 @@ def fuse_concatenation(spark, sf_dir):
 )
 def fuse_shift_a_to_b(spark, sf_dir):
     L = layers(spark, sf_dir)
-    fused = fuse_all(
-        L["links"], L["poi_a"], L["poi_b"], "shift_a_to_b", FusionParams(shift_pct=25.0)
+    # centroid-only output: closed-form fused centroid over the stored
+    # summary columns (operators.fusion.fused_centroids) — the fused WKT
+    # this query never emits is not materialized at all
+    return _centroid_e9(
+        fused_centroids(
+            linked_pairs(*_L3(L)), "shift_a_to_b", FusionParams(shift_pct=25.0)
+        )
     )
-    return _centroid_e9(fused)
 
 
 @register(
@@ -421,10 +438,11 @@ def fuse_shift_a_to_b(spark, sf_dir):
 )
 def fuse_shift_b_to_a(spark, sf_dir):
     L = layers(spark, sf_dir)
-    fused = fuse_all(
-        L["links"], L["poi_a"], L["poi_b"], "shift_b_to_a", FusionParams(shift_pct=25.0)
+    return _centroid_e9(
+        fused_centroids(
+            linked_pairs(*_L3(L)), "shift_b_to_a", FusionParams(shift_pct=25.0)
+        )
     )
-    return _centroid_e9(fused)
 
 
 @register(
@@ -439,7 +457,7 @@ def fuse_shift_b_to_a(spark, sf_dir):
 )
 def fuse_avg_points(spark, sf_dir):
     L = layers(spark, sf_dir)
-    return fuse_all(L["links"], L["poi_a"], L["poi_b"], "avg_points")
+    return fuse_all(*_L3(L), "avg_points")
 
 
 @register(
@@ -453,8 +471,9 @@ def fuse_avg_points(spark, sf_dir):
 )
 def fuse_shift_poly_avg_dist(spark, sf_dir):
     L = layers(spark, sf_dir)
-    fused = fuse_all(L["links"], L["poi_a"], L["poi_b"], "shift_poly_avg_dist")
-    return _centroid_e9(fused)
+    return _centroid_e9(
+        fused_centroids(linked_pairs(*_L3(L)), "shift_poly_avg_dist")
+    )
 
 
 @register(
@@ -476,7 +495,7 @@ def fusion_scores(spark, sf_dir):
     from fagi_gis_spark.operators.fusion import scores_quantized
 
     L = layers(spark, sf_dir)
-    pairs = linked_pairs(L["links"], L["poi_a"], L["poi_b"])
+    pairs = linked_pairs(*_L3(L))
     return scores_quantized(pairs, threshold_m=500.0)
 
 
@@ -3894,7 +3913,9 @@ def fuse_shift_poly_to_point(spark, sf_dir):
     """ShiftPolygonToPoint (id 11): translate B so its centroid lands on
     A's (ShiftPolygonToPoint.java:98-117) — fused centroid == A centroid."""
     L = layers(spark, sf_dir)
-    return _centroid_e9(fuse_all(L["links"], L["poi_a"], L["poi_b"], "shift_poly_to_point"))
+    return _centroid_e9(
+        fused_centroids(linked_pairs(*_L3(L)), "shift_poly_to_point")
+    )
 
 
 @register(
@@ -3912,7 +3933,9 @@ def fuse_most_points_translate(spark, sf_dir):
     translate its centroid onto the other's
     (KeepMostPointsAndTranslateTransformation.java:130-155)."""
     L = layers(spark, sf_dir)
-    return _centroid_e9(fuse_all(L["links"], L["poi_a"], L["poi_b"], "most_points_translate"))
+    return _centroid_e9(
+        fused_centroids(linked_pairs(*_L3(L)), "most_points_translate")
+    )
 
 
 @register(
@@ -3927,10 +3950,9 @@ def fuse_scale_b(spark, sf_dir):
     """Scale (id 15): ST_Scale(geom, f, f) about the ORIGIN
     (ScaleTransformation.java:114-140) — centroid scales by f."""
     L = layers(spark, sf_dir)
-    fused = fuse_all(
-        L["links"], L["poi_a"], L["poi_b"], "scale_b", FusionParams(scale_f=2.0)
+    return _centroid_e9(
+        fused_centroids(linked_pairs(*_L3(L)), "scale_b", FusionParams(scale_f=2.0))
     )
-    return _centroid_e9(fused)
 
 
 @register(

@@ -289,6 +289,10 @@ MATERIALIZED_LAYER_KEYS = (
     "poi_a_raw",
 )
 
+#: layers stored WITH the ingest-time geometry summary columns
+#: (cx/cy/npts/gtype) appended — see materialized_layers
+SUMMARY_LAYER_KEYS = ("poi_a", "poi_b")
+
 
 #: (applicationId, cache dir) -> layer DataFrames, so one session reads
 #: each materialized import's schemas and registers its views once
@@ -301,12 +305,16 @@ def _layers_cache_tag(sf_dir: str) -> str:
     of this module and the precedence dedup — any edit invalidates)."""
     import fagi_gis_spark.operators.dedup_precedence as _dp
 
+    import fagi_gis_spark.functions.geo_udfs as _gu
+    import fagi_gis_spark.geometry.wkt as _wk
+
     h = hashlib.sha1()
     orders = os.path.join(sf_dir, "orders.parquet")
     h.update(os.path.abspath(sf_dir).encode())
     st = os.stat(orders)
     h.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
-    for mod_file in (__file__, _dp.__file__):
+    # geo_udfs/wkt feed the stored summary columns — any edit invalidates
+    for mod_file in (__file__, _dp.__file__, _gu.__file__, _wk.__file__):
         with open(mod_file, "rb") as f:
             h.update(f.read())
     return f"{os.path.basename(sf_dir.rstrip('/'))}-{h.hexdigest()[:12]}"
@@ -351,8 +359,32 @@ def materialized_layers(
     if hit is not None:
         return dict(hit)
     if not os.path.isdir(base):
+        from pyspark.sql import functions as F
+
+        from fagi_gis_spark.functions.geo_udfs import u_geo_summary
+
         L = spark_layers(spark, sf_dir)
         L["poi_a"] = precedence_dedup(L["poi_a_raw"])
+        # ingest-time geometry summary (cx/cy/npts/gtype): the reference
+        # Importer parses each WKT ONCE into typed PostGIS columns at
+        # import; storing the parse here means the whole fusion/scoring
+        # family reads typed columns and never re-parses per query (the
+        # r5 tree re-ran the summary UDF over both layers on every
+        # fuse_* invocation).  Deterministic per-row derivation — the
+        # same amortization contract as the import itself.
+        for k in SUMMARY_LAYER_KEYS:
+            L[k] = (
+                L[k]
+                .select("*", u_geo_summary(F.col("geom_wkt")).alias("__s"))
+                .select(
+                    "*",
+                    F.col("__s.cx").alias("cx"),
+                    F.col("__s.cy").alias("cy"),
+                    F.col("__s.npts").alias("npts"),
+                    F.col("__s.gtype").alias("gtype"),
+                )
+                .drop("__s")
+            )
         tmp = f"{base}.tmp.{os.getpid()}"
         from fagi_gis_spark.partitioning import ensure_min_parallelism
 
@@ -380,6 +412,12 @@ def materialized_layers(
     out = {
         k: spark.read.parquet(os.path.join(base, k)) for k in MATERIALIZED_LAYER_KEYS
     }
+    for k in SUMMARY_LAYER_KEYS:
+        # classic 5-column view under the original key (parquet column
+        # pruning makes the projection free), full typed frame under
+        # "<k>_sum" for the fusion/scoring family
+        out[f"{k}_sum"] = out[k]
+        out[k] = out[k].select("subject", "lon", "lat", "geom_wkt", "k")
     _SESSION_LAYERS[memo_key] = dict(out)
     return out
 

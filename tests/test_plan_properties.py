@@ -36,15 +36,29 @@ def test_exact_ann_strategy_switch(spark, monkeypatch):
 
 
 def test_most_points_selection_is_jvm_only(spark):
-    """The most-points CASE must run on precomputed summary columns — the
-    only Python stages are the two layer-level summary passes, never a
-    per-pair geometry UDF."""
+    """The most-points CASE must run on precomputed summary columns.
+    Since r6 the summaries are STORED at layer import (ingest-time typed
+    columns, sources.layers), so the query plan contains no Python stage
+    at all — the CASE reads stored npts."""
     from fagi_gis_spark.registry import queries
 
     plan = _plan(queries()["fuse_most_points"](spark, SF))
     assert "u_most_points" not in plan
-    assert plan.count("ArrowEvalPython") == 2  # one summary pass per layer
+    assert "ArrowEvalPython" not in plan  # summaries read from storage
+    assert "BatchEvalPython" not in plan
     assert "CASE WHEN" in plan
+
+
+def test_centroid_e9_family_is_jvm_only(spark):
+    """The centroid-emitting fusion family (shift/scale/translate e9
+    outputs) computes closed-form fused centroids over the stored
+    summary columns — no geometry parse, no Python stage (r6)."""
+    from fagi_gis_spark.registry import queries
+
+    for name in ("fuse_shift_a_to_b", "fuse_scale_b", "fuse_most_points_translate"):
+        plan = _plan(queries()[name](spark, SF))
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
 
 
 def test_lineage_checksum_has_no_collect_list(spark):
