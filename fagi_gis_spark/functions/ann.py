@@ -165,6 +165,8 @@ def _cosine_topk_broadcast(
 ) -> DataFrame:
     """Exact top-k with the full quantized reference broadcast: one
     mapInPandas pass over the query side, zero shuffles/windows."""
+    from fagi_gis_spark.sideinput import read_arrays, write_arrays
+
     ref_pdf = (
         emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
         .toPandas()
@@ -172,11 +174,13 @@ def _cosine_topk_broadcast(
     rids = ref_pdf["vid"].to_numpy("int64")
     R = _qmatrix(ref_pdf["v"], quantize) if len(ref_pdf) else np.empty((0, 0), np.int64)
     src = queries if queries is not None else emb
-    spark = emb.sparkSession
-    b = spark.sparkContext.broadcast((rids, R))
+    # worker-cached side-input file, not a Python broadcast (see
+    # fagi_gis_spark.sideinput — broadcasts re-unpickle per task)
+    ref_path = write_arrays("ann_ref", rids=rids, R=R)
 
     def run(batches):
-        rids_b, R_b = b.value
+        z = read_arrays(ref_path)
+        rids_b, R_b = z["rids"], z["R"]
         if R_b.size == 0:
             return
         rn = (R_b * R_b).sum(axis=1)

@@ -139,37 +139,18 @@ def _bucket_candidates(buckets: DataFrame) -> DataFrame:
 #: identical (agreement / n_perm) value.
 _VERIFY_BROADCAST_MAX_DOCS = 2_000_000
 
-#: worker-side cache of verify side-input matrices, keyed by file
-#: identity; lives for the lifetime of a REUSED python worker process
+#: worker-side cache of decoded verify side inputs (pd.Index + uint8
+#: screening view are derived once per worker, not per batch)
 _SIG_SIDEINPUT_CACHE: dict = {}
 
 
 def _write_sig_sideinput(ids: np.ndarray, sig_mat: np.ndarray) -> str:
-    """Write the (ids, signature-matrix) side input once, atomically,
-    content-addressed under /tmp — every verify task memory-loads it via
-    ``_load_sig_sideinput`` instead of unpickling a Spark broadcast per
-    task.  Local-mode file visibility; on a cluster this is the stored
-    signature table on shared storage."""
-    import hashlib
-    import os
+    """Dump the (ids, signature-matrix) side input once — see
+    fagi_gis_spark.sideinput for the pattern and why it replaces a
+    Python broadcast."""
+    from fagi_gis_spark.sideinput import write_arrays
 
-    from pyspark.sql import SparkSession
-
-    app = SparkSession.getActiveSession().sparkContext.applicationId
-    h = hashlib.md5()
-    h.update(app.encode())
-    h.update(np.ascontiguousarray(ids).tobytes())
-    h.update(np.ascontiguousarray(sig_mat).tobytes())
-    # session-scoped (applicationId in the key): the file is an
-    # idempotent dump of bytes just computed THIS invocation — nothing
-    # is ever served across sessions, and recomputation is never skipped
-    path = f"/tmp/spark_graft_sigs_{h.hexdigest()[:16]}.npz"
-    if not os.path.exists(path):
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            np.savez(f, ids=ids, sig=sig_mat)
-        os.replace(tmp, path)
-    return path
+    return write_arrays("minhash_sigs", ids=ids, sig=sig_mat)
 
 
 def _load_sig_sideinput(path: str):
@@ -178,9 +159,11 @@ def _load_sig_sideinput(path: str):
     hit = _SIG_SIDEINPUT_CACHE.get(path)
     if hit is not None:
         return hit
-    with np.load(path) as z:
-        ids = pd.Index(z["ids"])
-        m = z["sig"]
+    from fagi_gis_spark.sideinput import read_arrays
+
+    z = read_arrays(path)
+    ids = pd.Index(z["ids"])
+    m = z["sig"]
     lo = (m & np.int64(0xFF)).astype(np.uint8)
     _SIG_SIDEINPUT_CACHE.clear()  # one matrix per worker is plenty
     _SIG_SIDEINPUT_CACHE[path] = (ids, m, lo)
