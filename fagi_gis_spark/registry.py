@@ -3881,7 +3881,7 @@ def multimodal_decode_stats(spark, sf_dir):
     from fagi_gis_spark.operators.multimodal import decode_stats
     from fagi_gis_spark.sources.images import generate_images
 
-    return decode_stats(generate_images(spark, 300, partitions=4)).select(
+    return decode_stats(generate_images(spark, 300, partitions=16)).select(
         "image_id", "decode_ok", "dec_w", "dec_h",
         F.round("px_mean", 6).alias("px_mean_r"), "phash_ok",
     )
@@ -3892,7 +3892,7 @@ def multimodal_resize(spark, sf_dir):
     from fagi_gis_spark.operators.multimodal import resize_images
     from fagi_gis_spark.sources.images import generate_images
 
-    out = resize_images(generate_images(spark, 200, partitions=4), 16, 16)
+    out = resize_images(generate_images(spark, 200, partitions=16), 16, 16)
     return out.select("image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes"), "phash")
 
 
