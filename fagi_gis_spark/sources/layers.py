@@ -345,9 +345,15 @@ def materialized_layers(
     """
     from fagi_gis_spark.operators.dedup_precedence import precedence_dedup
 
+    # default under ~/.cache, not /tmp: this sandbox's /tmp is swept
+    # periodically, and losing the import mid-suite silently charges a
+    # full re-import to whichever query runs next (observed as 2-3x
+    # one-off inflation of an unrelated query's wall time)
     root = cache_root or os.environ.get(
-        "SPARK_GRAFT_LAYER_CACHE", "/tmp/spark_graft_layers"
+        "SPARK_GRAFT_LAYER_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "spark_graft_layers"),
     )
+    os.makedirs(root, exist_ok=True)
     base = os.path.join(root, _layers_cache_tag(sf_dir))
     app = spark.sparkContext.applicationId
     # evict memos from stopped sessions (their DataFrames reference dead
