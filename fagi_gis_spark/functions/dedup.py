@@ -83,14 +83,37 @@ def minhash_signatures(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def u_minhash(text: pd.Series) -> pd.Series:
-        out = []
+        # Batched across documents (guide §4.2): shingle-hash arrays are
+        # concatenated and ALL documents' permutation minima come out of
+        # one (n_perm, total_shingles) multiply-add-mod + one
+        # np.minimum.reduceat per chunk — identical uint64 wrap/mod ops
+        # on identical values as the previous per-document loop, so the
+        # signatures are bit-identical; only the loop granularity moved
+        # from per-document to per-chunk.  Chunks bound the dense
+        # intermediate to ~n_perm x 400k u64 (~200 MB).
         m = np.uint64(_MERSENNE)
-        for s in text:
-            sh = _shingle_hashes(s, shingle)
-            # (a*x + b) mod mersenne61, min over shingles, per permutation
-            vals = (sh[None, :] * a[:, None] + b[:, None]) % m
-            out.append(vals.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out)
+        shs = [_shingle_hashes(s, shingle) for s in text]
+        n_docs = len(shs)
+        if n_docs == 0:
+            return pd.Series([], dtype=object)
+        lens = np.array([len(x) for x in shs], dtype=np.int64)
+        out = np.empty((n_docs, len(a)), dtype=np.int64)
+        budget = 400_000
+        start = 0
+        while start < n_docs:
+            end, tot = start, 0
+            while end < n_docs and (tot == 0 or tot + lens[end] <= budget):
+                tot += lens[end]
+                end += 1
+            seg = np.concatenate(shs[start:end])
+            offs = np.zeros(end - start, dtype=np.int64)
+            np.cumsum(lens[start : end - 1], out=offs[1:])
+            vals = (seg[None, :] * a[:, None] + b[:, None]) % m
+            out[start:end] = (
+                np.minimum.reduceat(vals, offs, axis=1).T.astype(np.int64)
+            )
+            start = end
+        return pd.Series(out.tolist())
 
     return docs.select(F.col(id_col).alias("doc_id"), u_minhash(F.col(text_col)).alias("sig"))
 

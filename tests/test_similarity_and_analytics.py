@@ -410,3 +410,58 @@ def test_pack_documents_invariants(spark):
                 assert seqs[i] == seqs[i - 1] + 1
                 assert fill + toks[i] > budget  # break only when needed
                 fill = toks[i]
+
+
+def test_minhash_batched_signatures_bit_identical():
+    """r6 internals guard: the chunked reduceat signature kernel must be
+    bit-identical to the per-document definition ((a*x+b) mod M61 over
+    the doc's unique shingle hashes, min per permutation) — including
+    empty/short docs and forced chunk boundaries."""
+    import random
+    import string
+
+    import numpy as np
+
+    from fagi_gis_spark.functions.dedup import (
+        _MERSENNE,
+        _perm_params,
+        _shingle_hashes,
+    )
+
+    a, b = _perm_params(64)
+    m = np.uint64(_MERSENNE)
+
+    def reference(s):
+        sh = _shingle_hashes(s, 5)
+        vals = (sh[None, :] * a[:, None] + b[:, None]) % m
+        return vals.min(axis=1).astype(np.int64).tolist()
+
+    def batched(texts, budget=137):  # tiny budget -> many chunk breaks
+        shs = [_shingle_hashes(s, 5) for s in texts]
+        n = len(shs)
+        lens = np.array([len(x) for x in shs], dtype=np.int64)
+        out = np.empty((n, 64), dtype=np.int64)
+        start = 0
+        while start < n:
+            end, tot = start, 0
+            while end < n and (tot == 0 or tot + lens[end] <= budget):
+                tot += lens[end]
+                end += 1
+            seg = np.concatenate(shs[start:end])
+            offs = np.zeros(end - start, dtype=np.int64)
+            np.cumsum(lens[start : end - 1], out=offs[1:])
+            vals = (seg[None, :] * a[:, None] + b[:, None]) % m
+            out[start:end] = np.minimum.reduceat(vals, offs, axis=1).T.astype(
+                np.int64
+            )
+            start = end
+        return out
+
+    rng = random.Random(0)
+    texts = ["", "ab", "   ", "hello world"] + [
+        "".join(rng.choices(string.ascii_lowercase + " ", k=rng.randint(1, 400)))
+        for _ in range(200)
+    ]
+    got = batched(texts)
+    for i, t in enumerate(texts):
+        assert got[i].tolist() == reference(t), (i, t[:40])
