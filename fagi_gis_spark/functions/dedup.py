@@ -89,8 +89,12 @@ def minhash_signatures(
         # np.minimum.reduceat per chunk — identical uint64 wrap/mod ops
         # on identical values as the previous per-document loop, so the
         # signatures are bit-identical; only the loop granularity moved
-        # from per-document to per-chunk.  Chunks bound the dense
-        # intermediate to ~n_perm x 400k u64 (~200 MB).
+        # from per-document to per-chunk.  The chunk budget keeps the
+        # dense intermediate at ~n_perm x 40k u64 (~20 MB): small
+        # enough that the allocator recycles the block across chunks —
+        # a ~200 MB budget measured 6x slower on this host because
+        # every chunk faulted fresh zeroed pages (same pathology as the
+        # monolithic-vs-chunked gather microbench in the r6 notes).
         m = np.uint64(_MERSENNE)
         shs = [_shingle_hashes(s, shingle) for s in text]
         n_docs = len(shs)
@@ -98,7 +102,7 @@ def minhash_signatures(
             return pd.Series([], dtype=object)
         lens = np.array([len(x) for x in shs], dtype=np.int64)
         out = np.empty((n_docs, len(a)), dtype=np.int64)
-        budget = 400_000
+        budget = 40_000
         start = 0
         while start < n_docs:
             end, tot = start, 0
