@@ -184,20 +184,27 @@ def _cosine_topk_broadcast(
         if R_b.size == 0:
             return
         rn = (R_b * R_b).sum(axis=1)
+        # slice queries so the (n_q, n_ref) score matrix stays ~16 MB:
+        # fresh large allocations fault zeroed pages on this host (6x
+        # slower than cache-sized blocks the allocator can recycle) —
+        # slicing changes only loop granularity, never any value
+        q_slice = max(1, 2_000_000 // max(1, R_b.shape[0]))
         for pdf in batches:
-            if not len(pdf):
-                continue
-            qids = pdf["qid"].to_numpy("int64")
-            Q = _qmatrix(pdf["qv"], quantize)
-            qn = (Q * Q).sum(axis=1)
-            cos = (Q @ R_b.T).astype(np.float64) / np.sqrt(
-                qn[:, None].astype(np.float64) * rn[None, :].astype(np.float64)
-            )
-            out = _rows_topk(qids, cos, rids_b, k, "cos_sim")
-            # _rows_topk emits per query in (cos desc, neighbor id asc)
-            # order — identical to the merge window's rank rule
-            out["rank"] = out.groupby("vec_id").cumcount() + 1
-            yield out
+            for s in range(0, len(pdf), q_slice):
+                part = pdf.iloc[s : s + q_slice]
+                if not len(part):
+                    continue
+                qids = part["qid"].to_numpy("int64")
+                Q = _qmatrix(part["qv"], quantize)
+                qn = (Q * Q).sum(axis=1)
+                cos = (Q @ R_b.T).astype(np.float64) / np.sqrt(
+                    qn[:, None].astype(np.float64) * rn[None, :].astype(np.float64)
+                )
+                out = _rows_topk(qids, cos, rids_b, k, "cos_sim")
+                # _rows_topk emits per query in (cos desc, neighbor id
+                # asc) order — identical to the merge window's rank rule
+                out["rank"] = out.groupby("vec_id").cumcount() + 1
+                yield out
 
     return src.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
